@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory for the graft engine.
+ *
+ * The reference (gazelle_plugin: native-sql-engine/core/src/main/scala/com/intel/oap/
+ * GazellePlugin.scala:1) wires its engine in as a SparkSessionExtensions plugin plus a
+ * columnar shuffle manager. graft keeps that shape — one place that produces a correctly
+ * configured session — but the execution layer is stock Spark 4.x (whole-stage codegen,
+ * vectorized parquet, AQE), which already covers what Gazelle's native kernels were for.
+ *
+ * Scale notes (local[32] here; 1000-executor cluster in prod):
+ *  - AQE on: runtime partition coalescing, skew-join splitting, dynamic join strategy.
+ *  - shuffle.partitions defaults to cores locally; in prod set ~2-3x total cores.
+ *  - UTC session timezone so results are reproducible and oracle-comparable.
+ */
+object GraftSession {
+  def builder(master: String = "local[32]", cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+
+  def get(master: String = "local[32]", cpus: Int = 32): SparkSession = {
+    val spark = builder(master, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

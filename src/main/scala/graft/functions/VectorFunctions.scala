@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.VectorExpressions
+
+/**
+ * Vector math over `array<float>` embedding columns — public API.
+ *
+ * Backed by native codegen Catalyst expressions (org.apache.spark.sql.graft.
+ * VectorExpressions), graft's replacement for the reference's C++ kernel route
+ * (gazelle_plugin: com/intel/oap/expression/ColumnarUDF.scala:1).
+ */
+object VectorFunctions {
+  /** `cosine_similarity(a, b)` as a Column, usable in any DataFrame expression. */
+  def cosineSimilarity(a: Column, b: Column): Column = VectorExpressions.cosineSimilarity(a, b)
+
+  def dotProduct(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
+}

@@ -1,0 +1,581 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * TPC-H-shaped query suite — the reference's own correctness corpus
+ * (gazelle_plugin: native-sql-engine/core/src/test/scala/com/intel/oap/tpc/h/TPCHSuite.scala:1
+ * runs q1-q22; the SQL lives in .../test/resources/tpch/).
+ *
+ * Adapted to the driver's simplified schema (no partsupp; no l_commitdate/l_receiptdate/
+ * l_shipmode/comment columns; synthetic value domains — see each query's Scaladoc). Queries
+ * q2/q11/q16/q20 are partsupp-only and therefore out of scope for this schema.
+ *
+ * Every query is declarative DataFrame API so Catalyst plans it: filters/projections push to
+ * the parquet scan, dimension joins broadcast, fact-fact joins shuffle once on the join key.
+ * Doubles are rounded at the output edge only (oracle hash stability), never mid-plan.
+ */
+object TpchQueries {
+
+  /** q1: scan → filter → hash-aggregate → sort. The canonical pricing summary. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q3: shipping priority — customer ⋈ orders ⋈ lineitem, agg, top-10. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = TableIO.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = TableIO.orders(spark, dir).filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+    val li = TableIO.lineitem(spark, dir).filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /**
+   * q4: order priority checking. Adapted: the original's l_commitdate < l_receiptdate
+   * existence test becomes l_shipdate > o_orderdate + 30 days ("shipped late").
+   * Shape proven: left-semi join (EXISTS) + aggregate.
+   */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = TableIO.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val li = TableIO.lineitem(spark, dir)
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 30))
+      .select(col("l_orderkey")).distinct()
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /**
+   * q5: local supplier volume — 6-table star join. Dimensions (region/nation/supplier/
+   * customer) broadcast; only lineitem⋈orders shuffles. At 100 TB the dims stay KB-GB sized
+   * so the broadcast strategy holds.
+   */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = TableIO.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = TableIO.nation(spark, dir)
+    val cust = TableIO.customer(spark, dir)
+    val supp = TableIO.supplier(spark, dir)
+    val ord = TableIO.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = TableIO.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q6: forecasting revenue change — pure scan-filter-aggregate; everything pushes to the scan. */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  def q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q7: volume shipping between two nations, by year. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val nation = TableIO.nation(spark, dir)
+    val supp = TableIO.supplier(spark, dir)
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+    val cust = TableIO.customer(spark, dir)
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("c_nk"))
+    val li = TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <= lit("1997-12-31").cast("timestamp"))
+    val ord = TableIO.orders(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  def q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q8: national market share — conditional aggregation over a star join. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val region = TableIO.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val nation = TableIO.nation(spark, dir)
+    val part = TableIO.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val cust = TableIO.customer(spark, dir)
+    val supp = TableIO.supplier(spark, dir)
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+    val ord = TableIO.orders(spark, dir)
+      .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+    val li = TableIO.lineitem(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+        col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0))) / sum(col("volume")),
+        6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  def q8Sql: String =
+    """SELECT o_year,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n1.n_name AS supp_nation
+      |  FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |    AND p_type = 'ECONOMY'
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |) t
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /**
+   * q9: product type profit. Adapted: no partsupp, so cost = p_retailprice * l_quantity * 0.6
+   * (a deterministic stand-in for ps_supplycost * l_quantity).
+   */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val nation = TableIO.nation(spark, dir)
+    val part = TableIO.part(spark, dir).filter(col("p_name").contains("red"))
+    val supp = TableIO.supplier(spark, dir)
+    val li = TableIO.lineitem(spark, dir)
+    val ord = TableIO.orders(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.6)).as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(col("amount")), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  def q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6), 2) AS sum_profit
+      |FROM part, supplier, lineitem, orders, nation
+      |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q10: returned item reporting — join + group + top-20 revenue losers. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val cust = TableIO.customer(spark, dir)
+    val nation = TableIO.nation(spark, dir)
+    val ord = TableIO.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = TableIO.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /**
+   * q12: shipping modes / priority. Adapted: groups by l_linestatus (l_shipmode absent);
+   * "late" = shipped more than 60 days after order date.
+   */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val ord = TableIO.orders(spark, dir)
+    val li = TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH", 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" && col("o_orderpriority") =!= "2-HIGH", 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  def q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q13: customer order-count distribution — LEFT OUTER join + double aggregate. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cust = TableIO.customer(spark, dir)
+    val ord = TableIO.orders(spark, dir).filter(col("o_orderpriority") =!= "5-LOW")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  def q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q14: promotion effect — conditional ratio aggregate. p_type domain is single words. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val part = TableIO.part(spark, dir)
+    val li = TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue"))
+  }
+
+  def q14Sql: String =
+    """SELECT round(
+      |    100.00 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /**
+   * q15: top supplier — aggregate once, broadcast the 1-row global max back (no second scan
+   * of lineitem, no single-partition window; at 100 TB the agg output is |suppliers| rows).
+   */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val supp = TableIO.supplier(spark, dir)
+    val revenue = TableIO.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    val withMax = revenue.crossJoin(broadcast(maxRev))
+    withMax.filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  def q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q17: small-quantity-order revenue — per-part average correlated subquery. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val part = TableIO.part(spark, dir).filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+    val li = TableIO.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("avg_half_qty"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("avg_half_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  def q17Sql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size <= 10
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  /** q18: large volume customers — fact-fact join against a HAVING aggregate, top-100. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val cust = TableIO.customer(spark, dir)
+    val ord = TableIO.orders(spark, dir)
+    val li = TableIO.lineitem(spark, dir)
+    val bigOrders = li.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(col("l_quantity")).as("b_qty"))
+      .filter(col("b_qty") > 300)
+    ord.join(bigOrders, col("o_orderkey") === col("b_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), round(col("b_qty"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+      |  round(t.qty, 2) AS sum_qty
+      |FROM customer, orders,
+      |  (SELECT l_orderkey AS lk, sum(l_quantity) AS qty FROM lineitem
+      |   GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+      |WHERE o_orderkey = t.lk AND c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q19: discounted revenue — disjunctive multi-attribute predicates over a part join. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val part = TableIO.part(spark, dir)
+    val li = TableIO.lineitem(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  def q19Sql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR
+      |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) OR
+      |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+
+  /**
+   * q21: suppliers who kept orders waiting. Adapted: "late" = l_shipdate > o_orderdate + 90
+   * days on a multi-supplier order where this supplier is the only late one
+   * (semi + anti join against the same fact — exchange reuse).
+   */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val supp = TableIO.supplier(spark, dir)
+    val ord = TableIO.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val li = TableIO.lineitem(spark, dir)
+      .join(ord.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+    val late = li.filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey")).distinct()
+    val anySupp = li.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2")).distinct()
+    // orders with >1 distinct supplier but exactly 1 late supplier
+    val multi = anySupp.groupBy(col("okey2")).agg(countDistinct(col("skey2")).as("n_supp")).filter(col("n_supp") > 1)
+    val oneLate = late.groupBy(col("okey")).agg(countDistinct(col("skey")).as("n_late")).filter(col("n_late") === 1)
+    late.join(oneLate.select("okey"), Seq("okey"))
+      .join(multi.select(col("okey2")), col("okey") === col("okey2"))
+      .join(broadcast(supp), col("skey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  def q21Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |late AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey FROM li
+      |         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+      |anysupp AS (SELECT DISTINCT l_orderkey AS okey2, l_suppkey AS skey2 FROM li),
+      |multi AS (SELECT okey2 FROM anysupp GROUP BY okey2 HAVING count(DISTINCT skey2) > 1),
+      |onelate AS (SELECT okey FROM late GROUP BY okey HAVING count(DISTINCT skey) = 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late
+      |JOIN onelate USING (okey)
+      |JOIN multi ON okey = okey2
+      |JOIN supplier ON skey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /**
+   * q22: global sales opportunity. Adapted: "country code" = last digit of c_custkey
+   * (c_phone absent); "never ordered" scoped to orders since 1999 so the anti join is
+   * non-degenerate on this data; positive-balance average subquery + anti join.
+   */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = TableIO.customer(spark, dir)
+      .withColumn("cntrycode", (col("c_custkey") % 10).cast("int"))
+      .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
+    // 1-row scalar agg broadcast back — not a window over an empty partitionBy, which
+    // would funnel every row through one partition at scale.
+    val avgBal = cust.filter(col("c_acctbal") > 0).agg(avg(col("c_acctbal")).as("avg_bal"))
+    val withAvg = cust.crossJoin(broadcast(avgBal))
+    val ord = TableIO.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    withAvg.filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  def q22Sql: String =
+    """WITH cust AS (
+      |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_custkey, c_acctbal
+      |  FROM customer WHERE CAST(c_custkey % 10 AS INT) IN (1,3,5,7,9))
+      |SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM cust
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  /** All TPC-H queries keyed for SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> q1 _, "tpch_q3" -> q3 _, "tpch_q4" -> q4 _, "tpch_q5" -> q5 _,
+    "tpch_q6" -> q6 _, "tpch_q7" -> q7 _, "tpch_q8" -> q8 _, "tpch_q9" -> q9 _,
+    "tpch_q10" -> q10 _, "tpch_q12" -> q12 _, "tpch_q13" -> q13 _, "tpch_q14" -> q14 _,
+    "tpch_q15" -> q15 _, "tpch_q17" -> q17 _, "tpch_q18" -> q18 _, "tpch_q19" -> q19 _,
+    "tpch_q21" -> q21 _, "tpch_q22" -> q22 _)
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" -> q1Sql, "tpch_q3" -> q3Sql, "tpch_q4" -> q4Sql, "tpch_q5" -> q5Sql,
+    "tpch_q6" -> q6Sql, "tpch_q7" -> q7Sql, "tpch_q8" -> q8Sql, "tpch_q9" -> q9Sql,
+    "tpch_q10" -> q10Sql, "tpch_q12" -> q12Sql, "tpch_q13" -> q13Sql, "tpch_q14" -> q14Sql,
+    "tpch_q15" -> q15Sql, "tpch_q17" -> q17Sql, "tpch_q18" -> q18Sql, "tpch_q19" -> q19Sql,
+    "tpch_q21" -> q21Sql, "tpch_q22" -> q22Sql)
+}

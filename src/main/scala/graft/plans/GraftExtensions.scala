@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+
+/**
+ * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
+ * (gazelle_plugin: native-sql-engine/core/src/main/scala/com/intel/oap/GazellePlugin.scala:1,
+ * which injects ColumnarOverrides rules + strategy overrides to swap every physical operator
+ * for a native one).
+ *
+ * graft deliberately injects much less: stock Catalyst/Tungsten already provides the
+ * vectorized/codegen execution layer Gazelle was re-implementing, so the only extensions are
+ * the genuinely missing pieces — native expressions for vector math, registered here so both
+ * the DataFrame API (graft.functions.VectorFunctions) and SQL text can use them.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      FunctionRegistryBase.expressionInfo[CosineSimilarity]("cosine_similarity", None),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      FunctionRegistryBase.expressionInfo[DotProduct]("dot_product", None),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

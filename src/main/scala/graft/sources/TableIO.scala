@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Loaders for the driver-generated tables (see /root/repo/TESTDATA.md).
+ *
+ * Mirrors the reference's arrow-data-source read path (gazelle_plugin:
+ * arrow-data-source/standard/src/main/scala/com/intel/oap/spark/sql/ArrowWriteExtension.scala
+ * and .../execution/ArrowFileSourceScanExec) — in graft the vectorized parquet reader plus
+ * Catalyst column pruning / filter pushdown provide the same columnar scan. Specs assert
+ * the pushdown actually reaches the scan (PushedFilters / ReadSchema).
+ */
+object TableIO {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register all tables as temp views so spark.sql(...) queries can reference them. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
