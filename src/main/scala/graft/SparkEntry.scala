@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.TpchQueries.all
+    operators.TpchQueries.all ++
+      operators.RelationalOps.all ++
+      functions.ExpressionQueries.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    operators.TpchQueries.oracles
+    operators.TpchQueries.oracles ++
+      operators.RelationalOps.oracles ++
+      functions.ExpressionQueries.oracles
 }

@@ -1,0 +1,292 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * One query per expression family in the reference's kernel inventory
+ * (gazelle_plugin: native-sql-engine/core/src/main/scala/com/intel/oap/expression/ —
+ * ColumnarArithmetic, ColumnarCaseWhenOperator, ColumnarInOperator,
+ * ColumnarString2TrimOperator, ColumnarRegexp, ColumnarDateTimeExpressions,
+ * ColumnarHashExpression, ColumnarRoundOperator, ColumnarHashAggregation).
+ *
+ * Gazelle implemented each as a Gandiva/C++ kernel; graft uses Spark's codegen'd builtins
+ * (org.apache.spark.sql.functions._) which compile into the same whole-stage-codegen loop.
+ * Each query is oracle-checked against DuckDB, with dialect differences (dayofweek origin,
+ * double->int cast rounding) normalized in the oracle SQL, not in the Spark plan.
+ */
+object ExpressionQueries {
+
+  /**
+   * #30 arithmetic + math kernels. Aggregated to one row: per-row transcendental output
+   * (exp/ln) can differ from DuckDB by 1 ulp and per-row round() differs on decimal-half
+   * ties, but a rounded SUM absorbs both (relative error ~1e-12 against a 1e-2 round grain).
+   * Integer arithmetic stays exact either way.
+   */
+  def qMath(spark: SparkSession, dir: String): DataFrame =
+    TableIO.part(spark, dir)
+      .agg(
+        sum(col("p_size") + 3).as("sum_add"),
+        sum(col("p_size") - 1).as("sum_sub"),
+        sum(col("p_size") * 2).as("sum_mul"),
+        round(sum(col("p_retailprice") / 3.0), 2).as("sum_div"),
+        sum(col("p_size") % 5).as("sum_mod"),
+        sum(abs(col("p_size") - 25)).as("sum_abs"),
+        round(sum(sqrt(col("p_retailprice"))), 2).as("sum_sqrt"),
+        round(sum(pow(col("p_size"), 2)), 2).as("sum_pow2"),
+        round(sum(exp(col("p_size") / 50.0)), 2).as("sum_exp"),
+        round(sum(log(col("p_retailprice") + 1.0)), 2).as("sum_ln"),
+        sum(ceil(col("p_retailprice"))).as("sum_ceil"),
+        sum(floor(col("p_retailprice"))).as("sum_floor"))
+
+  val qMathSql: String =
+    """SELECT
+      |  CAST(sum(p_size + 3) AS BIGINT) AS sum_add,
+      |  CAST(sum(p_size - 1) AS BIGINT) AS sum_sub,
+      |  CAST(sum(p_size * 2) AS BIGINT) AS sum_mul,
+      |  round(sum(p_retailprice / 3.0), 2) AS sum_div,
+      |  CAST(sum(p_size % 5) AS BIGINT) AS sum_mod,
+      |  CAST(sum(abs(p_size - 25)) AS BIGINT) AS sum_abs,
+      |  round(sum(sqrt(p_retailprice)), 2) AS sum_sqrt,
+      |  round(sum(pow(p_size, 2)), 2) AS sum_pow2,
+      |  round(sum(exp(p_size / 50.0)), 2) AS sum_exp,
+      |  round(sum(ln(p_retailprice + 1.0)), 2) AS sum_ln,
+      |  CAST(sum(ceil(p_retailprice)) AS BIGINT) AS sum_ceil,
+      |  CAST(sum(floor(p_retailprice)) AS BIGINT) AS sum_floor
+      |FROM part""".stripMargin
+
+  /** #32a case/when + if. */
+  def qCaseWhen(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000.0, "large")
+        .when(col("o_totalprice") > 100000.0, "medium")
+        .otherwise("small").as("size_class"),
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_final"))
+
+  val qCaseWhenSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000.0 THEN 'large'
+      |       WHEN o_totalprice > 100000.0 THEN 'medium'
+      |       ELSE 'small' END AS size_class,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+      |FROM orders""".stripMargin
+
+  /** #32b coalesce / nullif / isnull (nulls manufactured — the base tables are non-null). */
+  def qCoalesceExpr(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+      isnull(nullif(col("l_linestatus"), lit("O"))).as("was_o"))
+
+  val qCoalesceExprSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+      |  nullif(l_linestatus, 'O') IS NULL AS was_o
+      |FROM lineitem""".stripMargin
+
+  /** #33 IN / InSet (long list → InSet optimization in Catalyst). */
+  def qInFilter(spark: SparkSession, dir: String): DataFrame =
+    TableIO.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#5", "Brand#9", "Brand#13", "Brand#17") &&
+        col("p_size").isin(1, 2, 3, 5, 8, 13, 21, 34))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+
+  val qInFilterSql: String =
+    """SELECT p_partkey, p_brand, p_size FROM part
+      |WHERE p_brand IN ('Brand#1','Brand#5','Brand#9','Brand#13','Brand#17')
+      |  AND p_size IN (1,2,3,5,8,13,21,34)""".stripMargin
+
+  /** #34/#40 string kernels. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    TableIO.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_up"),
+      lower(col("c_name")).as("name_lo"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 10, 9).as("digits"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+      trim(lit("  pad  ")).as("trimmed"),
+      ltrim(lit("  pad")).as("l_trimmed"),
+      rtrim(lit("pad  ")).as("r_trimmed"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+      rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+      reverse(col("c_mktsegment")).as("rev_seg"),
+      regexp_replace(col("c_name"), "0", "_").as("subbed"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"))
+
+  val qStringFuncsSql: String =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_up,
+      |  lower(c_name) AS name_lo,
+      |  length(c_name) AS name_len,
+      |  substr(c_name, 10, 9) AS digits,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined,
+      |  trim('  pad  ') AS trimmed,
+      |  ltrim('  pad') AS l_trimmed,
+      |  rtrim('pad  ') AS r_trimmed,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  rpad(c_mktsegment, 12, '.') AS rpadded,
+      |  reverse(c_mktsegment) AS rev_seg,
+      |  replace(c_name, '0', '_') AS subbed,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated
+      |FROM customer""".stripMargin
+
+  /** #35 LIKE / RLIKE / regexp_extract / split + instr. */
+  def qLikeRegex(spark: SparkSession, dir: String): DataFrame =
+    TableIO.part(spark, dir)
+      .filter(col("p_name").like("%re%") || col("p_name").rlike("^s.*l"))
+      .select(
+        col("p_partkey"), col("p_name"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        instr(col("p_name"), "e").as("first_e"))
+
+  val qLikeRegexSql: String =
+    """SELECT p_partkey, p_name,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  instr(p_name, 'e') AS first_e
+      |FROM part
+      |WHERE p_name LIKE '%re%' OR regexp_matches(p_name, '^s.*l')""".stripMargin
+
+  /** #36a date part extraction. DuckDB dayofweek is 0-based Sunday; Spark is 1-based — normalized in oracle. */
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      quarter(col("o_orderdate")).as("q"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_add(col("o_orderdate"), 30).as("plus30"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+      last_day(col("o_orderdate")).as("month_end"))
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+      |  CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders""".stripMargin
+
+  /** #36b date_trunc to month/week buckets + aggregation. */
+  def qDateTrunc(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("ship_month"))
+
+  val qDateTruncSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  /** #36c unix epoch round-trip (events table carries sub-second timestamps). */
+  def qUnixTime(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir)
+      .filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+
+  val qUnixTimeSql: String =
+    """SELECT event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  strftime(CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events WHERE event_id < 100""".stripMargin
+
+  /** #37 hash kernels (md5/sha2-256 — DuckDB 1.0 lacks sha1/crc32; murmur3/xxhash are spec-tested). */
+  def qHashFuncs(spark: SparkSession, dir: String): DataFrame =
+    TableIO.documents(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("md5_hex"),
+      sha2(col("text"), 256).as("sha256_hex"))
+
+  val qHashFuncsSql: String =
+    "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex FROM documents"
+
+  /** #38 cast kernels (double->int via explicit trunc: Spark truncates, DuckDB rounds). */
+  def qCasts(spark: SparkSession, dir: String): DataFrame =
+    TableIO.customer(spark, dir).select(
+      col("c_custkey"),
+      col("c_acctbal").cast("int").as("bal_int"),
+      col("c_custkey").cast("string").as("key_str"),
+      col("c_custkey").cast("double").as("key_dbl"),
+      substring(col("c_name"), 10, 9).cast("long").as("name_num"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal_dec"))
+
+  val qCastsSql: String =
+    """SELECT c_custkey,
+      |  CAST(trunc(c_acctbal) AS INT) AS bal_int,
+      |  CAST(c_custkey AS VARCHAR) AS key_str,
+      |  CAST(c_custkey AS DOUBLE) AS key_dbl,
+      |  CAST(substr(c_name, 10, 9) AS BIGINT) AS name_num,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec
+      |FROM customer""".stripMargin
+
+  /** #39a aggregate kernels incl. stddev/variance/first-deterministic. */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_q"),
+        round(avg(col("l_quantity")), 6).as("avg_q"),
+        round(min(col("l_extendedprice")), 2).as("min_p"),
+        round(max(col("l_extendedprice")), 2).as("max_p"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+        round(var_samp(col("l_quantity")), 6).as("var_q"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_q,
+      |  round(avg(l_quantity), 6) AS avg_q,
+      |  round(min(l_extendedprice), 2) AS min_p,
+      |  round(max(l_extendedprice), 2) AS max_p,
+      |  round(stddev_samp(l_quantity), 6) AS sd_q,
+      |  round(var_samp(l_quantity), 6) AS var_q
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #39b distinct aggregates (two-phase distinct agg at scale). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_linestatus"))
+
+  val qCountDistinctSql: String =
+    """SELECT l_linestatus,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_math" -> qMath _, "q_case_when" -> qCaseWhen _, "q_coalesce_expr" -> qCoalesceExpr _,
+    "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
+    "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
+    "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
+    "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
+    "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _)
+
+  val oracles: Map[String, String] = Map(
+    "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
+    "q_in_filter" -> qInFilterSql, "q_string_funcs" -> qStringFuncsSql,
+    "q_like_regex" -> qLikeRegexSql, "q_date_funcs" -> qDateFuncsSql,
+    "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
+    "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
+    "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql)
+}

@@ -26,7 +26,19 @@ object TableIO {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /**
+   * events.ts is parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong it
+   * arrives as LongType nanos — normalize to a proper timestamp at micros precision
+   * (Spark's native timestamp resolution; DuckDB reads the same file at nanos and any
+   * oracle truncates identically).
+   */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -14,12 +14,13 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def norm(v):
-    if v is None: return None
+    # everything becomes a string so heterogeneous (None/float/str) rows sort stably
+    if v is None: return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return round(v, 9)
+        return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
+        return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
 def table_rows(tbl: pa.Table):
