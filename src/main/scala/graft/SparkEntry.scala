@@ -13,12 +13,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
       operators.RelationalOps.all ++
-      functions.ExpressionQueries.all
+      functions.ExpressionQueries.all ++
+      operators.EventsQueries.all ++
+      pipeline.Dedup.all ++
+      pipeline.Similarity.all ++
+      pipeline.TextAnalysis.all ++
+      pipeline.Multimodal.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracles ++
       operators.RelationalOps.oracles ++
-      functions.ExpressionQueries.oracles
+      functions.ExpressionQueries.oracles ++
+      operators.EventsQueries.oracles ++
+      pipeline.Dedup.oracles ++
+      pipeline.Similarity.oracles ++
+      pipeline.TextAnalysis.oracles ++
+      pipeline.Multimodal.oracles
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * Batch equivalents of the streaming layer (graft.streaming.EventsStreaming runs the same
+ * logical plans under Structured Streaming; these versions are DuckDB-oracle-checked).
+ * The reference ran under Spark's streaming runtime untouched — graft proves the operators
+ * natively: tumbling-window aggregation, sessionization, as-of enrichment.
+ */
+object EventsQueries {
+
+  /** Tumbling 1-hour window aggregation per event type (streaming windowed-agg shape). */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  val qEventsWindowSql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  /**
+   * Sessionization: a session breaks after a 30-minute silence per user. lag + running sum
+   * assigns session ids in one shuffle; the same logic runs streaming via
+   * flatMapGroupsWithState (EventsStreaming.sessionize).
+   */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    TableIO.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM tagged)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** As-of enrichment: each click joined to the user's latest purchase at or before it. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = TableIO.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases, key = "user_id",
+      leftTs = "ts", rightTs = "p_ts", payload = Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  coalesce(p.event_id, -1) AS purchase_id,
+      |  coalesce(p.value, 0.0) AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window" -> qEventsWindow _,
+    "q_sessionize" -> qSessionize _,
+    "q_asof_join" -> qAsofJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "q_events_window" -> qEventsWindowSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_asof_join" -> qAsofJoinSql)
+}

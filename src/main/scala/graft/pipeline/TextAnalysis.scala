@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * Text-analysis operators for training-data curation: language ID, quality scoring,
+ * token counting, document fingerprinting. All pure column expressions (whole-stage
+ * codegen; no UDFs), so they pipeline with the parquet scan at any scale.
+ *
+ * Ratios and scores are emitted as raw doubles: both engines evaluate the identical
+ * int/int -> double expression, so the bits match without rounding games.
+ */
+object TextAnalysis {
+
+  private val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TableIO.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_calc"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       |  length(text) AS n_chars_calc
+       |FROM documents""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality features + a composite score (identical formula on both sides). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nToks = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    TableIO.documents(spark, dir).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      (stopHits * lit(1.0) / nToks).as("stopword_ratio"),
+      (alpha * lit(1.0) / length(col("text"))).as("alpha_ratio"),
+      (length(col("text")) * lit(1.0) / nToks).as("chars_per_token"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * 0.4 + col("alpha_ratio") * 0.4 +
+          when(col("n_tokens") >= 20, 0.2).otherwise(0.0))
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, chars_per_token,
+       |  stopword_ratio * 0.4 + alpha_ratio * 0.4
+       |    + CASE WHEN n_tokens >= 20 THEN 0.2 ELSE 0.0 END AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+       |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+       |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+       |    length(text) * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS chars_per_token
+       |  FROM documents)""".stripMargin
+
+  /** Per-language marker lists (disjoint so the argmax is unambiguous). */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and"),
+    "de" -> Seq("der", "und", "ist"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /**
+   * N-gram/stopword language-ID heuristic: score = marker-token hits per language,
+   * prediction = first language (fixed order) with the maximal score. Deterministic and
+   * SQL-expressible, so it is oracle-checked end to end.
+   */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val scored = TableIO.documents(spark, dir).select(
+      (col("doc_id") +: LangMarkers.map { case (lang, ms) =>
+        size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
+      }): _*)
+    val langs = LangMarkers.map(_._1)
+    val maxScore = greatest(langs.map(l => col(s"s_$l")): _*)
+    val predicted = langs.foldRight(lit("unknown"): Column) { (l, rest) =>
+      when(col(s"s_$l") === maxScore, lit(l)).otherwise(rest)
+    }
+    // foldRight gives en > de > fr > es > zh precedence on ties (first when wins)
+    scored.withColumn("predicted", predicted)
+  }
+
+  val textLangidSql: String = {
+    val scoreExprs = LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = LangMarkers.map(_._1)
+    val greatestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString("CASE ", " ", " ELSE 'unknown' END")
+    s"""SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh, $caseChain AS predicted
+       |FROM (
+       |  SELECT *, $greatestExpr AS m FROM (
+       |    SELECT doc_id,
+       |    $scoreExprs
+       |    FROM documents))""".stripMargin
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized text (stable content identity). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TableIO.documents(spark, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fingerprint"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens(_, _)),
+    "text_quality" -> (textQuality(_, _)),
+    "text_langid" -> (textLangid(_, _)),
+    "text_fingerprint" -> (textFingerprint(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
