@@ -338,36 +338,28 @@ object RelationalOps {
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
   /**
-   * #29 exchange reuse: two aggregates over the identical shuffled child — Spark plans one
-   * exchange and a ReusedExchange (spec asserts it). Revenue per supplier, H1 vs H2 1997.
+   * #29 exchange reuse: a self-join on the same shuffle key — both sides of the join are
+   * the identical scan+shuffle subplan, so Spark plans one Exchange and a ReusedExchange
+   * (spec asserts it). Semantically: distribution of same-customer order-status pairs.
    */
   def qShuffleReuse(spark: SparkSession, dir: String): DataFrame = {
-    val li = TableIO.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .select(col("l_suppkey"), col("l_extendedprice"), col("l_shipdate"))
-    val h1 = li.filter(month(col("l_shipdate")) <= 6).groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("h1_rev"))
-    val h2 = li.filter(month(col("l_shipdate")) > 6).groupBy(col("l_suppkey").as("sk2"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("h2_rev"))
-    h1.join(h2, col("l_suppkey") === col("sk2"), "full_outer")
-      .select(coalesce(col("l_suppkey"), col("sk2")).as("suppkey"),
-        coalesce(col("h1_rev"), lit(0.0)).as("h1_rev"),
-        coalesce(col("h2_rev"), lit(0.0)).as("h2_rev"))
-      .orderBy(col("suppkey"))
+    val o = TableIO.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+    val a = o.select(col("o_custkey"), col("o_orderkey").as("ka"), col("o_orderstatus").as("sa"))
+    val b = o.select(col("o_custkey"), col("o_orderkey").as("kb"), col("o_orderstatus").as("sb"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("ka") < col("kb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("sa"), col("sb"))
   }
 
   val qShuffleReuseSql: String =
-    """WITH li AS (SELECT l_suppkey, l_extendedprice, l_shipdate FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
-      |h1 AS (SELECT l_suppkey, round(sum(l_extendedprice), 2) AS h1_rev FROM li
-      |  WHERE month(l_shipdate) <= 6 GROUP BY l_suppkey),
-      |h2 AS (SELECT l_suppkey AS sk2, round(sum(l_extendedprice), 2) AS h2_rev FROM li
-      |  WHERE month(l_shipdate) > 6 GROUP BY l_suppkey)
-      |SELECT coalesce(l_suppkey, sk2) AS suppkey,
-      |  coalesce(h1_rev, 0.0) AS h1_rev, coalesce(h2_rev, 0.0) AS h2_rev
-      |FROM h1 FULL OUTER JOIN h2 ON l_suppkey = sk2
-      |ORDER BY suppkey""".stripMargin
+    """SELECT a.o_orderstatus AS sa, b.o_orderstatus AS sb, count(*) AS n_pairs
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |GROUP BY sa, sb
+      |ORDER BY sa, sb""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,

@@ -49,35 +49,51 @@ object Similarity {
   // ---- LSH path -------------------------------------------------------------------------
 
   private val Dim = 64
-  private val SigBits = 12
+  private val BitsPerTable = 4
+  private val NumTables = 8
 
-  /** Deterministic random hyperplanes (seeded), materialized as literal float arrays. */
-  private lazy val hyperplanes: Seq[Seq[Float]] = {
+  /**
+   * Deterministic random hyperplanes (seeded): NumTables independent tables of
+   * BitsPerTable planes each. Collision probability per table for angle theta is
+   * (1 - theta/pi)^bits; union over L tables lifts recall to 1-(1-p)^L. For larger
+   * corpora raise BitsPerTable (bucket occupancy ~ n / 2^bits per table).
+   */
+  private lazy val hyperplanes: Seq[Seq[Seq[Float]]] = {
     val rnd = new scala.util.Random(8123402L)
-    Seq.fill(SigBits)(Seq.fill(Dim)((rnd.nextGaussian()).toFloat))
+    Seq.fill(NumTables, BitsPerTable)(Seq.fill(Dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Append a `bucket` column: 12-bit random-hyperplane signature of `embedding`. */
-  def withLshBucket(df: DataFrame): DataFrame = {
-    val bits = hyperplanes.zipWithIndex.map { case (h, i) =>
-      when(dotProduct(col("embedding"), typedLit(h)) > 0.0, lit(1 << i)).otherwise(lit(0))
+  /** (vec_id, bucket) — one row per hash table; bucket encodes (table, signature). */
+  def lshBuckets(df: DataFrame): DataFrame = {
+    val buckets = hyperplanes.zipWithIndex.map { case (planes, t) =>
+      val sig = planes.zipWithIndex.map { case (h, i) =>
+        when(dotProduct(col("embedding"), typedLit(h)) > 0.0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      sig + lit(t << BitsPerTable)
     }
-    df.withColumn("bucket", bits.reduce(_ + _))
+    df.select(col("vec_id"), explode(array(buckets: _*)).as("bucket"))
   }
 
   /**
-   * Bucketed ANN: queries probe only their own signature bucket. Output shape matches
-   * annBruteforce; recall is < 1 by construction (single probe), so this is rows-only for
-   * the driver and recall-asserted in SimilaritySpec.
+   * Multi-table LSH ANN: candidates = corpus vectors sharing any of the query's buckets,
+   * then exact cosine re-ranking per query. Output shape matches annBruteforce; recall < 1
+   * by construction (driver check is rows-only; SimilaritySpec asserts recall vs brute
+   * force). Shuffle is O(n·L) on the bucket key — no cross join at any scale.
    */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withLshBucket(TableIO.embeddings(spark, dir))
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    queries.join(corpus, Seq("bucket"))
+    val e = TableIO.embeddings(spark, dir)
+    val buckets = lshBuckets(e)
+    val qb = buckets.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("bucket"))
+    val cb = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+    val candidates = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming layer over the `events` schema. The reference ran inside Spark's
+ * streaming runtime untouched (its columnar operators slotted under the streaming plan);
+ * graft proves the same workloads natively: watermarked window aggregation, streaming
+ * dedup, and stateful sessionization.
+ *
+ * Every transform takes an unbounded DataFrame (from readStream or MemoryStream) and is
+ * identical to its batch twin in graft.operators.EventsQueries — one logical plan, two
+ * runtimes, which is exactly Spark's contract.
+ *
+ * Scale: state is keyed by (window, type) / user_id — watermarks bound state size; at
+ * 100 TB/day the state store shards by the shuffle partition count.
+ */
+object EventsStreaming {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("value_sum"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /**
+   * Stateful sessionization with flatMapGroupsWithState: counts sessions per user with a
+   * 30-minute silence break — the streaming twin of EventsQueries.qSessionize. Emits one
+   * summary per user per trigger (Update mode).
+   */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Int, Long), SessionSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[(Long, Int, Long)]) =>
+          // state = (last event micros, session count, event count)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (lastUs, sessions, count) = state.getOption.getOrElse((Long.MinValue, 0, 0L))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (lastUs == Long.MinValue || us - lastUs > SessionGapUs) sessions += 1
+            lastUs = us
+            count += 1
+          }
+          state.update((lastUs, sessions, count))
+          Iterator(SessionSummary(userId, sessions, count))
+      }
+  }
+}

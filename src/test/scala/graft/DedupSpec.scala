@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("exact dedup counts duplicates correctly on a constructed frame") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("constructed_docs")
+    val groups = docs.groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash-LSH finds exactly the exhaustive jaccard >= 0.8 pairs") {
+    val viaLsh = Dedup.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = Dedup.dedupNgramJaccard(spark, sf, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == exhaustive,
+      s"LSH missed ${exhaustive -- viaLsh}, extra ${viaLsh -- exhaustive}")
+    assert(viaLsh.nonEmpty, "test data should contain planted near-duplicates")
+  }
+
+  test("simhash recall on strong near-duplicates (jaccard >= 0.9)") {
+    val strong = Dedup.dedupNgramJaccard(spark, sf, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSimhash = Dedup.dedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    val recall = (strong & viaSimhash).size.toDouble / strong.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${strong.size} strong pairs")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedupEmbedding(spark, sf, tau = 0.4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-4)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RelationalOps, TpchQueries}
+
+/**
+ * Plan-shape assertions: the point of a Spark-native engine is that Catalyst produces the
+ * RIGHT plan — pushdown reaching the scan, dims broadcast, codegen spans, exchanges
+ * reused. These are the properties that decide 100 TB behavior, so they are tested, not
+ * assumed.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val plan = executedPlan(RelationalOps.qScanPushdown(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"expected pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"), s"missing pushed predicate:\n$plan")
+    assert(!plan.contains("l_extendedprice"), s"scan should prune unused columns:\n$plan")
+  }
+
+  test("dimension join broadcasts (BroadcastHashJoin)") {
+    val plan = executedPlan(RelationalOps.qJoinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
+
+  test("tpch_q1 runs inside whole-stage codegen with partial aggregation") {
+    val plan = executedPlan(TpchQueries.q1(spark, sf))
+    // whole-stage-codegen stages print as "*(n) Operator" in plan strings
+    assert(plan.contains("*("), s"expected WSCG stages in:\n$plan")
+    assert(plan.contains("partial_sum"), s"expected map-side partial agg in:\n$plan")
+  }
+
+  test("identical self-join subplans reuse one exchange (at-scale plan)") {
+    // at sf0.001 the side is broadcastable; disable broadcast to get the 100 TB plan shape
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan(RelationalOps.qShuffleReuse(spark, sf))
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"expected exchange reuse in:\n$plan")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("AQE is active and finalizes plans") {
+    val df = TpchQueries.q18(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan isFinalPlan=true"))
+  }
+
+  test("top-N compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(RelationalOps.qTopN(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("non-equi dim join uses nested-loop with broadcast") {
+    val plan = executedPlan(RelationalOps.qJoinNonEqui(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ in:\n$plan")
+  }
+
+  test("cached relation is served from InMemoryTableScan") {
+    val df = sources.TableIO.nation(spark, sf).cache()
+    try {
+      df.count()
+      val plan = executedPlan(df.groupBy("n_regionkey").count())
+      assert(plan.contains("InMemoryTableScan"), s"expected cache scan in:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("repartition/coalesce control partition counts") {
+    val li = sources.TableIO.lineitem(spark, sf)
+    assert(li.repartition(8).rdd.getNumPartitions == 8)
+    assert(li.repartition(8).coalesce(2).rdd.getNumPartitions == 2)
+  }
+}

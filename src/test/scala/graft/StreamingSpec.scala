@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(20), 2, "view", 5.0))
+    val q = EventsStreaming.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      val clicks = rows.find(_.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+      assert(rows.find(_.getString(1) == "view").get.getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "view", 2.0))
+    val q = EventsStreaming.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(spark, stream.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("update").start()
+    try {
+      stream.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 1.0))
+      q.processAllAvailable()
+      // second batch: 50 minutes later -> new session (gap > 30 min)
+      stream.addData(Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sess_out").collect()
+        .filter(_.getLong(0) == 7L).maxBy(_.getLong(2))
+      assert(last.getInt(1) == 2, s"expected 2 sessions, got $last")
+      assert(last.getLong(2) == 3)
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts agree with the batch twin on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = sources.TableIO.events(spark, SparkTestBase.sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event].collect()
+    val stream = MemoryStream[Event]
+    stream.addData(events.toIndexedSeq)
+    val q = EventsStreaming.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_batch_cmp").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("win_batch_cmp")
+        .selectExpr("unix_timestamp(hour_start)", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = operators.EventsQueries.qEventsWindow(spark, SparkTestBase.sf)
+        .selectExpr("hour_epoch", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+}
