@@ -18,6 +18,7 @@ object SparkEntry {
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.TextAnalysis.all ++
+      pipeline.Sampling.all ++
       pipeline.Multimodal.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
@@ -30,5 +31,6 @@ object SparkEntry {
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++
+      pipeline.Sampling.oracles ++
       pipeline.Multimodal.oracles
 }

@@ -274,13 +274,49 @@ object ExpressionQueries {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /**
+   * #39c exact interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`).
+   * At 100 TB prefer `approx_percentile` (t-digest, one pass, mergeable) — proven within
+   * tolerance of this exact form in a spec since approx sketches can't hash-match an
+   * oracle.
+   */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_q"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_q"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_q,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_q,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /**
+   * #39d sketch aggregates — the 100 TB shapes for distinct-count and quantiles: HLL++ and
+   * t-digest are single-pass and mergeable (no two-phase distinct expansion). Approximate
+   * by design -> rows-only for the driver; ExpressionSpec bounds the error vs exact.
+   */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_quantity, 0.5)").as("approx_p50"))
+      .orderBy(col("l_linestatus"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_math" -> qMath _, "q_case_when" -> qCaseWhen _, "q_coalesce_expr" -> qCoalesceExpr _,
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
     "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
-    "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _)
+    "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
+    "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _)
 
   val oracles: Map[String, String] = Map(
     "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
@@ -288,5 +324,7 @@ object ExpressionQueries {
     "q_like_regex" -> qLikeRegexSql, "q_date_funcs" -> qDateFuncsSql,
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
-    "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql)
+    "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
+    "q_percentile" -> qPercentileSql)
+    // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }

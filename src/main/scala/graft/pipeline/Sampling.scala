@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * Deterministic sampling and source-mixture weighting for training-data curation — the
+ * operations a 100 TB corpus pipeline runs between dedup and tokenization.
+ *
+ * All sampling decisions hash the stable document id (md5 hex prefix compared against a
+ * threshold), never `rand()`: the sample is reproducible run-to-run, independent of
+ * partitioning/task retries, and expressible in ANSI SQL, so every query here is
+ * hash-checked against the DuckDB oracle. Each decision is a narrow per-row expression —
+ * no shuffle until the final summary aggregation; the row-level operators (`sampled*`,
+ * `mixtureWeighted`) compose into downstream pipelines shuffle-free at any scale.
+ */
+object Sampling {
+
+  /** Keep rows whose md5(doc_id) 2-hex-digit prefix sorts below `hexThreshold` (e.g. "26" ~ 38/256 ~ 14.8%). */
+  private def hashKeep(hexThreshold: String): Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2) < hexThreshold
+
+  /** Row-level deterministic ~15% uniform sample of `documents`. */
+  def sampledUniform(docs: DataFrame): DataFrame = docs.filter(hashKeep("26"))
+
+  /** `sample_uniform`: per-lang counts of the deterministic uniform sample. */
+  def sampleUniform(spark: SparkSession, dir: String): DataFrame =
+    sampledUniform(TableIO.documents(spark, dir))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
+  val sampleUniformSql: String =
+    """SELECT lang, count(*) AS n_sampled FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '26'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- stratified ----------------------------------------------------------------------
+
+  /** Per-lang keep thresholds: downsample dominant languages, keep the tail whole. */
+  private val strataThreshold: Map[String, String] =
+    Map("en" -> "40" /* ~25% */, "de" -> "80" /* ~50% */, "fr" -> "80")
+  private val strataDefault = "ff" // ~keep (all but prefix "ff")
+
+  /** Row-level stratified sample: per-stratum deterministic rates. */
+  def sampledStratified(docs: DataFrame): DataFrame = {
+    val threshold = strataThreshold.foldLeft(lit(strataDefault)) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 2) < threshold)
+  }
+
+  /** `sample_stratified`: per-lang counts after stratified downsampling. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampledStratified(TableIO.documents(spark, dir))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_sampled FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' WHEN 'fr' THEN '80' ELSE 'ff' END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- mixture weighting ---------------------------------------------------------------
+
+  /**
+   * Source mixture weights for the training blend. w > 1 upsamples by deterministic
+   * replication (floor(w) copies + one more with probability frac(w)); w < 1 downsamples.
+   */
+  private val mixtureWeights: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 0.5)
+
+  /** Hex threshold for the fractional part of a weight (2 hex digits of 256 buckets). */
+  private def fracHex(w: Double): String =
+    f"${math.min(255, math.round(math.floor((w - math.floor(w)) * 256))).toInt}%02x"
+
+  /**
+   * Row-level mixture weighting: emits floor(w)+Bernoulli(frac(w)) deterministic copies of
+   * each row (`copy_id` distinguishes them). Replication happens AFTER filters/dedup in a
+   * real pipeline, so the explode multiplies only surviving rows.
+   */
+  def mixtureWeighted(docs: DataFrame): DataFrame = {
+    val copies = mixtureWeights.foldLeft(lit(1)) { case (acc, (src, w)) =>
+      val base = math.floor(w).toInt
+      when(col("source") === src,
+        lit(base) + when(hashKeep(fracHex(w)), 1).otherwise(0)).otherwise(acc)
+    }
+    docs.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
+
+  /** `sample_mixture`: rows per source after mixture weighting (src0 up, src1 down). */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeighted(TableIO.documents(spark, dir))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("source"))
+
+  val sampleMixtureSql: String = {
+    val frac25 = fracHex(2.5) // "80"
+    val frac05 = fracHex(0.5) // "80"
+    s"""SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_rows FROM (
+       |  SELECT source,
+       |    CASE source
+       |      WHEN 'src0' THEN 2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$frac25' THEN 1 ELSE 0 END
+       |      WHEN 'src1' THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$frac05' THEN 1 ELSE 0 END
+       |      ELSE 1 END AS n_copies
+       |  FROM documents) WHERE n_copies > 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- registry ------------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_uniform" -> (sampleUniform(_, _)),
+    "sample_stratified" -> (sampleStratified(_, _)),
+    "sample_mixture" -> (sampleMixture(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "sample_uniform" -> sampleUniformSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "sample_mixture" -> sampleMixtureSql)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Sampling
+import graft.sources.TableIO
+
+/** Sampling/mixture + sketch-aggregate properties. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("uniform sample is deterministic and near the nominal rate") {
+    val docs = TableIO.documents(spark, sf)
+    val total = docs.count().toDouble
+    val s1 = Sampling.sampledUniform(docs)
+    val n1 = s1.count()
+    assert(n1 == Sampling.sampledUniform(docs).count(), "sample must be reproducible")
+    val rate = n1 / total
+    assert(rate > 0.07 && rate < 0.25, s"~15% nominal rate, got $rate")
+  }
+
+  test("stratified sample downsamples en below the default strata") {
+    val docs = TableIO.documents(spark, sf)
+    val byLang = TableIO.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.sampledStratified(docs).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled("en").toDouble / byLang("en")
+    val esRate = sampled.getOrElse("es", 0L).toDouble / byLang("es")
+    assert(enRate < 0.45, s"en downsampled to ~25%, got $enRate")
+    assert(esRate > 0.8, s"es kept ~whole, got $esRate")
+  }
+
+  test("mixture weighting upsamples src0 ~2.5x and downsamples src1 ~0.5x") {
+    val docs = TableIO.documents(spark, sf)
+    val before = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.mixtureWeighted(docs).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = after("src0").toDouble / before("src0")
+    val r1 = after("src1").toDouble / before("src1")
+    assert(r0 > 2.0 && r0 < 3.0, s"src0 weight 2.5, got $r0")
+    assert(r1 > 0.25 && r1 < 0.75, s"src1 weight 0.5, got $r1")
+    assert(after("src2") == before("src2"), "unweighted sources pass through 1:1")
+  }
+
+  test("mixture copies are distinguishable via copy_id") {
+    val docs = TableIO.documents(spark, sf)
+    val m = Sampling.mixtureWeighted(docs)
+    assert(m.select("doc_id", "copy_id").distinct().count() == m.count(),
+      "(doc_id, copy_id) must be unique")
+  }
+
+  test("approx_count_distinct and approx_percentile land within tolerance of exact") {
+    val li = TableIO.lineitem(spark, sf)
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("d"),
+      expr("percentile(l_quantity, 0.5)").as("p")).head()
+    val approx = li.agg(
+      approx_count_distinct(col("l_partkey")).as("d"),
+      expr("approx_percentile(l_quantity, 0.5)").as("p")).head()
+    val dErr = math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0)
+    assert(dErr < 0.05, s"HLL++ relative error < 5%, got $dErr")
+    val pErr = math.abs(approx.getDouble(1) - exact.getDouble(1)) /
+      math.max(1.0, math.abs(exact.getDouble(1)))
+    assert(pErr < 0.05, s"approx_percentile within 5% of exact, got $pErr")
+  }
+}
