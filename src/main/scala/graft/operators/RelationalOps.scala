@@ -104,6 +104,24 @@ object RelationalOps {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** #8c explicit grouping sets (the general ExpandExec form rollup/cube lower to). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"), col("n"), col("rev"))
+      .orderBy(col("rf"), col("ls"))
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin
+
   /** #8b cube. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     TableIO.orders(spark, dir)
@@ -364,7 +382,7 @@ object RelationalOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
-    "q_rollup" -> qRollup _, "q_cube" -> qCube _, "q_union" -> qUnion _,
+    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _,
     "q_join_broadcast" -> qJoinBroadcast _, "q_join_large" -> qJoinLarge _,
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,
@@ -376,7 +394,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
     "q_sort" -> qSortSql, "q_topn" -> qTopNSql, "q_limit" -> qLimitSql,
-    "q_rollup" -> qRollupSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql,
+    "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql,
     "q_join_broadcast" -> qJoinBroadcastSql, "q_join_large" -> qJoinLargeSql,
     "q_join_outer" -> qJoinOuterSql, "q_join_full" -> qJoinFullSql,
     "q_join_semi" -> qJoinSemiSql, "q_join_anti" -> qJoinAntiSql,
