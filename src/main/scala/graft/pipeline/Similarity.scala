@@ -101,9 +101,87 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- IVF path -------------------------------------------------------------------------
+
+  private val IvfLists = 16
+  private val IvfProbes = 4
+
+  /**
+   * Deterministic coarse-quantizer centroids: seeded Gaussian unit vectors. A production
+   * build would k-means these on a corpus sample; the operator shape (quantize -> probe ->
+   * re-rank) is identical and the recall spec validates the structure.
+   */
+  private lazy val ivfCentroids: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(43170911L)
+    Array.fill(IvfLists) {
+      val v = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+  }
+
+  /**
+   * (vec_id, list_id) assignments to the nearest `nProbe` centroids by cosine, computed in
+   * a typed JIT kernel (16 dot products per vector is pure CPU). Corpus vectors use
+   * nProbe=1 (each lives in exactly one inverted list); queries probe several.
+   */
+  def ivfAssign(df: DataFrame, nProbe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids
+    df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        var norm = 0.0
+        var i = 0
+        while (i < v.length) { norm += v(i) * v(i).toDouble; i += 1 }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        val scored = new Array[(Double, Int)](cents.length)
+        var c = 0
+        while (c < cents.length) {
+          val ctr = cents(c)
+          var dot = 0.0
+          i = 0
+          while (i < v.length) { dot += v(i) * ctr(i).toDouble; i += 1 }
+          scored(c) = (-dot * inv, c) // centroids are unit-norm; negate for ascending sort
+          c += 1
+        }
+        scala.util.Sorting.quickSort(scored)
+        scored.iterator.take(nProbe).map { case (_, listId) => (id, listId) }
+      }.toDF("vec_id", "list_id")
+  }
+
+  /**
+   * IVF ANN: corpus vectors land in one inverted list each; queries probe their nProbe
+   * nearest lists and re-rank exactly within them. Shuffle is O(n) on list_id; per-list
+   * work is n/IvfLists * nQueries — scale by raising IvfLists so lists stay
+   * partition-sized. Approximate (recall < 1 when a true neighbor quantizes elsewhere) ->
+   * rows-only for the driver; SimilaritySpec asserts recall vs brute force.
+   */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = TableIO.embeddings(spark, dir)
+    val corpusLists = ivfAssign(e, 1).select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val queryLists = ivfAssign(e.filter(col("vec_id") < nQueries), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    val candidates = queryLists.join(corpusLists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce(_, _)),
-    "ann_lsh" -> (annLsh(_, _)))
+    "ann_lsh" -> (annLsh(_, _)),
+    "ann_ivf" -> (annIvf(_, _)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql(10, 5))

@@ -28,4 +28,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"multi-table LSH recall $recall too low")
     info(f"LSH recall vs brute force: $recall%.2f")
   }
+
+  test("IVF probes recall true neighbors and never exceed the probed lists") {
+    val brute = Similarity.annBruteforce(spark, sf, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low for 4/16 probes")
+    info(f"IVF recall vs brute force: $recall%.2f")
+  }
+
+  test("IVF corpus assignment puts every vector in exactly one list") {
+    val e = graft.sources.TableIO.embeddings(spark, sf)
+    val assigned = Similarity.ivfAssign(e, 1)
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+  }
 }
