@@ -89,13 +89,42 @@ object EventsQueries {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /**
+   * Funnel attribution: purchases with a same-user click in the preceding 30 minutes —
+   * the batch twin of the stream-stream interval join (EventsStreaming.funnelJoin). One
+   * shuffle on user_id; the time-range predicate evaluates join-local.
+   */
+  def qFunnelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = TableIO.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(countDistinct(col("p_id")).as("attributed"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelJoinSql: String =
+    """SELECT c.user_id AS user_id, count(DISTINCT p.event_id) AS attributed
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
     "q_sessionize" -> qSessionize _,
-    "q_asof_join" -> qAsofJoin _)
+    "q_asof_join" -> qAsofJoin _,
+    "q_funnel_join" -> qFunnelJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_asof_join" -> qAsofJoinSql)
+    "q_asof_join" -> qAsofJoinSql,
+    "q_funnel_join" -> qFunnelJoinSql)
 }

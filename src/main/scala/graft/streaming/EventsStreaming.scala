@@ -37,6 +37,26 @@ object EventsStreaming {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
+  /**
+   * Stream-stream interval join: purchases attributed to a same-user click in the
+   * preceding 30 minutes. Both sides carry watermarks and the join condition bounds event
+   * time in both directions, so Spark can expire join state — without the time bounds the
+   * state store would grow forever. Batch twin: EventsQueries.qFunnelJoin.
+   */
+  def funnelJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"), col("p_id"))
+  }
+
   private val SessionGapUs = 30L * 60 * 1000 * 1000
 
   /**

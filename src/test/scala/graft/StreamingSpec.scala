@@ -49,6 +49,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(20), 1, "purchase", 9.0), // within 30 min of click -> attributed
+      Event(3, ts(1), 2, "click", 1.0),
+      Event(4, ts(45), 2, "purchase", 5.0), // 44 min after click -> NOT attributed
+      Event(5, ts(30), 3, "purchase", 2.0)) // no click at all
+    val q = EventsStreaming.funnelJoin(stream.toDF())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+      assert(rows.length == 1, s"exactly one attributed purchase, got ${rows.toSeq}")
+      assert(rows.head.getLong(0) == 1 && rows.head.getLong(3) == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
