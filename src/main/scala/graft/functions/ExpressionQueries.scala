@@ -177,6 +177,105 @@ object ExpressionQueries {
       |  last_day(CAST(o_orderdate AS DATE)) AS month_end
       |FROM orders""".stripMargin
 
+  /** #34b second string family: search/slice/case/char ops (reference ColumnarTernaryOperator,
+    * StringLocate/SubstringIndex/StartsWith/Contains kernels). */
+  def qStringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    TableIO.customer(spark, dir).select(
+      col("c_custkey"),
+      locate("0", col("c_name")).as("pos0"),
+      instr(col("c_name"), "1").as("pos1"),
+      substring_index(col("c_name"), "0", 1).as("before_first_0"),
+      col("c_name").startsWith("Customer").cast("int").as("is_cust"),
+      col("c_name").endsWith("7").cast("int").as("ends7"),
+      col("c_name").contains("42").cast("int").as("has42"),
+      initcap(lower(col("c_mktsegment"))).as("seg_title"),
+      ascii(col("c_mktsegment")).as("first_code"),
+      chr(lit(65) + (col("c_custkey") % 26)).as("bucket_chr"),
+      repeat(lit("ab"), 3).as("rep"),
+      expr("left(c_name, 8)").as("l8"),
+      expr("right(c_name, 4)").as("r4"))
+
+  val qStringFuncs2Sql: String =
+    """SELECT c_custkey,
+      |  CAST(strpos(c_name, '0') AS INT) AS pos0,
+      |  CAST(strpos(c_name, '1') AS INT) AS pos1,
+      |  split_part(c_name, '0', 1) AS before_first_0,
+      |  CAST(starts_with(c_name, 'Customer') AS INT) AS is_cust,
+      |  CAST(ends_with(c_name, '7') AS INT) AS ends7,
+      |  CAST(contains(c_name, '42') AS INT) AS has42,
+      |  concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2)) AS seg_title,
+      |  CAST(ascii(c_mktsegment) AS INT) AS first_code,
+      |  chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr,
+      |  repeat('ab', 3) AS rep,
+      |  left(c_name, 8) AS l8,
+      |  right(c_name, 4) AS r4
+      |FROM customer""".stripMargin
+
+  /** #34c URL parsing (reference ParseUrl/ColumnarURLDecoder): parse_url fields checked
+    * against the ground truth of a URL constructed from table columns. */
+  def qUrlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://ex.com/seg/"), col("c_mktsegment"),
+      lit("?k="), col("c_custkey").cast("string"))
+    TableIO.customer(spark, dir).select(
+      col("c_custkey"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY")).as("query"),
+      parse_url(url, lit("QUERY"), lit("k")).as("k_val"),
+      url_decode(url_encode(col("c_name"))).as("rt_name"))
+  }
+
+  val qUrlFuncsSql: String =
+    """SELECT c_custkey,
+      |  'ex.com' AS host,
+      |  '/seg/' || c_mktsegment AS path,
+      |  'k=' || CAST(c_custkey AS VARCHAR) AS query,
+      |  CAST(c_custkey AS VARCHAR) AS k_val,
+      |  c_name AS rt_name
+      |FROM customer""".stripMargin
+
+  /** #30b bitwise kernels (reference ShiftLeft/ShiftRight + bitwise binary ops). */
+  def qBitwise(spark: SparkSession, dir: String): DataFrame =
+    TableIO.customer(spark, dir).select(
+      col("c_custkey"),
+      shiftleft(col("c_custkey"), 3).as("shl3"),
+      shiftright(col("c_custkey"), 2).as("shr2"),
+      (col("c_custkey").bitwiseAND(lit(255L))).as("and255"),
+      (col("c_custkey").bitwiseOR(lit(4096L))).as("or4096"),
+      (col("c_custkey").bitwiseXOR(lit(1023L))).as("xor1023"),
+      expr("~c_custkey").as("flipped"),
+      expr("bit_count(c_custkey)").as("popcnt"))
+
+  val qBitwiseSql: String =
+    """SELECT c_custkey,
+      |  c_custkey << 3 AS shl3,
+      |  c_custkey >> 2 AS shr2,
+      |  c_custkey & 255 AS and255,
+      |  c_custkey | 4096 AS or4096,
+      |  xor(c_custkey, 1023) AS xor1023,
+      |  ~c_custkey AS flipped,
+      |  CAST(bit_count(c_custkey) AS INT) AS popcnt
+      |FROM customer""".stripMargin
+
+  /** #36c time-of-day parts on microsecond timestamps (reference Hour/Minute/Second kernels). */
+  def qTimeParts(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir).select(
+      col("event_id"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      second(col("ts")).as("s"),
+      dayofyear(col("ts")).as("doy"),
+      weekofyear(col("ts")).as("woy"))
+
+  val qTimePartsSql: String =
+    """SELECT event_id,
+      |  CAST(hour(ts) AS INT) AS h,
+      |  CAST(minute(ts) AS INT) AS mi,
+      |  CAST(second(ts) AS INT) AS s,
+      |  CAST(dayofyear(ts) AS INT) AS doy,
+      |  CAST(weekofyear(ts) AS INT) AS woy
+      |FROM events""".stripMargin
+
   /** #36b date_trunc to month/week buckets + aggregation. */
   def qDateTrunc(spark: SparkSession, dir: String): DataFrame =
     TableIO.lineitem(spark, dir)
@@ -316,7 +415,9 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _)
+    "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
+    "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
   val oracles: Map[String, String] = Map(
     "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
@@ -325,6 +426,8 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_percentile" -> qPercentileSql)
+    "q_percentile" -> qPercentileSql,
+    "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
+    "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }
