@@ -373,6 +373,26 @@ object ExpressionQueries {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** #39e correlated/argmax aggregate kernels (corr, covar, min_by/max_by == arg_min/arg_max). */
+  def qAggStats2(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        // extreme prices are unique per group in this dataset, so the argmin is deterministic
+        min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order"),
+        max_by(col("l_orderkey"), col("l_extendedprice")).as("priciest_order"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggStats2Sql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+      |  arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+      |  arg_max(l_orderkey, l_extendedprice) AS priciest_order
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /**
    * #39c exact interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`).
    * At 100 TB prefer `approx_percentile` (t-digest, one pass, mergeable) — proven within
@@ -415,7 +435,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
@@ -426,7 +446,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec

@@ -288,6 +288,41 @@ object RelationalOps {
       |  FROM lineitem) t
       |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin
 
+  /** #17d full ranking-function family over one window (dense_rank/percent_rank/ntile/
+    * cume_dist/first/last/nth) — the rest of the reference's ColumnarWindowExec surface. */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    TableIO.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("tile4", ntile(4).over(w))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("top_key", first_value(col("o_orderkey")).over(framed))
+      .withColumn("bottom_key", last_value(col("o_orderkey")).over(framed))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(framed))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("drnk"), col("prnk"),
+        col("tile4"), col("cdist"), col("top_key"), col("bottom_key"), col("second_key"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(dense_rank() OVER w AS INT) AS drnk,
+      |  round(percent_rank() OVER w, 6) AS prnk,
+      |  CAST(ntile(4) OVER w AS INT) AS tile4,
+      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  first_value(o_orderkey) OVER wf AS top_key,
+      |  last_value(o_orderkey) OVER wf AS bottom_key,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_key
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** #17b running aggregate per key (rows frame). */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -387,7 +422,7 @@ object RelationalOps {
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
-    "q_window_rank" -> qWindowRank _, "q_window_running" -> qWindowRunning _,
+    "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
     "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _)
 
@@ -399,7 +434,7 @@ object RelationalOps {
     "q_join_outer" -> qJoinOuterSql, "q_join_full" -> qJoinFullSql,
     "q_join_semi" -> qJoinSemiSql, "q_join_anti" -> qJoinAntiSql,
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
-    "q_window_rank" -> qWindowRankSql, "q_window_running" -> qWindowRunningSql,
+    "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
     "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql)
 }
