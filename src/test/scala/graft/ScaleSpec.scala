@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+/** Scale mechanics: salted skew joins and bucketed (shuffle-free) co-located joins. */
+class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = SparkTestBase.spark
+
+  test("salted join equals the plain join on pathologically skewed data") {
+    import spark.implicits._
+    // 50k rows of one hot key + a uniform tail, joined to a small dim
+    val probe = spark.range(50000).select(
+      when(col("id") < 45000, 1L).otherwise(col("id") % 100).as("k"),
+      col("id").as("row_id"))
+    val build = spark.range(100).select(col("id").as("k"), concat(lit("v"), col("id")).as("payload"))
+
+    val plain = probe.join(build, Seq("k")).select(col("row_id"), col("payload"))
+    val salted = SkewJoin.saltedInner(probe, build, "k", col("row_id"), salts = 8)
+      .select(col("row_id"), col("payload"))
+
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt column spreads the hot key across partitions and is dropped from output") {
+    import spark.implicits._
+    val probe = spark.range(1000).select(lit(1L).as("k"), col("id").as("row_id"))
+    val build = Seq((1L, "x")).toDF("k", "payload")
+    val out = SkewJoin.saltedInner(probe, build, "k", col("row_id"), salts = 4)
+    assert(!out.columns.contains("_salt"))
+    // the deterministic salt must actually use >1 value for a 1000-row hot key
+    val distinctSalts = probe
+      .withColumn("_salt", pmod(xxhash64(col("row_id")), lit(4)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(distinctSalts == 4)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val db = "graft_bucketing_test"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/graft-bucketing-test'")
+    try {
+      val li = graft.sources.TableIO.lineitem(spark, SparkTestBase.sf)
+        .select("l_orderkey", "l_quantity")
+      val ord = graft.sources.TableIO.orders(spark, SparkTestBase.sf)
+        .select("o_orderkey", "o_totalprice")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.li_bucketed")
+      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.ord_bucketed")
+
+      val joined = spark.table(s"$db.li_bucketed")
+        .join(spark.table(s"$db.ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      // disable broadcast so the co-located sort-merge path is what gets planned
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan
+        val shuffles = collect(plan) {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+        // bucketing co-locates the join; the only shuffle allowed is the groupBy's —
+        // and since grouping is on the bucket key, even that one is avoided
+        assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$plan")
+      }
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
