@@ -391,6 +391,27 @@ object RelationalOps {
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
   /**
+   * #29a salted skew join on the driver tables: orders' hottest customer joined via
+   * SkewJoin.saltedInner; the oracle is the PLAIN join (salting must be invisible in the
+   * result). Aggregated per status for a stable, small output.
+   */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = TableIO.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+    val build = TableIO.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    SkewJoin.saltedInner(probe, build, "o_custkey", col("o_orderkey"), salts = 8)
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /**
    * #29 exchange reuse: a self-join on the same shuffle key — both sides of the join are
    * the identical scan+shuffle subplan, so Spark plans one Exchange and a ReusedExchange
    * (spec asserts it). Semantically: distribution of same-customer order-status pairs.
@@ -424,7 +445,7 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
     "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
-    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _)
+    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
@@ -436,5 +457,5 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
     "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
-    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql)
+    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql)
 }
