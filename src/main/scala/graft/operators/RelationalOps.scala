@@ -391,6 +391,28 @@ object RelationalOps {
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
   /**
+   * #17e native per-key top-k via graft's custom operator (TopKPerKeyNode -> partial/final
+   * bounded-heap execs). Equivalent to the row_number window form the oracle uses, but the
+   * shuffle carries <= k rows per key per map partition instead of every row.
+   */
+  def qTopkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val o = TableIO.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    TopKPerKey(o, Seq("o_orderpriority"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val qTopkPerKeySql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /**
    * #29a salted skew join on the driver tables: orders' hottest customer joined via
    * SkewJoin.saltedInner; the oracle is the PLAIN join (salting must be invisible in the
    * result). Aggregated per status for a stable, small output.
@@ -445,7 +467,7 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
     "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
-    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _)
+    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _)
 
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
@@ -457,5 +479,5 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
     "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
-    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql)
+    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql)
 }

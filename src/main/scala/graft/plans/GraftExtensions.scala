@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -20,6 +20,8 @@ import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator route: logical TopKPerKeyNode plans to partial/final bounded-heap execs
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       FunctionRegistryBase.expressionInfo[CosineSimilarity]("cosine_similarity", None),

@@ -1,0 +1,116 @@
+/*
+ * Lives under org.apache.spark.sql for the private[sql] Dataset.ofRows bridge and
+ * private[spark] execution internals — the same placement the reference uses for its
+ * operators (gazelle_plugin: native-sql-engine/core/src/main/scala/org/apache/spark/sql/
+ * execution/ColumnarShuffleExchangeExec.scala:1).
+ */
+package org.apache.spark.sql.graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending,
+  Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution,
+  Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/**
+ * Native per-key top-k operator — graft's demonstration of the full custom-operator route
+ * (logical node -> planner strategy -> physical operator), the Spark-4 analog of how the
+ * reference injects whole operators (gazelle_plugin: com/intel/oap/execution/
+ * ColumnarWindowExec.scala:1 replaces WindowExec wholesale).
+ *
+ * Why not window rank + filter? `row_number() OVER (PARTITION BY k ORDER BY s)` must SORT
+ * every partition's full row set before the rank filter drops all but k rows. This
+ * operator keeps a bounded heap of k rows per key instead: O(n log k) with k-row memory
+ * per key, and the partial phase shrinks each map-side partition to <= k rows per key
+ * BEFORE the shuffle — the exchange moves at most k * n_keys * n_partitions rows, not n.
+ * At 100 TB that is the difference between shuffling terabytes and shuffling megabytes.
+ *
+ * Physical shape: TopKPerKeyExec(partial) -> Exchange(hash by keys, inserted by
+ * EnsureRequirements from the final's ClusteredDistribution requirement) ->
+ * TopKPerKeyExec(final). Result rows per key are exact, matching the window formulation
+ * (oracle-checked by `q_topk_per_key`).
+ */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val outAttrs = output
+    child.execute().mapPartitionsInternal { iter =>
+      val keyGen = UnsafeProjection.create(keyExprs, outAttrs)
+      val ord = RowOrdering.create(sortOrder, outAttrs)
+      // heap head = worst retained row (reversed ordering), so replacement is O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyGen(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.offer(row.copy())
+        else if (ord.lt(row, heap.peek())) { heap.poll(); heap.offer(row.copy()) }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+}
+
+/** Plans TopKPerKeyNode as partial -> (exchange) -> final. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API: exact top-k rows per key under a multi-column ordering. */
+object TopKPerKey {
+  /** orderCols: (column, descending). Ties under the full ordering are nondeterministic —
+    * include a unique tiebreaker column for deterministic output. */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
+    val order = orderCols.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKeyNode(keyCols.map(attr), order, k, lp))
+  }
+}

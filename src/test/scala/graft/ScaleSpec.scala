@@ -39,6 +39,42 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(distinctSalts == 4)
   }
 
+  test("native TopKPerKey equals the window formulation and plans partial->final") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{TopKPerKey, TopKPerKeyExec}
+    val o = graft.sources.TableIO.orders(spark, SparkTestBase.sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val native = TopKPerKey(o,
+      Seq("o_orderpriority"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+
+    assert(native.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(native).isEmpty)
+
+    native.collect()
+    val execs = collectWithSubqueries(native.queryExecution.executedPlan) {
+      case t: TopKPerKeyExec => t.partial
+    }
+    assert(execs.sorted == Seq(false, true), s"expected partial+final TopKPerKeyExec, got $execs")
+  }
+
+  test("TopKPerKey partial phase bounds what the exchange carries") {
+    import org.apache.spark.sql.graft.TopKPerKey
+    import spark.implicits._
+    // 100k rows, 4 keys, k=2 -> the final phase sees at most k * keys * input-partitions rows
+    val big = spark.range(100000).repartition(8)
+      .select((col("id") % 4).as("k"), col("id").as("v"))
+    val top = TopKPerKey(big, Seq("k"), Seq(("v", true)), k = 2)
+    val rows = top.collect()
+    assert(rows.length == 8) // 4 keys x k=2, exact
+    val expected = (0 until 4).flatMap { g =>
+      val tail = (0 until 100000).filter(_ % 4 == g).sorted.reverse.take(2)
+      tail.map(v => (g.toLong, v.toLong))
+    }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val db = "graft_bucketing_test"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
