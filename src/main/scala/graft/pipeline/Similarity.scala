@@ -20,19 +20,32 @@ import graft.sources.TableIO
  */
 object Similarity {
 
+  /**
+   * Exact top-k + rank for a (query_id, neighbor_id, cos) scored frame. Uses the native
+   * TopKPerKey operator: each map partition keeps a k-row bounded heap per query, so the
+   * shuffle carries <= k rows per query per partition instead of every scored candidate —
+   * at 100 TB the re-rank exchange moves megabytes, not the whole scored corpus. The rank
+   * window then runs over the k-bounded survivors only.
+   */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val top = TopKPerKey(scored.select(col("query_id"), col("neighbor_id"), col("cos")),
+      Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-k neighbors for each query vector (vec_id < nQueries), brute force. */
   def annBruteforce(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   def annBruteforceSql(nQueries: Int, k: Int): String =
@@ -91,14 +104,10 @@ object Similarity {
     val qe = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
+    val scored = candidates
       .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   // ---- IVF path -------------------------------------------------------------------------
@@ -168,14 +177,10 @@ object Similarity {
     val qe = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
+    val scored = candidates
       .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
