@@ -373,6 +373,59 @@ object ExpressionQueries {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /**
+   * #34d JSON kernels: to_json serialization, get_json_object path extraction, from_json
+   * schema-ful parsing. Oracle checks against ground truth reconstructed from the source
+   * columns (same trick as q_url_funcs), so Spark's JSON round-trip is what's proven.
+   */
+  def qJsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val js = to_json(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("s")))
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      js.as("json"),
+      get_json_object(js, "$.s").as("status_from_json"),
+      get_json_object(js, "$.k").cast("bigint").as("key_from_json"),
+      from_json(js, org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"))
+        .getField("s").as("parsed_s"))
+  }
+
+  val qJsonFuncsSql: String =
+    """SELECT o_orderkey,
+      |  '{"k":' || o_orderkey || ',"s":"' || o_orderstatus || '"}' AS json,
+      |  o_orderstatus AS status_from_json,
+      |  o_orderkey AS key_from_json,
+      |  o_orderstatus AS parsed_s
+      |FROM orders""".stripMargin
+
+  /**
+   * #34e array/struct kernels: construction, element access, membership, sorting,
+   * aggregation over in-row arrays (the reference's ArrayType support surface).
+   */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = array(col("o_orderkey"), col("o_custkey"), col("o_orderkey") + col("o_custkey"))
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      size(arr).as("n"),
+      element_at(arr, 2).as("second"),
+      array_contains(arr, col("o_custkey")).as("has_cust"),
+      sort_array(arr, asc = false).getItem(0).as("largest"),
+      array_max(arr).as("amax"),
+      array_min(arr).as("amin"),
+      struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        .getField("pri").as("pri_field"))
+  }
+
+  val qArrayFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(len([o_orderkey, o_custkey, o_orderkey + o_custkey]) AS INT) AS n,
+      |  o_custkey AS second,
+      |  list_contains([o_orderkey, o_custkey, o_orderkey + o_custkey], o_custkey) AS has_cust,
+      |  list_sort([o_orderkey, o_custkey, o_orderkey + o_custkey], 'DESC')[1] AS largest,
+      |  list_max([o_orderkey, o_custkey, o_orderkey + o_custkey]) AS amax,
+      |  list_min([o_orderkey, o_custkey, o_orderkey + o_custkey]) AS amin,
+      |  o_orderpriority AS pri_field
+      |FROM orders""".stripMargin
+
   /** #39e correlated/argmax aggregate kernels (corr, covar, min_by/max_by == arg_min/arg_max). */
   def qAggStats2(spark: SparkSession, dir: String): DataFrame =
     TableIO.lineitem(spark, dir)
@@ -435,7 +488,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
@@ -446,7 +499,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
