@@ -310,6 +310,51 @@ object Dedup {
        |  AND list_cosine_similarity(a.embedding, b.embedding) >= $tau
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- end-user corpus dedup -----------------------------------------------------------
+
+  /**
+   * The user-facing operation the pair queries build toward: the deduplicated corpus.
+   * Policy: (1) exact duplicates keep the minimum doc_id; (2) of each verified near-dup
+   * pair (jaccard >= threshold, a < b), the b-side is dropped (greedy keep-smallest —
+   * the standard single-pass policy; full connected components would need iteration).
+   * Returns kept docs; summarized per source for a stable driver check.
+   */
+  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = TableIO.documents(spark, dir)
+    val exactKeep = docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("h", "keeper")
+    val nearDupB = dedupMinhash(spark, dir, threshold).select(col("b_id").as("doc_id")).distinct()
+    exactKeep.join(nearDupB, Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  def dedupCorpusSql(threshold: Double): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |near_b AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM grams a, grams b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.g, b.g)) * 1.0
+       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold),
+       |exact_keep AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM documents) WHERE doc_id = keeper)
+       |SELECT source, count(*) AS n_kept
+       |FROM exact_keep
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_b)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,12 +362,14 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
-    "dedup_embedding" -> (dedupEmbedding(_, _)))
+    "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_corpus" -> (dedupCorpus(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> jaccardPairsSql(0.8),
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.5),
     // dedup_simhash intentionally omitted: hash-seeded, spec-verified (rows-only here)
-    "dedup_embedding" -> dedupEmbeddingSql(0.45))
+    "dedup_embedding" -> dedupEmbeddingSql(0.45),
+    "dedup_corpus" -> dedupCorpusSql(0.8))
 }
