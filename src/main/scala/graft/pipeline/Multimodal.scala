@@ -99,11 +99,57 @@ object Multimodal {
       |  n_chars AS content_length
       |FROM documents""".stripMargin
 
+  /**
+   * Resize planning: fit each decoded frame into a 224x224 budget preserving aspect ratio
+   * (integer arithmetic on the decoded dims — the real resample kernel would hang off the
+   * same mapPartitions stage as fakeDecode). Oracle-checkable because dims derive from
+   * byte length.
+   */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val w = length(col("payload")) % 640 + 16
+    val h = length(col("payload")) * 7 % 480 + 16
+    val scaleNum = lit(224)
+    val fitW = when(w >= h, scaleNum).otherwise((w * scaleNum).cast("long") / h)
+    val fitH = when(w >= h, (h * scaleNum).cast("long") / w).otherwise(scaleNum)
+    mediaTable(spark, dir).select(
+      col("doc_id"),
+      w.as("src_w"), h.as("src_h"),
+      fitW.cast("int").as("out_w"), fitH.cast("int").as("out_h"))
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS INT) AS src_w,
+      |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 + 16 AS INT) AS src_h,
+      |  CAST(CASE WHEN src_w >= src_h THEN 224 ELSE src_w * 224 // src_h END AS INT) AS out_w,
+      |  CAST(CASE WHEN src_w >= src_h THEN src_h * 224 // src_w ELSE 224 END AS INT) AS out_h
+      |FROM documents""".stripMargin
+
+  /**
+   * Frame sampling: pick every 5th frame index (video thumbnailing shape) — the sampled
+   * index array is computed in-row; the actual frame extraction would run in the decode
+   * stage. Exploded to (doc_id, frame_idx) rows so the oracle is plain SQL.
+   */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = length(col("payload")) % 30 + 1
+    mediaTable(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), nFrames - 1, lit(5))).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id, CAST(unnest(range(0, octet_length(CAST(text AS BLOB)) % 30 + 1, 5)) AS INT) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta(_, _)),
-    "multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d).toDF()))
+    "multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d).toDF()),
+    "multimodal_resize" -> (multimodalResize(_, _)),
+    "multimodal_frames" -> (multimodalFrames(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_frames" -> multimodalFramesSql)
     // multimodal_decode: stub checksum not SQL-expressible -> rows-only + MultimodalSpec
 }

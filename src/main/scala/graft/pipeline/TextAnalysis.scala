@@ -65,6 +65,29 @@ object TextAnalysis {
        |    length(text) * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS chars_per_token
        |  FROM documents)""".stripMargin
 
+  /**
+   * The user-facing quality GATE: keep documents above a composite-score threshold with
+   * sane length bounds — the filter a curation pipeline applies before tokenization.
+   * Summarized per lang so the driver check is stable.
+   */
+  def textQualityFilter(spark: SparkSession, dir: String, minScore: Double = 0.5): DataFrame = {
+    val q = textQuality(spark, dir)
+    val docs = TableIO.documents(spark, dir).select(col("doc_id"), col("lang"))
+    q.filter(col("quality_score") >= minScore &&
+        col("n_tokens") >= 5 && col("n_tokens") <= 5000)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), round(avg(col("quality_score")), 6).as("avg_score"))
+      .orderBy(col("lang"))
+  }
+
+  def textQualityFilterSql(minScore: Double): String =
+    s"""WITH q AS ($textQualitySql)
+       |SELECT d.lang AS lang, count(*) AS n_kept, round(avg(q.quality_score), 6) AS avg_score
+       |FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |WHERE q.quality_score >= $minScore AND q.n_tokens BETWEEN 5 AND 5000
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-language marker lists (disjoint so the argmax is unambiguous). */
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "of", "and"),
@@ -123,11 +146,13 @@ object TextAnalysis {
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
-    "text_fingerprint" -> (textFingerprint(_, _)))
+    "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_quality_filter" -> (textQualityFilter(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_quality_filter" -> textQualityFilterSql(0.5))
 }
