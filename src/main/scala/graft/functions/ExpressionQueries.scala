@@ -426,6 +426,47 @@ object ExpressionQueries {
       |  o_orderpriority AS pri_field
       |FROM orders""".stripMargin
 
+  /**
+   * #38b decimal-exact money arithmetic: cast to DECIMAL(18,2) BEFORE aggregating, so the
+   * sum is exact (no double rounding drift) — the way a money pipeline should aggregate.
+   * Both engines sum decimals exactly, so the oracle matches bit-for-bit.
+   */
+  def qDecimalAgg(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("price_dec")).as("total_dec"),
+        avg(col("price_dec")).cast("decimal(18,4)").as("avg_dec"),
+        max(col("price_dec")).as("max_dec"))
+      .orderBy(col("o_orderstatus"))
+
+  val qDecimalAggSql: String =
+    """SELECT o_orderstatus,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+      |  CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS avg_dec,
+      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** #8d pivot (conditional cross-tab — lowers to the same hash-agg + CASE shape the
+    * oracle spells out; explicit value list keeps output columns deterministic). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice")), 2))
+      .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o")
+      .select(col("l_returnflag"),
+        coalesce(col("rev_f"), lit(0.0)).as("rev_f"),
+        coalesce(col("rev_o"), lit(0.0)).as("rev_o"))
+      .orderBy(col("l_returnflag"))
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2), 0.0) AS rev_f,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2), 0.0) AS rev_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** #39e correlated/argmax aggregate kernels (corr, covar, min_by/max_by == arg_min/arg_max). */
   def qAggStats2(spark: SparkSession, dir: String): DataFrame =
     TableIO.lineitem(spark, dir)
@@ -488,7 +529,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
@@ -499,7 +540,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
