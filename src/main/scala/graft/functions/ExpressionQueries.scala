@@ -427,6 +427,28 @@ object ExpressionQueries {
       |FROM orders""".stripMargin
 
   /**
+   * #39f collection aggregates (collect_list/collect_set — the ObjectHashAggregate/
+   * SortAggregate path, since their buffers aren't mutable-fixed-width). Lists sorted and
+   * stringified at the edge so the oracle compare is order-stable.
+   */
+  def qCollectList(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col("l_linenumber"))),
+          x => x.cast("string"))).as("lines"),
+        concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"))
+      .orderBy(col("l_orderkey"))
+
+  val qCollectListSql: String =
+    """SELECT l_orderkey,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+      |FROM lineitem WHERE l_orderkey <= 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /**
    * #38b decimal-exact money arithmetic: cast to DECIMAL(18,2) BEFORE aggregating, so the
    * sum is exact (no double rounding drift) — the way a money pipeline should aggregate.
    * Both engines sum decimals exactly, so the oracle matches bit-for-bit.
@@ -529,7 +551,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
@@ -540,7 +562,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
