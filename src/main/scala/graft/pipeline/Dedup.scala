@@ -28,18 +28,6 @@ object Dedup {
   // ---- shared: token 3-gram shingles --------------------------------------------------
 
   /**
-   * Fan a narrow doc scan out to all cores before per-doc heavy compute (shingling /
-   * hashing run as interpreted higher-order functions — CPU-bound per row). A small corpus
-   * arrives as one parquet split and would otherwise pin the whole gram build to a single
-   * thread; at 100 TB the scan already has >= defaultParallelism splits and this is a
-   * no-op (no extra shuffle of raw text).
-   */
-  private def fanOut(docs: DataFrame): DataFrame = {
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-  }
-
-  /**
    * (doc_id, gh: array<long>, sz) — 64-bit-hashed distinct token 3-grams (docs with >= 3
    * tokens) plus the set size. Two deliberate scale choices:
    *  - All downstream joins/intersections run on 8-byte hashes, never gram strings: at
@@ -54,7 +42,7 @@ object Dedup {
   def gramHashSets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(' ')
         if (toks.length < 3) Iterator.empty
@@ -241,7 +229,7 @@ object Dedup {
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val votes = new Array[Int](64)
       val toks = text.split(' ')
       var i = 0

@@ -34,21 +34,36 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Quality features + a composite score (identical formula on both sides). */
+  private val StopwordSet = Stopwords.toSet
+
+  /**
+   * Quality features + a composite score (identical formula on both sides). Computed in a
+   * typed JIT kernel — tokenization + per-char scans per doc are CPU-bound and interpreted
+   * HOF lambdas (`filter(toks, isin)`) measured several times slower. Semantics match the
+   * declarative form exactly: Java split("\\s+") on trimmed text == Spark split; the
+   * a-z count == length(regexp_replace(text, "[^a-z]", "")); int/int double division.
+   */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val nToks = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-    TableIO.documents(spark, dir).select(
-      col("doc_id"),
-      nToks.as("n_tokens"),
-      (stopHits * lit(1.0) / nToks).as("stopword_ratio"),
-      (alpha * lit(1.0) / length(col("text"))).as("alpha_ratio"),
-      (length(col("text")) * lit(1.0) / nToks).as("chars_per_token"))
-      .withColumn("quality_score",
-        col("stopword_ratio") * 0.4 + col("alpha_ratio") * 0.4 +
-          when(col("n_tokens") >= 20, 0.2).otherwise(0.0))
+    import spark.implicits._
+    val stops = StopwordSet
+    TableIO.fanOut(TableIO.documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val n = toks.length
+        var stop = 0
+        var i = 0
+        while (i < n) { if (stops.contains(toks(i))) stop += 1; i += 1 }
+        var alpha = 0
+        var j = 0
+        while (j < text.length) { val c = text.charAt(j); if (c >= 'a' && c <= 'z') alpha += 1; j += 1 }
+        val stopR = stop * 1.0 / n
+        val alphaR = alpha * 1.0 / text.length
+        val score = stopR * 0.4 + alphaR * 0.4 + (if (n >= 20) 0.2 else 0.0)
+        (id, n, stopR, alphaR, text.length * 1.0 / n, score)
+      }
+      .toDF("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "chars_per_token",
+        "quality_score")
   }
 
   val textQualitySql: String =

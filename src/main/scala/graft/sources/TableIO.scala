@@ -45,4 +45,15 @@ object TableIO {
   /** Register all tables as temp views so spark.sql(...) queries can reference them. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /**
+   * Fan a narrow scan out to all cores before CPU-heavy per-row compute (regex scoring,
+   * shingling, hashing). A small table arrives as ONE parquet split and would pin
+   * everything before the first shuffle to a single thread; at production scale the scan
+   * already has >= defaultParallelism splits and this is a no-op — no extra exchange.
+   */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
