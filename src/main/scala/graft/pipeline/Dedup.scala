@@ -298,6 +298,76 @@ object Dedup {
        |  AND list_cosine_similarity(a.embedding, b.embedding) >= $tau
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- connected components over near-dup pairs -----------------------------------------
+
+  /**
+   * Connected components of an undirected (a_id, b_id) pair graph via iterative min-label
+   * propagation: every node starts labeled with itself; each round, a node adopts the
+   * minimum label among itself and its neighbors; stop when no label changes. Rounds =
+   * O(graph diameter) — near-dup clusters are shallow (dupes of dupes of one origin), so
+   * this converges in a handful of rounds even at corpus scale. Each round is one shuffle
+   * on the edge key; labels are cached and the previous iteration unpersisted — the
+   * standard large-scale CC shape (what GraphX/GraphFrames do internally).
+   *
+   * Returns (doc_id, component) for every node that appears in a pair.
+   */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      // neighbor minimum: for each node, the smallest label among its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
+        .groupBy(col("v").as("doc_id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * `dedup_components`: component id for every doc in a verified near-dup pair (jaccard >=
+   * threshold), vs a DuckDB recursive-CTE transitive-closure oracle.
+   */
+  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      dedupMinhash(spark, dir, threshold).select(col("a_id"), col("b_id")))
+      .orderBy(col("doc_id"))
+
+  def dedupComponentsSql(threshold: Double): String =
+    s"""WITH RECURSIVE grams AS (
+       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t)-1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM grams a, grams b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.g, b.g)) * 1.0
+       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
   // ---- end-user corpus dedup -----------------------------------------------------------
 
   /**
@@ -351,7 +421,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
-    "dedup_corpus" -> (dedupCorpus(_, _)))
+    "dedup_corpus" -> (dedupCorpus(_, _)),
+    "dedup_components" -> (dedupComponents(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -359,5 +430,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.5),
     // dedup_simhash intentionally omitted: hash-seeded, spec-verified (rows-only here)
     "dedup_embedding" -> dedupEmbeddingSql(0.45),
-    "dedup_corpus" -> dedupCorpusSql(0.8))
+    "dedup_corpus" -> dedupCorpusSql(0.8),
+    "dedup_components" -> dedupComponentsSql(0.8))
 }

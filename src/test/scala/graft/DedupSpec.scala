@@ -28,6 +28,15 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh.nonEmpty, "test data should contain planted near-duplicates")
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; pair graph only (no 99)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash recall on strong near-duplicates (jaccard >= 0.9)") {
     val strong = Dedup.dedupNgramJaccard(spark, sf, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
