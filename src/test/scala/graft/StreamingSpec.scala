@@ -49,6 +49,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "click", 1.0),
+      Event(3, ts(3), 7, "click", 1.0)) // no dim row -> null tier
+    val joined = stream.toDF().join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val tiers = spark.table("enrich_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+      assert(tiers(1L).contains("gold") && tiers(2L).contains("basic") && tiers(7L).isEmpty)
+    } finally q.stop()
+  }
+
+  test("append-mode window emits only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("append_win_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark (2h) has not passed the 10:00 window's end -> nothing final yet
+      assert(spark.table("append_win_out").count() == 0)
+      // event at 13:30 advances the watermark to 11:30, past the 10:00-11:00 window end
+      stream.addData(Event(2, Timestamp.valueOf("2024-01-01 13:30:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(3, Timestamp.valueOf("2024-01-01 16:30:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val finalized = spark.table("append_win_out").collect()
+      assert(finalized.exists(r => r.getString(1) == "click" && r.getLong(2) == 1),
+        s"the 10:00 click window must be finalized, got ${finalized.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
