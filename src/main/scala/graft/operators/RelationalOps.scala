@@ -413,6 +413,27 @@ object RelationalOps {
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
   /**
+   * #15b binned range join: customers falling in each supplier's +/-500 balance band,
+   * via RangeJoin (equi-join on bin ids — the scale path). The oracle is the plain
+   * non-equi BETWEEN join; results must be identical.
+   */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = TableIO.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val intervals = TableIO.supplier(spark, dir).select(col("s_suppkey"),
+      (col("s_acctbal") - 500.0).as("lo"), (col("s_acctbal") + 500.0).as("hi"))
+    RangeJoin.pointInInterval(points, intervals, "c_acctbal", "lo", "hi", binWidth = 1000.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_in_band"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT s_suppkey, count(*) AS n_in_band
+      |FROM supplier JOIN customer
+      |  ON c_acctbal BETWEEN s_acctbal - 500.0 AND s_acctbal + 500.0
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  /**
    * #29a salted skew join on the driver tables: orders' hottest customer joined via
    * SkewJoin.saltedInner; the oracle is the PLAIN join (salting must be invisible in the
    * result). Aggregated per status for a stable, small output.
@@ -467,7 +488,7 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
     "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
-    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _)
+    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
@@ -479,5 +500,5 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
     "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
-    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql)
+    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql)
 }

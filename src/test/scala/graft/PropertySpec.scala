@@ -66,6 +66,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join equals the naive non-equi join and avoids nested-loop plans") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import spark.implicits._
+    val helper = new AdaptiveSparkPlanHelper {}
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31337L)
+      val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextDouble() * 1000)).toDF("pid", "p")
+      val intervals = Seq.tabulate(50) { i =>
+        val lo = rnd.nextDouble() * 900
+        (100L + i, lo, lo + rnd.nextDouble() * 150)
+      }.toDF("iid", "lo", "hi")
+      val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid")
+      val binned = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "p", "lo", "hi", binWidth = 100.0)
+        .select("pid", "iid")
+      assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty, s"seed $seed")
+      binned.collect()
+      val nlj = helper.collectWithSubqueries(binned.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(nlj.isEmpty, "binned range join must plan as an equi-join, not nested-loop")
+    }
+  }
+
   test("minhash band-signature agreement tracks jaccard similarity") {
     import spark.implicits._
     // two doc families: near-identical pairs (high jaccard) and unrelated docs
