@@ -317,6 +317,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component")).cache()
+    var cachedFrame = labels // the frame currently holding the cache (labels may derive from it)
     var changed = 1L
     while (changed > 0) {
       // neighbor minimum: for each node, the smallest label among its neighbors
@@ -324,14 +325,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
         .groupBy(col("v").as("doc_id"))
         .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      // carry the previous label so convergence is ONE action on the cached frame
+      val next = labels.withColumnRenamed("component", "old")
+        .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
+          col("old"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("component") =!= col("old")).count()
+      cachedFrame.unpersist()
+      cachedFrame = next
+      labels = next.select(col("doc_id"), col("component"))
     }
     edges.unpersist()
     labels
