@@ -413,6 +413,31 @@ object RelationalOps {
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
   /**
+   * #13b scalar + correlated subqueries through the SQL front door (SubqueryExec /
+   * ScalarSubquery expressions — shapes the DataFrame API lowers to joins, proven here in
+   * their native SQL form). Uncorrelated scalar: global avg; correlated EXISTS per row.
+   */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.orders(spark, dir).createOrReplaceTempView("orders")
+    TableIO.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /**
    * #15b binned range join: customers falling in each supplier's +/-500 balance band,
    * via RangeJoin (equi-join on bin ids — the scale path). The oracle is the plain
    * non-equi BETWEEN join; results must be identical.
@@ -488,7 +513,7 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
     "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
-    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _)
+    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
 
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
@@ -500,5 +525,5 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
     "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
-    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql)
+    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql, "q_scalar_subquery" -> qScalarSubquerySql)
 }

@@ -109,6 +109,32 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one key holds ~90% of rows; thresholds lowered so local-scale data trips the
+    // same OptimizeSkewedJoin rule that guards production joins
+    withSQLConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // skew lives on ONE side: a fact with a 90%-hot key against a unique-key dim
+      val left = spark.range(200000)
+        .select(when(col("id") < 180000, 7L).otherwise(col("id") % 1000).as("k"),
+          concat(lit("padpadpadpadpadpad"), col("id")).as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), col("id").as("rv"))
+      // note: no key-preserving operator after the join — AQE refuses to split skewed
+      // partitions when downstream requires the join's hash partitioning
+      val joined = left.join(right, Seq("k")).agg(sum(length(col("pad"))).as("s"))
+      joined.collect()
+      val skewed = collectWithSubqueries(joined.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty, s"expected an AQE skew-split SMJ, got:\n${joined.queryExecution.executedPlan}")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

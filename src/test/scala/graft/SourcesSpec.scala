@@ -32,6 +32,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"$format content")
   }
 
+  test("parquet round-trips under each supported compression codec") {
+    for (codec <- Seq("snappy", "zstd", "gzip", "lz4", "none")) {
+      val dir = Files.createTempDirectory(s"graft_codec_$codec").toString
+      val src = TableIO.supplier(spark, sf)
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == src.count(), s"codec $codec row count")
+      assert(back.exceptAll(src).isEmpty, s"codec $codec content")
+    }
+  }
+
   test("parquet write/read round-trip")(roundtrip("parquet"))
   test("orc write/read round-trip")(roundtrip("orc"))
   test("json write/read round-trip")(roundtrip("json"))
