@@ -315,9 +315,11 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct().cache()
+    // localCheckpoint truncates the logical plan to the materialized RDD each round —
+    // without it the plan (and Catalyst re-analysis cost) grows with every iteration,
+    // the classic iterative-algorithm trap on Spark
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component")).cache()
-    var cachedFrame = labels // the frame currently holding the cache (labels may derive from it)
+      .select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       // neighbor minimum: for each node, the smallest label among its neighbors
@@ -325,16 +327,14 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
         .groupBy(col("v").as("doc_id"))
         .agg(min(col("component")).as("nmin"))
-      // carry the previous label so convergence is ONE action on the cached frame
+      // carry the previous label so the convergence check is one cheap action
       val next = labels.withColumnRenamed("component", "old")
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
           col("old"))
-        .cache()
+        .localCheckpoint()
       changed = next.filter(col("component") =!= col("old")).count()
-      cachedFrame.unpersist()
-      cachedFrame = next
       labels = next.select(col("doc_id"), col("component"))
     }
     edges.unpersist()
