@@ -298,6 +298,30 @@ object Dedup {
        |  AND list_cosine_similarity(a.embedding, b.embedding) >= $tau
        |ORDER BY a_id, b_id""".stripMargin
 
+  /**
+   * Embedding near-dup pairs via LSH bucketing — the 100 TB path promised above: pairs
+   * are generated only inside shared random-hyperplane buckets (Similarity.lshBuckets),
+   * so the shuffle is O(n·tables) and the pair space is per-bucket, never O(n²).
+   * Approximate (recall < 1 when a true pair shares no bucket) -> rows-only for the
+   * driver; DedupSpec asserts recall against the exact cross-join form.
+   */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val e = TableIO.embeddings(spark, dir)
+    val buckets = Similarity.lshBuckets(e)
+    val candidates = buckets.select(col("vec_id").as("a_id"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    candidates.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("cos", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- connected components over near-dup pairs -----------------------------------------
 
   /**
@@ -425,6 +449,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)))
 

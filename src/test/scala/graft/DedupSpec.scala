@@ -47,6 +47,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${strong.size} strong pairs")
   }
 
+  test("LSH-bucketed embedding near-dup recalls the exact cross-join pairs") {
+    val exact = Dedup.dedupEmbedding(spark, sf, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.dedupEmbeddingLsh(spark, sf, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exact), "bucketed pairs are a subset of exact pairs")
+    if (exact.nonEmpty) {
+      val recall = (exact & viaLsh).size.toDouble / exact.size
+      assert(recall >= 0.5, s"multi-table bucket recall $recall too low")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sf, tau = 0.4).collect()
     assert(rows.nonEmpty)
