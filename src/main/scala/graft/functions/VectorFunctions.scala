@@ -15,4 +15,6 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column = VectorExpressions.cosineSimilarity(a, b)
 
   def dotProduct(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
+
+  def l2Distance(a: Column, b: Column): Column = VectorExpressions.l2Distance(a, b)
 }

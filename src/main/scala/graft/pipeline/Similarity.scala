@@ -183,12 +183,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * All three native vector expressions (codegen Catalyst kernels) between consecutive
+   * embeddings, hash-matched against DuckDB's list_cosine_similarity / list_inner_product
+   * / list_distance on the same vectors.
+   */
+  def qVectorFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct, l2Distance}
+    val e = TableIO.embeddings(spark, dir)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+    // aggregated per bucket: a rounded SUM absorbs last-ulp summation-order noise that
+    // per-row round() would surface on decimal-boundary values (same tactic as q_math)
+    a.join(b, Seq("vec_id"))
+      .groupBy((col("vec_id") % 10).as("bucket"))
+      .agg(
+        round(sum(cosineSimilarity(col("ea"), col("eb"))), 2).as("sum_cos"),
+        round(sum(dotProduct(col("ea"), col("eb"))), 2).as("sum_dot"),
+        round(sum(l2Distance(col("ea"), col("eb"))), 2).as("sum_l2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val qVectorFuncsSql: String =
+    """SELECT a.vec_id % 10 AS bucket,
+      |  round(sum(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 2) AS sum_cos,
+      |  round(sum(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 2) AS sum_dot,
+      |  round(sum(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 2) AS sum_l2,
+      |  count(*) AS n
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
-    "ann_ivf" -> (annIvf(_, _)))
+    "ann_ivf" -> (annIvf(_, _)),
+    "q_vector_funcs" -> (qVectorFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql(10, 5))
+    "ann_bruteforce" -> annBruteforceSql(10, 5),
+    "q_vector_funcs" -> qVectorFuncsSql)
     // ann_lsh: approximate by design -> rows-only + recall spec
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, TopKPerKeyStrategy}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, L2Distance, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       FunctionRegistryBase.expressionInfo[DotProduct]("dot_product", None),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      FunctionRegistryBase.expressionInfo[L2Distance]("l2_distance", None),
+      (children: Seq[Expression]) => L2Distance(children(0), children(1))))
   }
 }

@@ -100,6 +100,43 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean (L2) distance of two `array<float>` columns; same codegen approach. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getFloat($i) - $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points (the public face; see graft.functions.VectorFunctions). */
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -107,6 +144,9 @@ object VectorExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2Distance(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2Distance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Generic bridge for other graft modules that need Expression -> Column. */
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
