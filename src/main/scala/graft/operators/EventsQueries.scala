@@ -33,6 +33,68 @@ object EventsQueries {
       |ORDER BY hour_epoch, event_type""".stripMargin
 
   /**
+   * Sliding 1-hour windows every 30 minutes: each event lands in exactly two windows.
+   * The oracle reproduces Spark's window assignment from first principles (the two
+   * half-hour-aligned starts covering each timestamp).
+   */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("win_start")).as("win_epoch"), col("event_type"), col("n"))
+      .orderBy(col("win_epoch"), col("event_type"))
+
+  val qSlidingWindowSql: String =
+    """SELECT CAST(floor(epoch(win_start)) AS BIGINT) AS win_epoch, event_type, count(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    unnest([ts_30, CAST(ts_30 - INTERVAL 30 MINUTE AS TIMESTAMP)]) AS win_start
+      |  FROM (SELECT event_type,
+      |          CAST(date_trunc('hour', ts)
+      |            + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+      |            AS TIMESTAMP) AS ts_30
+      |        FROM events))
+      |GROUP BY 1, 2 ORDER BY win_epoch, event_type""".stripMargin
+
+  /**
+   * Native session windows (Spark's `session_window`, gap = 30 min, per user): session
+   * count, span, and event count per user. The oracle rebuilds identical sessions with
+   * the lag + running-sum construction.
+   */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_total"),
+        max(col("n_events")).as("busiest_session"))
+      .orderBy(col("user_id"))
+
+  val qSessionWindowSql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM tagged),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, sid, count(*) AS n_events FROM sessions GROUP BY user_id, sid)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_total,
+      |  max(n_events) AS busiest_session
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /**
    * Sessionization: a session breaks after a 30-minute silence per user. lag + running sum
    * assigns session ids in one shuffle; the same logic runs streaming via
    * flatMapGroupsWithState (EventsStreaming.sessionize).
@@ -120,11 +182,15 @@ object EventsQueries {
     "q_events_window" -> qEventsWindow _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
-    "q_funnel_join" -> qFunnelJoin _)
+    "q_funnel_join" -> qFunnelJoin _,
+    "q_sliding_window" -> qSlidingWindow _,
+    "q_session_window" -> qSessionWindow _)
 
   val oracles: Map[String, String] = Map(
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_funnel_join" -> qFunnelJoinSql)
+    "q_funnel_join" -> qFunnelJoinSql,
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_session_window" -> qSessionWindowSql)
 }
