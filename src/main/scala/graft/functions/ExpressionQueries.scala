@@ -192,6 +192,7 @@ object ExpressionQueries {
       ascii(col("c_mktsegment")).as("first_code"),
       chr(lit(65) + (col("c_custkey") % 26)).as("bucket_chr"),
       repeat(lit("ab"), 3).as("rep"),
+      levenshtein(col("c_name"), col("c_mktsegment")).as("edit_dist"),
       expr("left(c_name, 8)").as("l8"),
       expr("right(c_name, 4)").as("r4"))
 
@@ -207,6 +208,7 @@ object ExpressionQueries {
       |  CAST(ascii(c_mktsegment) AS INT) AS first_code,
       |  chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr,
       |  repeat('ab', 3) AS rep,
+      |  CAST(levenshtein(c_name, c_mktsegment) AS INT) AS edit_dist,
       |  left(c_name, 8) AS l8,
       |  right(c_name, 4) AS r4
       |FROM customer""".stripMargin
