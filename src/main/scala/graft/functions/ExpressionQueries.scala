@@ -451,9 +451,10 @@ object ExpressionQueries {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   /**
-   * #38b decimal-exact money arithmetic: cast to DECIMAL(18,2) BEFORE aggregating, so the
-   * sum is exact (no double rounding drift) — the way a money pipeline should aggregate.
-   * Both engines sum decimals exactly, so the oracle matches bit-for-bit.
+   * #38b decimal-exact money arithmetic: cast to DECIMAL(18,2) BEFORE aggregating, so
+   * sum/min/max are exact (no double rounding drift) — the way a money pipeline should
+   * aggregate. avg is deliberately absent: Spark averages decimals exactly while DuckDB
+   * averages through a DOUBLE, so a decimal avg is not cross-engine comparable.
    */
   def qDecimalAgg(spark: SparkSession, dir: String): DataFrame =
     TableIO.orders(spark, dir)
@@ -461,15 +462,17 @@ object ExpressionQueries {
       .groupBy(col("o_orderstatus"))
       .agg(
         sum(col("price_dec")).as("total_dec"),
-        avg(col("price_dec")).cast("decimal(18,4)").as("avg_dec"),
-        max(col("price_dec")).as("max_dec"))
+        min(col("price_dec")).as("min_dec"),
+        max(col("price_dec")).as("max_dec"),
+        count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
   val qDecimalAggSql: String =
     """SELECT o_orderstatus,
       |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
-      |  CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS avg_dec,
-      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec
+      |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_dec,
+      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec,
+      |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** #8d pivot (conditional cross-tab — lowers to the same hash-agg + CASE shape the

@@ -35,6 +35,8 @@ object RangeJoin {
       hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not already carry a __bin column")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
     val i = intervals.withColumn("__bin",
       explode(sequence(

@@ -417,18 +417,7 @@ object RelationalOps {
    * ScalarSubquery expressions — shapes the DataFrame API lowers to joins, proven here in
    * their native SQL form). Uncorrelated scalar: global avg; correlated EXISTS per row.
    */
-  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    TableIO.orders(spark, dir).createOrReplaceTempView("orders")
-    TableIO.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    spark.sql(
-      """SELECT o_orderkey, o_totalprice
-        |FROM orders
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-        |ORDER BY o_orderkey""".stripMargin)
-  }
-
+  // the SAME SQL text runs on both engines — defined once so they cannot drift
   val qScalarSubquerySql: String =
     """SELECT o_orderkey, o_totalprice
       |FROM orders
@@ -436,6 +425,12 @@ object RelationalOps {
       |  AND EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
       |ORDER BY o_orderkey""".stripMargin
+
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.orders(spark, dir).createOrReplaceTempView("orders")
+    TableIO.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(qScalarSubquerySql)
+  }
 
   /**
    * #15b binned range join: customers falling in each supplier's +/-500 balance band,

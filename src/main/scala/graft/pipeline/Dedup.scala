@@ -171,20 +171,28 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Shared oracle fragment: the grams CTE body + jaccard pair predicate (single source
+    * of truth — the minhash, ngram, components, and corpus oracles all splice these). */
+  private val GramsCteSql: String =
+    """grams AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                for i in range(1, len(t)-1)]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  private def jaccardPredSql(threshold: Double): String =
+    s"""a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.g, b.g)) * 1.0
+       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold""".stripMargin
+
   /** Exhaustive-jaccard oracle (DuckDB explores all pairs; graft only LSH candidates). */
   def jaccardPairsSql(threshold: Double): String =
-    s"""WITH grams AS (
-       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |                                for i in range(1, len(t)-1)]) AS g
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-       |  WHERE len(t) >= 3)
+    s"""WITH $GramsCteSql
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  len(list_intersect(a.g, b.g)) * 1.0
        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jacc
        |FROM grams a, grams b
-       |WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.g, b.g)) * 1.0
-       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold
+       |WHERE ${jaccardPredSql(threshold)}
        |ORDER BY a_id, b_id""".stripMargin
 
   // ---- n-gram Jaccard via inverted index ----------------------------------------------
@@ -341,9 +349,11 @@ object Dedup {
       .distinct().cache()
     // localCheckpoint truncates the logical plan to the materialized RDD each round —
     // without it the plan (and Catalyst re-analysis cost) grows with every iteration,
-    // the classic iterative-algorithm trap on Spark
-    var labels = edges.select(col("u").as("doc_id")).distinct()
+    // the classic iterative-algorithm trap on Spark. Previous rounds' checkpoints are
+    // unpersisted once the next one is materialized so storage stays O(1) in iterations.
+    var checkpointed = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+    var labels = checkpointed
     var changed = 1L
     while (changed > 0) {
       // neighbor minimum: for each node, the smallest label among its neighbors
@@ -359,6 +369,8 @@ object Dedup {
           col("old"))
         .localCheckpoint()
       changed = next.filter(col("component") =!= col("old")).count()
+      checkpointed.unpersist()
+      checkpointed = next
       labels = next.select(col("doc_id"), col("component"))
     }
     edges.unpersist()
@@ -375,17 +387,11 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   def dedupComponentsSql(threshold: Double): String =
-    s"""WITH RECURSIVE grams AS (
-       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |                                for i in range(1, len(t)-1)]) AS g
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-       |  WHERE len(t) >= 3),
+    s"""WITH RECURSIVE $GramsCteSql,
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM grams a, grams b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND len(list_intersect(a.g, b.g)) * 1.0
-       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold),
+       |  WHERE ${jaccardPredSql(threshold)}),
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |          UNION SELECT b_id, a_id FROM pairs),
        |reach(u, v) AS (
@@ -420,17 +426,11 @@ object Dedup {
   }
 
   def dedupCorpusSql(threshold: Double): String =
-    s"""WITH grams AS (
-       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |                                for i in range(1, len(t)-1)]) AS g
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-       |  WHERE len(t) >= 3),
+    s"""WITH $GramsCteSql,
        |near_b AS (
        |  SELECT DISTINCT b.doc_id AS doc_id
        |  FROM grams a, grams b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND len(list_intersect(a.g, b.g)) * 1.0
-       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= $threshold),
+       |  WHERE ${jaccardPredSql(threshold)}),
        |exact_keep AS (
        |  SELECT * FROM (
        |    SELECT doc_id, source,

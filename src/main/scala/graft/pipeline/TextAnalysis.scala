@@ -39,9 +39,9 @@ object TextAnalysis {
   /**
    * Quality features + a composite score (identical formula on both sides). Computed in a
    * typed JIT kernel — tokenization + per-char scans per doc are CPU-bound and interpreted
-   * HOF lambdas (`filter(toks, isin)`) measured several times slower. Semantics match the
-   * declarative form exactly: Java split("\\s+") on trimmed text == Spark split; the
-   * a-z count == length(regexp_replace(text, "[^a-z]", "")); int/int double division.
+   * HOF lambdas (`filter(toks, isin)`) measured several times slower. Edge semantics match
+   * the declarative form: SQL `trim` strips SPACES only (not Java String.trim's control
+   * chars), and ratios over an empty text are null, not NaN.
    */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -49,7 +49,10 @@ object TextAnalysis {
     TableIO.fanOut(TableIO.documents(spark, dir))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.trim.split("\\s+")
+        var b = 0; var e = text.length
+        while (b < e && text.charAt(b) == ' ') b += 1
+        while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        val toks = text.substring(b, e).split("\\s+")
         val n = toks.length
         var stop = 0
         var i = 0
@@ -58,8 +61,8 @@ object TextAnalysis {
         var j = 0
         while (j < text.length) { val c = text.charAt(j); if (c >= 'a' && c <= 'z') alpha += 1; j += 1 }
         val stopR = stop * 1.0 / n
-        val alphaR = alpha * 1.0 / text.length
-        val score = stopR * 0.4 + alphaR * 0.4 + (if (n >= 20) 0.2 else 0.0)
+        val alphaR = if (text.isEmpty) None else Some(alpha * 1.0 / text.length)
+        val score = alphaR.map(ar => stopR * 0.4 + ar * 0.4 + (if (n >= 20) 0.2 else 0.0))
         (id, n, stopR, alphaR, text.length * 1.0 / n, score)
       }
       .toDF("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "chars_per_token",

@@ -5,6 +5,8 @@ object QProbe {
     val dir = "/root/testdata/sf0.1"
     val spark = GraftSession.get("local[32]", 32)
     spark.range(1000).selectExpr("sum(id)").count()
+    // intentionally runs the SAME query twice: first pass is the cold (plan-compile)
+    // time, second is steady-state — mirrors Bench's warm-up+timed structure
     for (n <- Seq("dedup_components", "dedup_components")) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()

@@ -114,7 +114,8 @@ case class L2Distance(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
+    // subtract in double so interpreted and codegen paths are bit-identical
+    while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
 
