@@ -51,6 +51,15 @@ class PartitioningSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "SQL text and DataFrame API must produce identical plans/results")
   }
 
+  test("scalar subquery plans as a Subquery node; EXISTS lowers to a semi join") {
+    val df = graft.operators.RelationalOps.qScalarSubquery(spark, sf)
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("Subquery"), s"expected a Subquery in:\n$physical")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), s"EXISTS should lower to LeftSemi in:\n$optimized")
+  }
+
   test("native expressions are callable from SQL text (GraftExtensions registration)") {
     TableIO.registerAll(spark, sf)
     val r = spark.sql(
