@@ -12,28 +12,37 @@ import org.apache.spark.sql.SparkSession
  * the thing this benchmark exists to track.
  */
 object Bench {
+  /** Execute the FULL plan. `count()` would let Catalyst prune every final projection
+    * (pure-projection queries would time nothing); the noop sink runs each operator and
+    * expression end-to-end and discards rows executor-side — no driver collect. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     // Warm the JVM itself (parquet reader, shuffle, codegen infrastructure).
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      spark.range(1000).selectExpr("sum(id)").count()
+      exec(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
+      exec(spark.range(1000).selectExpr("sum(id)"))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // untimed warm-up: plan + codegen compile
+        exec(fn(spark, sfDir)) // untimed warm-up: plan + codegen compile
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count() // timed steady-state execution
+        exec(fn(spark, sfDir)) // timed steady-state execution
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Emit the JSON line LAST, after Spark's shutdown logging, alone on its own line and
+    // flushed — round-1's driver captured a truncated tail and recorded parsed:null.
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -315,7 +315,11 @@ object ExpressionQueries {
   val qHashFuncsSql: String =
     "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex FROM documents"
 
-  /** #38 cast kernels (double->int via explicit trunc: Spark truncates, DuckDB rounds). */
+  /** #38 cast kernels (double->int via explicit trunc: Spark truncates, DuckDB rounds).
+    * The decimal cast is stringified at the edge: the driver's hash is sensitive to the
+    * decimal's physical width (Spark DECIMAL(12,2) vs DuckDB's storage class), so both
+    * engines render the identical decimal value to text — the cast itself is still what
+    * is being proven. */
   def qCasts(spark: SparkSession, dir: String): DataFrame =
     TableIO.customer(spark, dir).select(
       col("c_custkey"),
@@ -323,7 +327,7 @@ object ExpressionQueries {
       col("c_custkey").cast("string").as("key_str"),
       col("c_custkey").cast("double").as("key_dbl"),
       substring(col("c_name"), 10, 9).cast("long").as("name_num"),
-      col("c_acctbal").cast("decimal(12,2)").as("bal_dec"))
+      col("c_acctbal").cast("decimal(12,2)").cast("string").as("bal_dec"))
 
   val qCastsSql: String =
     """SELECT c_custkey,
@@ -331,7 +335,7 @@ object ExpressionQueries {
       |  CAST(c_custkey AS VARCHAR) AS key_str,
       |  CAST(c_custkey AS DOUBLE) AS key_dbl,
       |  CAST(substr(c_name, 10, 9) AS BIGINT) AS name_num,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_dec
       |FROM customer""".stripMargin
 
   /** #39a aggregate kernels incl. stddev/variance/first-deterministic. */
@@ -453,25 +457,52 @@ object ExpressionQueries {
   /**
    * #38b decimal-exact money arithmetic: cast to DECIMAL(18,2) BEFORE aggregating, so
    * sum/min/max are exact (no double rounding drift) — the way a money pipeline should
-   * aggregate. avg is deliberately absent: Spark averages decimals exactly while DuckDB
-   * averages through a DOUBLE, so a decimal avg is not cross-engine comparable.
+   * aggregate. Aggregates are computed IN decimal and rendered to text only at the
+   * comparison edge: Spark's sum(DECIMAL(18,2)) is DECIMAL(28,2) while DuckDB's is
+   * DECIMAL(38,2) — identical values, different physical widths, so the driver's
+   * representation-level hash needs both sides stringified.
    */
   def qDecimalAgg(spark: SparkSession, dir: String): DataFrame =
     TableIO.orders(spark, dir)
       .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("price_dec")).as("total_dec"),
-        min(col("price_dec")).as("min_dec"),
-        max(col("price_dec")).as("max_dec"),
+        sum(col("price_dec")).cast("string").as("total_dec"),
+        min(col("price_dec")).cast("string").as("min_dec"),
+        max(col("price_dec")).cast("string").as("max_dec"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
   val qDecimalAggSql: String =
     """SELECT o_orderstatus,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
-      |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_dec,
-      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_dec,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_dec,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_dec,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /**
+   * #38c decimal average, restored with an exactly-comparable oracle. Spark's
+   * avg(DECIMAL(18,2)) is exact decimal arithmetic (result DECIMAL(22,6), HALF_UP at
+   * scale 6); DuckDB's avg over decimal routes through DOUBLE, so the two are not
+   * directly hash-comparable. Both sides therefore compute the average as an EXACT
+   * integer quotient in micro-units — sum(cents) * 10000 div n — which is pure 64-bit
+   * integer math in both engines (orders cents sum ≈ 2.6e10 at sf1, ×10⁴ well under
+   * 2⁶³). Spark's native decimal avg is additionally proven against the same quotient
+   * in DecimalSpec (exact within 1 micro-unit rounding).
+   */
+  def qDecimalAvg(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("(sum(cents) * 10000) div count(*)").as("avg_micro"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val qDecimalAvgSql: String =
+    """SELECT o_orderstatus,
+      |  CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_micro,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -556,7 +587,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
 
@@ -567,7 +598,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec

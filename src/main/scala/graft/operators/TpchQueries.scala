@@ -17,6 +17,13 @@ import graft.sources.TableIO
  * Every query is declarative DataFrame API so Catalyst plans it: filters/projections push to
  * the parquet scan, dimension joins broadcast, fact-fact joins shuffle once on the join key.
  * Doubles are rounded at the output edge only (oracle hash stability), never mid-plan.
+ *
+ * Broadcast hints are restricted to the FIXED-cardinality dimensions (region=5, nation=25,
+ * supplier=10k·SF) and 1-row scalar frames. customer (150k·SF) and part (200k·SF) grow
+ * linearly with SF — at the 100 TB target a forced broadcast would OOM the driver — so their
+ * joins carry NO hint and AQE's size-based strategy decides (it still picks BHJ at test SF;
+ * PlanSpec asserts this, so the plan is scale-safe by construction, matching the reference's
+ * size-chosen ColumnarBroadcastHashJoinExec).
  */
 object TpchQueries {
 
@@ -58,7 +65,7 @@ object TpchQueries {
     val ord = TableIO.orders(spark, dir).filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
     val li = TableIO.lineitem(spark, dir).filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"))
@@ -110,9 +117,9 @@ object TpchQueries {
       |ORDER BY o_orderpriority""".stripMargin
 
   /**
-   * q5: local supplier volume — 6-table star join. Dimensions (region/nation/supplier/
-   * customer) broadcast; only lineitem⋈orders shuffles. At 100 TB the dims stay KB-GB sized
-   * so the broadcast strategy holds.
+   * q5: local supplier volume — 6-table star join. Fixed dims (region/nation/supplier)
+   * broadcast by hint; customer joins unhinted (AQE picks BHJ at test SF, shuffles at
+   * scale); only lineitem⋈orders always shuffles.
    */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = TableIO.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -124,7 +131,7 @@ object TpchQueries {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = TableIO.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -179,7 +186,7 @@ object TpchQueries {
     val ord = TableIO.orders(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -213,9 +220,9 @@ object TpchQueries {
     val ord = TableIO.orders(spark, dir)
       .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
     val li = TableIO.lineitem(spark, dir)
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
         col("c_nationkey") === col("c_nk"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -258,7 +265,7 @@ object TpchQueries {
     val supp = TableIO.supplier(spark, dir)
     val li = TableIO.lineitem(spark, dir)
     val ord = TableIO.orders(spark, dir)
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -289,7 +296,7 @@ object TpchQueries {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = TableIO.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -370,7 +377,7 @@ object TpchQueries {
     val li = TableIO.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(round(
         sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
           .otherwise(lit(0.0))) * 100.0 /
@@ -425,7 +432,7 @@ object TpchQueries {
     val li = TableIO.lineitem(spark, dir)
     val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((avg(col("l_quantity")) * 0.5).as("avg_half_qty"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("avg_half_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
@@ -447,7 +454,7 @@ object TpchQueries {
       .agg(sum(col("l_quantity")).as("b_qty"))
       .filter(col("b_qty") > 300)
     ord.join(bigOrders, col("o_orderkey") === col("b_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), round(col("b_qty"), 2).as("sum_qty"))
@@ -470,7 +477,7 @@ object TpchQueries {
   def q19(spark: SparkSession, dir: String): DataFrame = {
     val part = TableIO.part(spark, dir)
     val li = TableIO.lineitem(spark, dir)
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||

@@ -198,28 +198,41 @@ object Dedup {
   // ---- n-gram Jaccard via inverted index ----------------------------------------------
 
   /**
-   * N-gram Jaccard near-dup via an inverted gram index. The intersection size |A∩B| is
-   * computed directly from the index — count the co-occurring hashed grams per pair
-   * (`groupBy(a,b).count`, map-side combinable) — so the pair space never carries gram
-   * arrays and there is no distinct + re-join + array_intersect pass. Set sizes join in
-   * afterwards from the 16-byte-per-doc size table (AQE broadcasts it when it fits,
-   * shuffles on the pair key when it doesn't). Exactly equals the
-   * exhaustive-jaccard oracle. At 100 TB add a document-frequency cutoff on index grams
-   * (drop grams with df > F) or a PPJoin-style prefix filter; the full index here keeps
-   * the result exact.
+   * Candidate pairs from a document-frequency-capped inverted gram index. Grams whose df
+   * exceeds `maxDf` are dropped from the index BEFORE pair generation: one stop-gram with
+   * df = d would otherwise emit d·(d-1)/2 pair rows (df = 10⁶ → ~10¹² rows — the classic
+   * inverted-index scale-killer). With the cap, per-gram fan-out is bounded by
+   * maxDf²/2 regardless of corpus size. A true near-dup pair at jaccard >= 0.5 shares
+   * many grams, overwhelmingly rare ones, so candidates survive the cap; only pairs whose
+   * ENTIRE overlap is stop-grams (noise, not near-dups) are missed — the deliberate,
+   * documented trade (same as PPJoin-style prefix filtering). DedupSpec proves the capped
+   * candidates still cover every exhaustive-jaccard pair on the test corpus and bounds
+   * the pair-row count under a planted stop-gram.
    */
-  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val g = gramHashSets(TableIO.documents(spark, dir))
+  def ngramCandidates(g: DataFrame, maxDf: Long): DataFrame = {
     val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
-    val inter = inv.select(col("doc_id").as("a_id"), col("h"))
-      .join(inv.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+    // df per gram, computed map-side-combinably; the semi-join keeps only capped grams.
+    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val invC = inv.join(rare, Seq("h"), "left_semi")
+    invC.select(col("doc_id").as("a_id"), col("h"))
+      .join(invC.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    val sa = g.select(col("doc_id").as("a_id"), col("sz").as("sza"))
-    val sb = g.select(col("doc_id").as("b_id"), col("sz").as("szb"))
-    inter.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("jacc",
-        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /**
+   * N-gram Jaccard near-dup: df-capped inverted-index candidate generation (see
+   * [[ngramCandidates]]) + exact verification over the hashed gram sets of candidate
+   * pairs only. The verify step is exact (array intersection of the full, uncapped gram
+   * sets), so the output equals the exhaustive-jaccard oracle for every pair that shares
+   * at least one sub-cap gram. Both phases are bounded at 100 TB: candidates by the df
+   * cap, verification by the candidate count.
+   */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxDf: Long = 256): DataFrame = {
+    val g = gramHashSets(TableIO.documents(spark, dir)).cache()
+    verifiedJaccard(ngramCandidates(g, maxDf), g)
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
       .orderBy(col("a_id"), col("b_id"))
@@ -281,11 +294,13 @@ object Dedup {
   // ---- embedding cosine near-dup -------------------------------------------------------
 
   /**
-   * Embedding near-dup pairs (cosine >= tau) via the native CosineSimilarity expression.
-   * Self-join here (correctness form); the 100 TB path buckets by LSH signature first
-   * (Similarity.annLsh) so the pair space is per-bucket.
+   * EXACT embedding near-dup pairs (cosine >= tau) via the native CosineSimilarity
+   * expression over an O(n²) self-join. Registered as `dedup_embedding_exact`: it is the
+   * correctness oracle for the LSH-bucketed form, NOT the operator a user should reach
+   * for by default — at 100 TB the cross join is unrunnable, which is why the headline
+   * `dedup_embedding` name maps to [[dedupEmbeddingLsh]].
    */
-  def dedupEmbedding(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+  def dedupEmbeddingExact(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
     val e = TableIO.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
@@ -307,11 +322,12 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
 
   /**
-   * Embedding near-dup pairs via LSH bucketing — the 100 TB path promised above: pairs
+   * Embedding near-dup pairs via LSH bucketing — the DEFAULT `dedup_embedding`: pairs
    * are generated only inside shared random-hyperplane buckets (Similarity.lshBuckets),
-   * so the shuffle is O(n·tables) and the pair space is per-bucket, never O(n²).
-   * Approximate (recall < 1 when a true pair shares no bucket) -> rows-only for the
-   * driver; DedupSpec asserts recall against the exact cross-join form.
+   * so the shuffle is O(n·tables) and the pair space is per-bucket, never O(n²) — the
+   * form that survives 100 TB. Approximate (recall < 1 when a true pair shares no
+   * bucket) -> rows-only for the driver; DedupSpec asserts recall against
+   * [[dedupEmbeddingExact]], which is the oracle-checked exhaustive twin.
    */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
@@ -406,10 +422,15 @@ object Dedup {
 
   /**
    * The user-facing operation the pair queries build toward: the deduplicated corpus.
-   * Policy: (1) exact duplicates keep the minimum doc_id; (2) of each verified near-dup
-   * pair (jaccard >= threshold, a < b), the b-side is dropped (greedy keep-smallest —
-   * the standard single-pass policy; full connected components would need iteration).
-   * Returns kept docs; summarized per source for a stable driver check.
+   * Policy: (1) exact duplicates keep the minimum doc_id; (2) near-dup CLUSTERS (connected
+   * components of the verified pair graph) keep exactly one representative — the minimum
+   * doc_id, which is precisely the component label [[connectedComponents]] propagates, so
+   * "keep" is `doc_id == component` with no extra aggregation. This is the same policy
+   * `dedup_components` exposes, applied end-to-end (round 1 used a greedy b-side drop
+   * here, inconsistent with the component clustering one query earlier).
+   * The verified pair frame is built once and the CC loop runs on it directly; grams are
+   * cached inside [[dedupMinhash]] so signature + verify share one computation.
+   * Returns kept docs, summarized per source for a stable driver check.
    */
   def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = TableIO.documents(spark, dir)
@@ -419,18 +440,30 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("keeper"))
       .drop("h", "keeper")
-    val nearDupB = dedupMinhash(spark, dir, threshold).select(col("b_id").as("doc_id")).distinct()
-    exactKeep.join(nearDupB, Seq("doc_id"), "left_anti")
+    val pairs = dedupMinhash(spark, dir, threshold).select(col("a_id"), col("b_id"))
+    val nearDrop = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    exactKeep.join(nearDrop, Seq("doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
   }
 
   def dedupCorpusSql(threshold: Double): String =
-    s"""WITH $GramsCteSql,
-       |near_b AS (
-       |  SELECT DISTINCT b.doc_id AS doc_id
+    s"""WITH RECURSIVE $GramsCteSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM grams a, grams b
        |  WHERE ${jaccardPredSql(threshold)}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |near_drop AS (
+       |  SELECT u AS doc_id FROM reach GROUP BY u
+       |  HAVING least(u, min(v)) != u),
        |exact_keep AS (
        |  SELECT * FROM (
        |    SELECT doc_id, source,
@@ -438,7 +471,7 @@ object Dedup {
        |    FROM documents) WHERE doc_id = keeper)
        |SELECT source, count(*) AS n_kept
        |FROM exact_keep
-       |WHERE doc_id NOT IN (SELECT doc_id FROM near_b)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---- registry ------------------------------------------------------------------------
@@ -448,8 +481,8 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
-    "dedup_embedding" -> (dedupEmbedding(_, _)),
-    "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
+    "dedup_embedding" -> (dedupEmbeddingLsh(_, _)),
+    "dedup_embedding_exact" -> (dedupEmbeddingExact(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)))
 
@@ -458,7 +491,8 @@ object Dedup {
     "dedup_minhash" -> jaccardPairsSql(0.8),
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.5),
     // dedup_simhash intentionally omitted: hash-seeded, spec-verified (rows-only here)
-    "dedup_embedding" -> dedupEmbeddingSql(0.45),
+    // dedup_embedding (LSH) intentionally omitted: approximate by design, recall-spec'd
+    "dedup_embedding_exact" -> dedupEmbeddingSql(0.45),
     "dedup_corpus" -> dedupCorpusSql(0.8),
     "dedup_components" -> dedupComponentsSql(0.8))
 }

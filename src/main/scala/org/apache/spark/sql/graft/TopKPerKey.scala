@@ -41,19 +41,28 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
+/**
+ * Bounded per-key top-k retention. `withTies = false` keeps exactly k rows per key
+ * (row_number semantics — ties at the boundary broken arbitrarily, like row_number
+ * itself). `withTies = true` keeps every row whose RANK is <= k: the k strictly-best
+ * rows PLUS all rows tied with the k-th boundary row (rank semantics — the tie buffer
+ * holds only boundary-equal rows, which for real orderings is O(1) extra).
+ */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -66,12 +75,15 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val ties = withTies
     val outAttrs = output
     child.execute().mapPartitionsInternal { iter =>
       val keyGen = UnsafeProjection.create(keyExprs, outAttrs)
       val ord = RowOrdering.create(sortOrder, outAttrs)
-      // heap head = worst retained row (reversed ordering), so replacement is O(log k)
+      // heap head = worst retained row (reversed ordering), so replacement is O(log k);
+      // tieBufs (rank mode only) holds rows equal to the current boundary (heap head).
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val tieBufs = if (ties) new java.util.HashMap[UnsafeRow, java.util.ArrayDeque[InternalRow]]() else null
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyGen(row)
@@ -81,9 +93,33 @@ case class TopKPerKeyExec(
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.offer(row.copy())
-        else if (ord.lt(row, heap.peek())) { heap.poll(); heap.offer(row.copy()) }
+        else {
+          val cmp = ord.compare(row, heap.peek())
+          if (cmp < 0) {
+            val evicted = heap.poll()
+            heap.offer(row.copy())
+            if (ties) {
+              var buf = tieBufs.get(key)
+              // Rank invariant: a row belongs iff fewer than k rows are strictly better.
+              // After eviction the boundary either kept its value (a duplicate of the old
+              // head remains at the head) — the evicted row is still rank-tied, keep it —
+              // or strictly improved, which proves >= k rows are strictly better than the
+              // old boundary value: every buffered tie is now out.
+              if (ord.compare(heap.peek(), evicted) == 0) {
+                if (buf == null) { buf = new java.util.ArrayDeque[InternalRow](); tieBufs.put(key.copy(), buf) }
+                buf.add(evicted)
+              } else if (buf != null) buf.clear()
+            }
+          } else if (cmp == 0 && ties) {
+            var buf = tieBufs.get(key)
+            if (buf == null) { buf = new java.util.ArrayDeque[InternalRow](); tieBufs.put(key.copy(), buf) }
+            buf.add(row.copy())
+          }
+        }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      val heapRows = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      if (ties) heapRows ++ tieBufs.values().iterator().asScala.flatMap(_.iterator().asScala)
+      else heapRows
     }
   }
 }
@@ -91,9 +127,9 @@ case class TopKPerKeyExec(
 /** Plans TopKPerKeyNode as partial -> (exchange) -> final. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyNode(keys, order, k, child, ties) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child), ties)
+      TopKPerKeyExec(keys, order, k, partial = false, partial, ties) :: Nil
     case _ => Nil
   }
 }

@@ -48,7 +48,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("LSH-bucketed embedding near-dup recalls the exact cross-join pairs") {
-    val exact = Dedup.dedupEmbedding(spark, sf, tau = 0.45)
+    val exact = Dedup.dedupEmbeddingExact(spark, sf, tau = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaLsh = Dedup.dedupEmbeddingLsh(spark, sf, tau = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -60,11 +60,41 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
-    val rows = Dedup.dedupEmbedding(spark, sf, tau = 0.4).collect()
+    val rows = Dedup.dedupEmbeddingExact(spark, sf, tau = 0.4).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.4 - 1e-4)
     }
+  }
+
+  test("df-capped ngram candidates still cover every exhaustive jaccard pair") {
+    val g = Dedup.gramHashSets(graft.sources.TableIO.documents(spark, sf)).cache()
+    try {
+      val capped = Dedup.ngramCandidates(g, 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // uncapped candidates + exact verify = the exhaustive truth at threshold 0.5
+      val truePairs = Dedup.dedupNgramJaccard(spark, sf, threshold = 0.5, maxDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truePairs.nonEmpty)
+      assert(truePairs.subsetOf(capped),
+        s"df cap dropped true pairs: ${truePairs -- capped}")
+    } finally g.unpersist()
+  }
+
+  test("df cap bounds candidate fan-out under a planted stop-gram") {
+    import spark.implicits._
+    // n docs all share ONE stop-gram (identical leading 3 tokens); every other gram unique.
+    val n = 200
+    val docs = (1 to n)
+      .map(i => (i.toLong, s"the common gram u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val g = Dedup.gramHashSets(docs).cache()
+    try {
+      // uncapped index: the stop-gram alone fans out to all n·(n-1)/2 pairs
+      assert(Dedup.ngramCandidates(g, Long.MaxValue).count() == n.toLong * (n - 1) / 2)
+      // capped index drops the df=200 gram; no sub-cap gram co-occurs -> zero pairs
+      assert(Dedup.ngramCandidates(g, 50).count() == 0L)
+    } finally g.unpersist()
   }
 }

@@ -88,4 +88,21 @@ class PlanSpec extends AnyFunSuite {
     assert(li.repartition(8).rdd.getNumPartitions == 8)
     assert(li.repartition(8).coalesce(2).rdd.getNumPartitions == 2)
   }
+
+  // customer/part carry NO broadcast hint (they are SF-proportional: a forced hint would
+  // OOM the driver at 100 TB). These tests prove the size-based strategy still picks BHJ
+  // for them at test SF — scale-safe by construction, fast where it matters today.
+  test("tpch_q3 customer join is size-chosen BHJ, not hint-forced") {
+    val plan = executedPlan(TpchQueries.q3(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected size-based BHJ in:\n$plan")
+  }
+
+  test("tpch_q5 and q7 pick BHJ for the unhinted customer join at test SF") {
+    val p5 = executedPlan(TpchQueries.q5(spark, sf))
+    val p7 = executedPlan(TpchQueries.q7(spark, sf))
+    // q5/q7 join customer with no hint; every dim join should still be a broadcast at
+    // this SF, so no SortMergeJoin should appear anywhere except the fact-fact join.
+    assert(p5.contains("BroadcastHashJoin"), s"expected BHJ in q5:\n$p5")
+    assert(p7.contains("BroadcastHashJoin"), s"expected BHJ in q7:\n$p7")
+  }
 }
