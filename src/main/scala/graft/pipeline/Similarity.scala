@@ -14,9 +14,9 @@ import graft.sources.TableIO
  *  - Brute force (the correctness baseline): broadcast the query set, scan the corpus once,
  *    per-query top-k via window rank. Linear in corpus size; at 100 TB this is one full
  *    scan per query batch — acceptable for offline eval, not for serving.
- *  - Random-hyperplane LSH (the scale path): 12-bit signature buckets the corpus; queries
- *    probe only their own bucket. Shuffle is O(n) on the bucket key; per-bucket top-k.
- *    Recall vs brute force is asserted in SimilaritySpec.
+ *  - Random-hyperplane LSH (the scale path): NumTables independent 4-bit signatures bucket
+ *    the corpus; queries probe only their own buckets. Shuffle is O(n·tables) on the
+ *    bucket key; per-bucket top-k. Recall >= 0.8 vs brute force asserted in SimilaritySpec.
  */
 object Similarity {
 
@@ -63,7 +63,7 @@ object Similarity {
 
   private val Dim = 64
   private val BitsPerTable = 4
-  private val NumTables = 8
+  private val NumTables = 14
 
   /**
    * Deterministic random hyperplanes (seeded): NumTables independent tables of
@@ -113,31 +113,96 @@ object Similarity {
   // ---- IVF path -------------------------------------------------------------------------
 
   private val IvfLists = 16
-  private val IvfProbes = 4
+  // nProbe is tuned to the test corpus, which is ADVERSARIAL for IVF: the synthetic
+  // embeddings are near-uniform on the sphere (top-1 neighbor cosine ~ 0.35), so a
+  // neighbor's list membership correlates only weakly with the query's nearest lists and
+  // recall >= 0.8 needs 8/16 probes. Real embedding corpora are clustered; there the same
+  // structure runs at a much lower probe fraction (raise IvfLists, keep nProbe small).
+  private val IvfProbes = 8
+  private val QuantizerSample = 2048
+  private val QuantizerIters = 12
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i).toDouble; i += 1 }
+    s
+  }
 
   /**
-   * Deterministic coarse-quantizer centroids: seeded Gaussian unit vectors. A production
-   * build would k-means these on a corpus sample; the operator shape (quantize -> probe ->
-   * re-rank) is identical and the recall spec validates the structure.
+   * Spherical k-means coarse quantizer trained on a deterministic FIXED-SIZE corpus sample
+   * (k-means++ seeding + Lloyd iterations, assignment by cosine, centroids re-normalized
+   * each round — all seeded, so the quantizer is reproducible per dataset).
+   *
+   * The sample collect is deliberate and bounded: 2048 x 64 floats = 0.5 MB on the driver
+   * REGARDLESS of corpus size (the sample is selected by smallest md5(vec_id), which is
+   * TakeOrdered — no full sort, no data-proportional driver state). Training the coarse
+   * quantizer on a small sample is exactly how production IVF indexes are built (FAISS
+   * trains on ~k*256 points); the expensive phases — assignment and probing — stay fully
+   * distributed in the typed kernel below.
    */
-  private lazy val ivfCentroids: Array[Array[Float]] = {
-    val rnd = new scala.util.Random(43170911L)
-    Array.fill(IvfLists) {
-      val v = Array.fill(Dim)(rnd.nextGaussian().toFloat)
-      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
-      v.map(_ / n)
+  def trainQuantizer(e: DataFrame, k: Int = IvfLists, iters: Int = QuantizerIters): Array[Array[Float]] = {
+    val raw = e.orderBy(md5(col("vec_id").cast("string"))).limit(QuantizerSample)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val xs = raw.map { v =>
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      if (n > 0) v.map(x => (x / n).toFloat) else v
     }
+    require(xs.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val rnd = new scala.util.Random(43170911L)
+    val cents = new Array[Array[Float]](k)
+    cents(0) = xs(rnd.nextInt(xs.length))
+    // k-means++: next seed sampled proportional to cosine distance from nearest chosen
+    val d2 = Array.fill(xs.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < xs.length) {
+        val d = 1.0 - dot(xs(i), cents(c - 1))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      var r = rnd.nextDouble() * d2.sum
+      var j = 0
+      while (j < xs.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+      cents(c) = xs(j)
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val dim = xs(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      for (x <- xs) {
+        var best = 0
+        var bestDot = Double.MinValue
+        var ci = 0
+        while (ci < k) { val d = dot(x, cents(ci)); if (d > bestDot) { bestDot = d; best = ci }; ci += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+      }
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          val n = math.sqrt(sums(ci).map(v => v * v).sum)
+          if (n > 0) cents(ci) = sums(ci).map(v => (v / n).toFloat)
+        } // empty list keeps its previous centroid
+        ci += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /**
    * (vec_id, list_id) assignments to the nearest `nProbe` centroids by cosine, computed in
-   * a typed JIT kernel (16 dot products per vector is pure CPU). Corpus vectors use
+   * a typed JIT kernel (IvfLists dot products per vector is pure CPU). Corpus vectors use
    * nProbe=1 (each lives in exactly one inverted list); queries probe several.
    */
-  def ivfAssign(df: DataFrame, nProbe: Int): DataFrame = {
+  def ivfAssign(df: DataFrame, nProbe: Int, cents: Array[Array[Float]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids
     df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         var norm = 0.0
@@ -160,16 +225,18 @@ object Similarity {
   }
 
   /**
-   * IVF ANN: corpus vectors land in one inverted list each; queries probe their nProbe
-   * nearest lists and re-rank exactly within them. Shuffle is O(n) on list_id; per-list
-   * work is n/IvfLists * nQueries — scale by raising IvfLists so lists stay
-   * partition-sized. Approximate (recall < 1 when a true neighbor quantizes elsewhere) ->
-   * rows-only for the driver; SimilaritySpec asserts recall vs brute force.
+   * IVF ANN: a sampled spherical-k-means quantizer places corpus vectors in one inverted
+   * list each; queries probe their nProbe nearest lists and re-rank exactly within them.
+   * Shuffle is O(n) on list_id; per-list work is n/IvfLists * nQueries — scale by raising
+   * IvfLists so lists stay partition-sized. Approximate (recall < 1 when a true neighbor
+   * quantizes elsewhere) -> rows-only for the driver; SimilaritySpec asserts recall >= 0.8
+   * vs brute force at 8/16 probes.
    */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
-    val corpusLists = ivfAssign(e, 1).select(col("vec_id").as("neighbor_id"), col("list_id"))
-    val queryLists = ivfAssign(e.filter(col("vec_id") < nQueries), IvfProbes)
+    val cents = trainQuantizer(e)
+    val corpusLists = ivfAssign(e, 1, cents).select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val queryLists = ivfAssign(e.filter(col("vec_id") < nQueries), IvfProbes, cents)
       .select(col("vec_id").as("query_id"), col("list_id"))
     val candidates = queryLists.join(corpusLists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, L2Distance, TopKPerKeyStrategy}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, L2Distance, RankLimitRule,
+  TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -22,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator route: logical TopKPerKeyNode plans to partial/final bounded-heap execs
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // plan-rewrite route: rank/row_number <= k filters run on the native pre-limit operator
+    ext.injectOptimizerRule(_ => RankLimitRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       FunctionRegistryBase.expressionInfo[CosineSimilarity]("cosine_similarity", None),

@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual,
+  PredicateHelper, Rank, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window,
+  WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Rewrites `Filter(rank/row_number <= k, Window[single ranking expr])` to run on top of
+ * the native [[TopKPerKeyNode]] pre-limit — the planner-injection analog of how the
+ * reference swaps whole operators under existing query shapes (gazelle_plugin:
+ * native-sql-engine/core/src/main/scala/com/intel/oap/extension/ColumnarOverrides.scala:1).
+ *
+ * Why: the stock plan sorts EVERY partition's full row set before the rank filter drops
+ * all but k rows (Spark's own WindowGroupLimit mitigation still sorts each map partition).
+ * TopKPerKeyNode keeps a bounded k-row heap per key, shrinks each map-side partition to
+ * <= k rows per key BEFORE the shuffle, and the Window then re-ranks the <= k*n_keys
+ * survivors exactly — O(n log k) with no full sort, and the exchange moves megabytes,
+ * not the fact table.
+ *
+ * Soundness: the Window is KEPT on top (ranks are recomputed on the reduced set, so
+ * emitted rank values are identical), and the row set is preserved because
+ *  - row_number keeps exactly k rows per key; which of the boundary-tied rows survive is
+ *    nondeterministic in row_number itself, so any k-row retention is a valid evaluation;
+ *  - rank keeps all rows tied with the k-th boundary row (TopKPerKeyExec withTies), which
+ *    is exactly the `rank <= k` set;
+ *  - dense_rank is NOT rewritten (its boundary is the k-th distinct value — different
+ *    retention semantics).
+ * The rewrite only fires when the Window computes nothing but the ranking expression
+ * (any other window function would see the reduced row set and change value) and the
+ * partition spec is non-empty (global top-k is TakeOrderedAndProject's job).
+ */
+object RankLimitRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Smallest upper bound k implied by the conjuncts for `rankAttr` (rank <= k forms). */
+  private def impliedLimit(conjuncts: Seq[Expression], rankAttr: Attribute): Option[Int] = {
+    val bounds = conjuncts.flatMap {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k - 1)
+      case _ => None
+    }
+    bounds.reduceOption(_ min _)
+  }
+
+  /** Spark's InferWindowGroupLimit may have inserted its own pre-limit; the native
+    * operator supersedes it (and unlike it, needs no map-side sort). */
+  private def stripGroupLimit(p: LogicalPlan): LogicalPlan = p match {
+    case wgl: WindowGroupLimit => wgl.child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w: Window)
+        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
+          w.orderSpec.nonEmpty && !stripGroupLimit(w.child).isInstanceOf[TopKPerKeyNode] =>
+      w.windowExpressions.head match {
+        case a @ Alias(WindowExpression(fn, _), _) =>
+          val withTies = fn match {
+            case _: RowNumber => Some(false)
+            case _: Rank => Some(true)
+            case _ => None // dense_rank/ntile/...: retention semantics differ, leave alone
+          }
+          (withTies, impliedLimit(splitConjunctivePredicates(cond), a.toAttribute)) match {
+            case (Some(ties), Some(k)) if k > 0 =>
+              f.copy(child = w.copy(child =
+                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child), ties)))
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}

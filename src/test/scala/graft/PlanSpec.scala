@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
     assert(li.repartition(8).coalesce(2).rdd.getNumPartitions == 2)
   }
 
+  test("q_window_rank executes through the native TopKPerKey pre-limit") {
+    val plan = executedPlan(RelationalOps.qWindowRank(spark, sf))
+    assert(plan.contains("TopKPerKey"),
+      s"expected RankLimitRule to route rank<=3 through TopKPerKeyExec:\n$plan")
+  }
+
   // customer/part carry NO broadcast hint (they are SF-proportional: a forced hint would
   // OOM the driver at 100 TB). These tests prove the size-based strategy still picks BHJ
   // for them at test SF — scale-safe by construction, fast where it matters today.

@@ -59,6 +59,44 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(execs.sorted == Seq(false, true), s"expected partial+final TopKPerKeyExec, got $execs")
   }
 
+  test("rank<=k filter rewrites onto TopKPerKey and keeps boundary ties (rank semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // key a: ranks over v desc are 1,1,1,4 -> rank<=2 keeps THREE tied rows; key b: 1,1,3
+    val df = Seq(("a", 10), ("a", 10), ("a", 10), ("a", 5), ("b", 7), ("b", 7), ("b", 3))
+      .toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val rewritten = df.withColumn("rnk", rank().over(w)).filter($"rnk" <= 2)
+    rewritten.collect()
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      s"rank rewrite did not fire:\n${rewritten.queryExecution.executedPlan}")
+    // reference computed WITHOUT the rewrite: a second window expr (kept in the output,
+    // so pruning can't remove it) defeats the single-ranking-expr guard
+    val stock = df.withColumn("rnk", rank().over(w))
+      .withColumn("rn2", row_number().over(w)).filter($"rnk" <= 2)
+    assert(!stock.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = rewritten.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    val want = stock.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    assert(got.sameElements(want), s"got ${got.toSeq} want ${want.toSeq}")
+    assert(got.count(_._1 == "a") == 3, "boundary ties must all survive under rank")
+  }
+
+  test("row_number<=k filter rewrites onto TopKPerKey with exact-k retention") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(("a", 10), ("a", 10), ("a", 10), ("a", 5), ("b", 7), ("b", 7), ("b", 3))
+      .toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val rewritten = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    rewritten.collect()
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // row_number keeps exactly k rows per key regardless of ties
+    val got = rewritten.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 2)
+    assert(got.filter(_._1 == "a").forall(_._2 == 10))
+    assert(got.forall(_._3 <= 2))
+  }
+
   test("TopKPerKey partial phase bounds what the exchange carries") {
     import org.apache.spark.sql.graft.TopKPerKey
     import spark.implicits._
