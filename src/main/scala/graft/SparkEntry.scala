@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
+      operators.TpcdsShapedQueries.all ++
       operators.RelationalOps.all ++
       functions.ExpressionQueries.all ++
       operators.EventsQueries.all ++
@@ -25,6 +26,7 @@ object SparkEntry {
     * tables. Omitted keys get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracles ++
+      operators.TpcdsShapedQueries.oracles ++
       operators.RelationalOps.oracles ++
       functions.ExpressionQueries.oracles ++
       operators.EventsQueries.oracles ++

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
+
+/**
+ * TPC-DS-SHAPED query pack. The reference tests TPC-DS alongside TPC-H
+ * (gazelle_plugin: native-sql-engine/core/src/test/scala/com/intel/oap/tpc/ds/
+ * TPCDSSuite.scala:1); the driver schema has no DS tables, but the plan shapes that make
+ * DS hard — deep snowflake joins, CTE reuse, wide grouping sets, channel unions, rank
+ * over aggregates, correlated-average filters — are all expressible on the TPC-H-ish
+ * schema, and that is what this pack covers (one query per DS-signature shape, each
+ * oracle-checked against DuckDB).
+ *
+ * Same scale discipline as TpchQueries: broadcast hints only on fixed-cardinality dims
+ * (region/nation/supplier); customer/part joins are AQE-decided; doubles rounded at the
+ * output edge only.
+ */
+object TpcdsShapedQueries {
+
+  /**
+   * DS shape 1 (q25/q29 family): 7-table snowflake — fact lineitem joins orders, then
+   * customer -> nation -> region (two-level dimension chain) plus part and supplier
+   * branches, aggregated by region x year. One fact-fact shuffle (lineitem⋈orders);
+   * everything else is a dim join.
+   */
+  def qDsSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    val o = TableIO.orders(spark, dir)
+    val c = TableIO.customer(spark, dir)
+    val n = TableIO.nation(spark, dir)
+    val r = TableIO.region(spark, dir)
+    val p = TableIO.part(spark, dir).filter(col("p_size") <= 25)
+    val s = TableIO.supplier(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("r_name"), col("yr"))
+  }
+
+  val qDsSnowflakeSql: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size <= 25
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /**
+   * DS shape 2 (q74/q4 family): CTE computed once, self-joined across consecutive years —
+   * customers whose order revenue grew >50% year-over-year. The per-(customer, year)
+   * aggregate subplan appears twice; Catalyst's exchange reuse materializes it once
+   * (same property q_shuffle_reuse asserts).
+   */
+  def qDsYoy(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = TableIO.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    val a = yearly.select(col("o_custkey").as("custkey"), col("yr").as("yr0"), col("total").as("t0"))
+    val b = yearly.select(col("o_custkey").as("custkey_b"), col("yr").as("yr1"), col("total").as("t1"))
+    a.join(b, col("custkey") === col("custkey_b") && col("yr1") === col("yr0") + 1)
+      .filter(col("t1") > col("t0") * 1.5)
+      .select(col("custkey"), col("yr0"), round(col("t0"), 2).as("rev0"), round(col("t1"), 2).as("rev1"))
+      .orderBy(col("custkey"), col("yr0"))
+  }
+
+  val qDsYoySql: String =
+    """WITH yearly AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr, sum(o_totalprice) AS total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT a.o_custkey AS custkey, a.yr AS yr0,
+      |  round(a.total, 2) AS rev0, round(b.total, 2) AS rev1
+      |FROM yearly a JOIN yearly b
+      |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+      |WHERE b.total > a.total * 1.5
+      |ORDER BY custkey, yr0""".stripMargin
+
+  /**
+   * DS shape 3 (q27/q36 family): wide GROUPING SETS over a 3-level dimension hierarchy
+   * (region -> nation -> year) with per-level subtotals and a grand total — the heavy
+   * ExpandExec form. NULL group markers labeled at the edge, as in qRollup.
+   */
+  def qDsGrouping(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+    val c = TableIO.customer(spark, dir)
+    val n = TableIO.nation(spark, dir)
+    val r = TableIO.region(spark, dir)
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+    joined.groupingSets(
+        Seq(
+          Seq(col("r_name"), col("n_name"), col("yr")),
+          Seq(col("r_name"), col("n_name")),
+          Seq(col("r_name")),
+          Seq()),
+        col("r_name"), col("n_name"), col("yr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("yr").cast("string"), lit("(all)")).as("yr"),
+        col("n"), col("rev"))
+      .orderBy(col("region"), col("nation"), col("yr"))
+  }
+
+  val qDsGroupingSql: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  coalesce(CAST(yr AS VARCHAR), '(all)') AS yr,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM (
+      |  SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY GROUPING SETS ((r_name, n_name, yr), (r_name, n_name), (r_name), ())
+      |ORDER BY region, nation, yr""".stripMargin
+
+  /**
+   * DS shape 4 (q71 family): three "channels" sliced from one fact by priority band,
+   * unioned, then re-aggregated by channel x year. Union-then-aggregate pushes partial
+   * aggregation below the union on each branch.
+   */
+  def qDsChannels(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+    def channel(name: String, prios: Seq[String]): DataFrame =
+      o.filter(col("o_orderpriority").isin(prios: _*))
+        .select(lit(name).as("channel"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+    channel("web", Seq("1-URGENT", "2-HIGH"))
+      .unionByName(channel("catalog", Seq("3-MEDIUM")))
+      .unionByName(channel("store", Seq("4-NOT SPECIFIED", "5-LOW")))
+      .groupBy(col("channel"), col("yr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("channel"), col("yr"))
+  }
+
+  val qDsChannelsSql: String =
+    """SELECT channel, yr, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM (
+      |  SELECT 'web' AS channel, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  UNION ALL
+      |  SELECT 'catalog', CAST(year(o_orderdate) AS INT), o_totalprice
+      |  FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      |  UNION ALL
+      |  SELECT 'store', CAST(year(o_orderdate) AS INT), o_totalprice
+      |  FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW'))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /**
+   * DS shape 5 (q67 family): rank over an AGGREGATE — top-3 revenue years within each
+   * nation. The rank<=k filter over the aggregated frame is exactly the pattern
+   * RankLimitRule rewrites onto the native TopKPerKey pre-limit.
+   */
+  def qDsTopnWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+    val c = TableIO.customer(spark, dir)
+    val n = TableIO.nation(spark, dir)
+    val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("rev").desc, col("yr"))
+    rev.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("rnk"), col("yr"), round(col("rev"), 2).as("rev2"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  val qDsTopnWindowSql: String =
+    """SELECT n_name, rnk, yr, round(rev, 2) AS rev2 FROM (
+      |  SELECT n_name, yr, rev,
+      |    rank() OVER (PARTITION BY n_name ORDER BY rev DESC, yr) AS rnk
+      |  FROM (
+      |    SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr, sum(o_totalprice) AS rev
+      |    FROM orders
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |    GROUP BY 1, 2))
+      |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+
+  /**
+   * DS shape 6 (q6/q65 family): rows above a correlated group average — parts priced
+   * >30% over their brand's average, counted by type. The per-brand average joins back
+   * against the same table (broadcastable once aggregated: one row per brand).
+   */
+  def qDsAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val p = TableIO.part(spark, dir)
+    val brandAvg = p.groupBy(col("p_brand")).agg(avg(col("p_retailprice")).as("brand_avg"))
+    p.join(brandAvg, Seq("p_brand"))
+      .filter(col("p_retailprice") > col("brand_avg") * 1.3)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("p_type"))
+  }
+
+  val qDsAboveAvgSql: String =
+    """SELECT p_type, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part p
+      |JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
+      |      FROM part GROUP BY 1) b USING (p_brand)
+      |WHERE p_retailprice > brand_avg * 1.3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_snowflake" -> (qDsSnowflake(_, _)),
+    "q_ds_yoy" -> (qDsYoy(_, _)),
+    "q_ds_grouping" -> (qDsGrouping(_, _)),
+    "q_ds_channels" -> (qDsChannels(_, _)),
+    "q_ds_topn_window" -> (qDsTopnWindow(_, _)),
+    "q_ds_above_avg" -> (qDsAboveAvg(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_ds_snowflake" -> qDsSnowflakeSql,
+    "q_ds_yoy" -> qDsYoySql,
+    "q_ds_grouping" -> qDsGroupingSql,
+    "q_ds_channels" -> qDsChannelsSql,
+    "q_ds_topn_window" -> qDsTopnWindowSql,
+    "q_ds_above_avg" -> qDsAboveAvgSql)
+}
