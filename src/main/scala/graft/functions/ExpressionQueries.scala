@@ -315,6 +315,20 @@ object ExpressionQueries {
   val qHashFuncsSql: String =
     "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex FROM documents"
 
+  /**
+   * #37b the hash kernels DuckDB 1.0 CANNOT oracle (sha1, crc32, murmur3 `hash`,
+   * xxhash64): rows-only for the driver; HashKatSpec pins each function to published
+   * known-answer test vectors (RFC 3174 sha1, CRC-32/ISO-HDLC, Spark's own murmur3 seed),
+   * so the coverage claim rests on standards, not just "it ran".
+   */
+  def qHashFuncs2(spark: SparkSession, dir: String): DataFrame =
+    TableIO.documents(spark, dir).select(
+      col("doc_id"),
+      sha1(col("text")).as("sha1_hex"),
+      crc32(col("text")).as("crc32_val"),
+      hash(col("text")).as("murmur3_val"),
+      xxhash64(col("text")).as("xxhash64_val"))
+
   /** #38 cast kernels (double->int via explicit trunc: Spark truncates, DuckDB rounds).
     * The decimal cast is stringified at the edge: the driver's hash is sensitive to the
     * decimal's physical width (Spark DECIMAL(12,2) vs DuckDB's storage class), so both
@@ -585,7 +599,7 @@ object ExpressionQueries {
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
     "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
-    "q_hash_funcs" -> qHashFuncs _, "q_casts" -> qCasts _,
+    "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
     "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,

@@ -222,17 +222,43 @@ object Dedup {
   }
 
   /**
-   * N-gram Jaccard near-dup: df-capped inverted-index candidate generation (see
-   * [[ngramCandidates]]) + exact verification over the hashed gram sets of candidate
-   * pairs only. The verify step is exact (array intersection of the full, uncapped gram
-   * sets), so the output equals the exhaustive-jaccard oracle for every pair that shares
-   * at least one sub-cap gram. Both phases are bounded at 100 TB: candidates by the df
-   * cap, verification by the candidate count.
+   * N-gram Jaccard near-dup: df-capped inverted-index candidates + EXACT intersection
+   * counts, all in the co-occurrence domain (never array_intersect over gram arrays —
+   * measured 2.7x slower when this ran candidate verification through [[verifiedJaccard]]):
+   *  - inter_low: co-occurring sub-cap grams per pair, counted map-side-combinably from
+   *    the capped index (`groupBy(a,b).count`). This is also the candidate set — bounded
+   *    fan-out per gram (maxDf²/2) at any corpus size.
+   *  - inter_high: the correction for shared HIGH-df grams, counted only for candidate
+   *    pairs by joining them through the (tiny) high-df index slice — so stop-grams
+   *    contribute their true intersection weight without ever generating pairs.
+   * inter = inter_low + inter_high is exactly |A∩B|, so the output equals the exhaustive
+   * oracle for every pair sharing at least one sub-cap gram (pairs whose ENTIRE overlap
+   * is stop-grams are noise, not near-dups — the documented PPJoin-style trade).
    */
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
       maxDf: Long = 256): DataFrame = {
     val g = gramHashSets(TableIO.documents(spark, dir)).cache()
-    verifiedJaccard(ngramCandidates(g, maxDf), g)
+    val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
+    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val invLow = inv.join(rare, Seq("h"), "left_semi")
+    val invHigh = inv.join(rare, Seq("h"), "left_anti")
+    val interLow = invLow.select(col("doc_id").as("a_id"), col("h"))
+      .join(invLow.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_low"))
+    val interHigh = interLow.select(col("a_id"), col("b_id"))
+      .join(invHigh.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(invHigh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_high"))
+    val sa = g.select(col("doc_id").as("a_id"), col("sz").as("sza"))
+    val sb = g.select(col("doc_id").as("b_id"), col("sz").as("szb"))
+    interLow
+      .join(interHigh, Seq("a_id", "b_id"), "left")
+      .withColumn("inter", col("inter_low") + coalesce(col("inter_high"), lit(0L)))
+      .join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jacc",
+        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
       .orderBy(col("a_id"), col("b_id"))

@@ -132,6 +132,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed aggregation runs on the RocksDB state store provider") {
+    // At 100 TB streaming state outgrows the default in-heap HDFSBackedStateStore
+    // (GC pressure + executor OOM); RocksDB keeps state off-heap/on-disk with
+    // incremental checkpointing. Prove the same query produces identical results
+    // under the RocksDB provider.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(20), 2, "view", 5.0))
+    val q = EventsStreaming.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("rocksdb_win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.customMetrics
+        .containsKey("rocksdbFilesCopied"), "query must actually run on RocksDB state")
+      val rows = spark.table("rocksdb_win_out").collect()
+      val clicks = rows.find(_.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+      assert(rows.find(_.getString(1) == "view").get.getLong(2) == 1)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("streaming windowed counts agree with the batch twin on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
