@@ -341,6 +341,41 @@ object RelationalOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       |FROM lineitem WHERE l_suppkey <= 3""".stripMargin
 
+  /** #17e RANGE window frame: value-based trailing window (peers by ORDER-BY value, not
+    * row position) — a 10-minute trailing sum per user over event time. */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-600, Window.currentRow)
+    TableIO.events(spark, dir)
+      .filter(col("user_id") <= 50)
+      .withColumn("trailing_10m", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("trailing_10m"))
+  }
+
+  val qWindowRangeFrameSql: String =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS trailing_10m
+      |FROM events WHERE user_id <= 50""".stripMargin
+
+  /** #12b right-outer join (the reference's ColumnarSortMergeJoin covers RightOuter;
+    * unmatched customers keep a zero order count via count(o_orderkey) null-skipping). */
+  def qJoinRightOuter(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir).filter(col("o_totalprice") > 150000)
+      .join(TableIO.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_mktsegment"))
+
+  val qJoinRightOuterSql: String =
+    """SELECT c_mktsegment, count(o_orderkey) AS n_big_orders, count(*) AS n_rows
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #17c lag/lead over an event stream per user. */
   def qWindowLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -506,7 +541,7 @@ object RelationalOps {
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
-    "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _,
+    "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _, "q_window_range_frame" -> qWindowRangeFrame _, "q_join_right" -> qJoinRightOuter _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
     "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
 
@@ -518,7 +553,7 @@ object RelationalOps {
     "q_join_outer" -> qJoinOuterSql, "q_join_full" -> qJoinFullSql,
     "q_join_semi" -> qJoinSemiSql, "q_join_anti" -> qJoinAntiSql,
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
-    "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql,
+    "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql, "q_window_range_frame" -> qWindowRangeFrameSql, "q_join_right" -> qJoinRightOuterSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
     "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql, "q_scalar_subquery" -> qScalarSubquerySql)
 }
