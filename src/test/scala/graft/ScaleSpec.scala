@@ -97,6 +97,34 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got.forall(_._3 <= 2))
   }
 
+  test("rank rewrite does NOT fire on disjunctions or multi-function windows (soundness)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(("a", 10), ("a", 9), ("a", 8), ("a", 7), ("b", 7), ("b", 3))
+      .toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    // a disjunction admits rows beyond any top-k: rewriting would drop them
+    val disj = df.withColumn("rnk", rank().over(w)).filter($"rnk" <= 2 || $"v" === 7)
+    disj.collect()
+    assert(!disj.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "disjunctive rank filters must not be rewritten")
+    // kept: a:10(r1), a:9(r2), a:7(v=7, r4 — beyond any top-2!), b:7(r1), b:3(r2)
+    assert(disj.count() == 5)
+  }
+
+  test("rank BETWEEN bounds rewrite to the upper limit and keep lower-bound filtering") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(("a", 10), ("a", 9), ("a", 8), ("a", 7), ("b", 7), ("b", 3)).toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val band = df.withColumn("rnk", rank().over(w)).filter($"rnk" >= 2 && $"rnk" <= 3)
+    band.collect()
+    assert(band.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "conjunctive upper bound must still trigger the pre-limit")
+    val got = band.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(("a", 9, 2), ("a", 8, 3), ("b", 3, 2)), s"got $got")
+  }
+
   test("TopKPerKey partial phase bounds what the exchange carries") {
     import org.apache.spark.sql.graft.TopKPerKey
     import spark.implicits._

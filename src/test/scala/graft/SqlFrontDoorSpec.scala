@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TableIO
+
+/**
+ * SQL-text front door: the reference is used as a SQL engine (its TPC suites run `.sql`
+ * resources), so graft must accept SQL TEXT, not just the DataFrame API. Each test runs a
+ * Spark-SQL twin of a checklist query over registered temp views and proves it equals the
+ * DataFrame-API result — and that injected components (RankLimitRule, native TopKPerKey,
+ * SQL-registered vector functions) fire identically for SQL-authored plans.
+ */
+class SqlFrontDoorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def sameResult(sql: DataFrame, api: DataFrame): Unit = {
+    assert(sql.columns.toSeq == api.columns.toSeq, "column names must match")
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty,
+      "SQL text and DataFrame API must produce identical multisets")
+  }
+
+  test("tpch_q1 as SQL text equals the DataFrame plan") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= CAST('2000-12-01' AS TIMESTAMP)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    sameResult(sql, operators.TpchQueries.q1(spark, sf))
+  }
+
+  test("snowflake join as SQL text equals the DataFrame plan") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT r_name, year(o_orderdate) AS yr,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size <= 25
+        |GROUP BY r_name, year(o_orderdate)
+        |ORDER BY r_name, yr""".stripMargin)
+    sameResult(sql, operators.TpcdsShapedQueries.qDsSnowflake(spark, sf))
+  }
+
+  test("SQL-authored rank<=k filter goes through the native TopKPerKey rewrite") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT l_returnflag, rnk, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem) t
+        |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin)
+    sql.collect()
+    assert(sql.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the injected rule must fire for SQL-text plans too")
+    sameResult(sql, operators.RelationalOps.qWindowRank(spark, sf))
+  }
+
+  test("grouping sets, semi/anti joins, and scalar subqueries work as SQL text") {
+    TableIO.registerAll(spark, sf)
+    val gs = spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin)
+    sameResult(gs, operators.RelationalOps.qGroupingSets(spark, sf))
+    val semi = spark.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+    assert(semi.count() > 0)
+    val scalar = spark.sql(
+      "SELECT count(*) AS n FROM part WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)")
+    assert(scalar.head().getLong(0) > 0)
+  }
+
+  test("native vector expressions are callable from SQL over a real table") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT a.vec_id, round(cosine_similarity(a.embedding, b.embedding), 4) AS cos4,
+        |       round(dot_product(a.embedding, b.embedding), 4) AS dot4,
+        |       round(l2_distance(a.embedding, b.embedding), 4) AS l24
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 20 ORDER BY a.vec_id""".stripMargin)
+    assert(sql.count() > 0)
+    sql.collect().foreach { r =>
+      assert(!r.isNullAt(1) && math.abs(r.getDouble(1)) <= 1.0001)
+    }
+  }
+}
