@@ -425,6 +425,20 @@ object RelationalOps {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** #21b posexplode: ordinal-preserving generate (position is part of the output). */
+  def qPosexplode(spark: SparkSession, dir: String): DataFrame =
+    TableIO.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qPosexplodeSql: String =
+    """SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS tok FROM (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20))
+      |ORDER BY doc_id, pos""".stripMargin
+
   /**
    * #17e native per-key top-k via graft's custom operator (TopKPerKeyNode -> partial/final
    * bounded-heap execs). Equivalent to the row_number window form the oracle uses, but the
@@ -543,7 +557,7 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEqui _, "q_cross" -> qCross _,
     "q_window_rank" -> qWindowRank _, "q_window_funcs" -> qWindowFuncs _, "q_window_running" -> qWindowRunning _, "q_window_range_frame" -> qWindowRangeFrame _, "q_join_right" -> qJoinRightOuter _,
     "q_window_laglead" -> qWindowLagLead _, "q_distinct" -> qDistinct _,
-    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
+    "q_range" -> qRange _, "q_explode" -> qExplode _, "q_posexplode" -> qPosexplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
 
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
@@ -555,5 +569,5 @@ object RelationalOps {
     "q_join_nonequi" -> qJoinNonEquiSql, "q_cross" -> qCrossSql,
     "q_window_rank" -> qWindowRankSql, "q_window_funcs" -> qWindowFuncsSql, "q_window_running" -> qWindowRunningSql, "q_window_range_frame" -> qWindowRangeFrameSql, "q_join_right" -> qJoinRightOuterSql,
     "q_window_laglead" -> qWindowLagLeadSql, "q_distinct" -> qDistinctSql,
-    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql, "q_scalar_subquery" -> qScalarSubquerySql)
+    "q_range" -> qRangeSql, "q_explode" -> qExplodeSql, "q_posexplode" -> qPosexplodeSql, "q_shuffle_reuse" -> qShuffleReuseSql, "q_skew_join" -> qSkewJoinSql, "q_topk_per_key" -> qTopkPerKeySql, "q_range_join" -> qRangeJoinSql, "q_scalar_subquery" -> qScalarSubquerySql)
 }
