@@ -178,13 +178,44 @@ object EventsQueries {
       |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /**
+   * Cohort retention: users grouped by first-activity week, counted as active in each
+   * subsequent week — the standard product-analytics matrix. Two aggregations, one join:
+   * the per-user first-week frame joins back on user_id (AQE broadcasts it when small,
+   * shuffles on the key when not), then a distinct-count per (cohort, week offset). Week
+   * offsets are exact integer arithmetic (both endpoints week-truncated, so the day diff
+   * is an exact multiple of 7).
+   */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = TableIO.events(spark, dir)
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    e.join(firstWeek, Seq("user_id"))
+      .groupBy(
+        date_trunc("week", col("cohort_week")).cast("date").as("cohort"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7).cast("int").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("week_n"))
+  }
+
+  val qRetentionSql: String =
+    """WITH fw AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(fw.cohort_week AS DATE) AS cohort,
+      |  CAST(date_diff('day', fw.cohort_week, date_trunc('week', e.ts)) / 7 AS INT) AS week_n,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN fw ON e.user_id = fw.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_funnel_join" -> qFunnelJoin _,
     "q_sliding_window" -> qSlidingWindow _,
-    "q_session_window" -> qSessionWindow _)
+    "q_session_window" -> qSessionWindow _,
+    "q_retention" -> qRetention _)
 
   val oracles: Map[String, String] = Map(
     "q_events_window" -> qEventsWindowSql,
@@ -192,5 +223,6 @@ object EventsQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel_join" -> qFunnelJoinSql,
     "q_sliding_window" -> qSlidingWindowSql,
-    "q_session_window" -> qSessionWindowSql)
+    "q_session_window" -> qSessionWindowSql,
+    "q_retention" -> qRetentionSql)
 }

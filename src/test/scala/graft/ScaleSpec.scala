@@ -141,6 +141,33 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffled join") {
+    // At 100 TB a selective dimension-side filter should reach the FACT scan as a bloom
+    // filter (Spark's InjectRuntimeFilter), pruning probe rows before the shuffle. The
+    // size thresholds default to cluster scale (10 GB probe side), so the test lowers
+    // them to fire on test data; the PLAN SHAPE is what production inherits.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.TableIO.lineitem(spark, SparkTestBase.sf)
+      val o = graft.sources.TableIO.orders(spark, SparkTestBase.sf)
+        .filter(col("o_totalprice") > 400000.0) // selective creation side
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val db = "graft_bucketing_test"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
