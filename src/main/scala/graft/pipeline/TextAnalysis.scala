@@ -84,6 +84,68 @@ object TextAnalysis {
        |  FROM documents)""".stripMargin
 
   /**
+   * Gopher-style repetition signals: the fraction of tokens taken by the single most
+   * frequent unigram and by the most frequent bigram — the classic filters for
+   * boilerplate/spam in LLM corpora (high top-n-gram mass = repetitive junk). Per-row
+   * mode-counting needs a hash map per doc, so this is a typed JIT kernel (map-only after
+   * fanOut, zero shuffle at any corpus size); fractions are exact int/int divisions so
+   * both engines produce identical doubles.
+   */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TableIO.fanOut(TableIO.documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        var b = 0; var e = text.length
+        while (b < e && text.charAt(b) == ' ') b += 1
+        while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        val toks = text.substring(b, e).split("\\s+")
+        val n = toks.length
+        val uni = new java.util.HashMap[String, Int](n * 2)
+        var i = 0
+        var maxUni = 0
+        while (i < n) {
+          val c = uni.merge(toks(i), 1, (a, x) => a + x)
+          if (c > maxUni) maxUni = c
+          i += 1
+        }
+        val big = new java.util.HashMap[String, Int](n * 2)
+        var maxBig = 0
+        i = 0
+        while (i + 1 < n) {
+          val c = big.merge(toks(i) + " " + toks(i + 1), 1, (a, x) => a + x)
+          if (c > maxBig) maxBig = c
+          i += 1
+        }
+        val topTok = maxUni * 1.0 / n
+        val topBigram = if (n > 1) maxBig * 1.0 / (n - 1) else 0.0
+        (id, n, topTok, topBigram)
+      }
+      .toDF("doc_id", "n_tokens", "top_tok_frac", "top_bigram_frac")
+  }
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |uni AS (
+      |  SELECT doc_id, max(c) AS max_uni, CAST(sum(c) AS BIGINT) AS n FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |big AS (
+      |  SELECT doc_id, max(c) AS max_big FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM (
+      |      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |            FROM t WHERE len(toks) > 1))
+      |    GROUP BY 1, 2) GROUP BY 1)
+      |SELECT uni.doc_id, CAST(n AS INT) AS n_tokens,
+      |  max_uni * 1.0 / n AS top_tok_frac,
+      |  coalesce(max_big * 1.0 / (n - 1), 0.0) AS top_bigram_frac
+      |FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+      |ORDER BY uni.doc_id""".stripMargin
+
+  /**
    * The user-facing quality GATE: keep documents above a composite-score threshold with
    * sane length bounds — the filter a curation pipeline applies before tokenization.
    * Summarized per lang so the driver check is stable.
@@ -163,6 +225,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
+    "text_repetition" -> (textRepetition(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_quality_filter" -> (textQualityFilter(_, _)))
@@ -170,6 +233,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_quality_filter" -> textQualityFilterSql(0.5))
