@@ -305,6 +305,21 @@ object ExpressionQueries {
       |  strftime(CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
       |FROM events WHERE event_id < 100""".stripMargin
 
+  /** #30b base-conversion + sub-second epoch kernels (the reference's Hex/Conv and
+    * MicrosToTimestamp/UnixMicros unary operators — ColumnarUnaryOperator.scala). */
+  def qConvFuncs(spark: SparkSession, dir: String): DataFrame =
+    TableIO.events(spark, dir).filter(col("event_id") < 2000).select(
+      col("event_id"),
+      hex(col("event_id")).as("hex_id"),
+      conv(col("event_id").cast("string"), 10, 2).as("bin_id"),
+      unix_micros(col("ts")).as("epoch_us"),
+      unix_millis(col("ts")).as("epoch_ms"))
+
+  val qConvFuncsSql: String =
+    """SELECT event_id, to_hex(event_id) AS hex_id, bin(event_id) AS bin_id,
+      |  epoch_us(ts) AS epoch_us, epoch_ms(ts) AS epoch_ms
+      |FROM events WHERE event_id < 2000""".stripMargin
+
   /** #37 hash kernels (md5/sha2-256 — DuckDB 1.0 lacks sha1/crc32; murmur3/xxhash are spec-tested). */
   def qHashFuncs(spark: SparkSession, dir: String): DataFrame =
     TableIO.documents(spark, dir).select(
@@ -599,7 +614,7 @@ object ExpressionQueries {
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
     "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
-    "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
+    "q_conv_funcs" -> qConvFuncs _, "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
     "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
@@ -610,7 +625,7 @@ object ExpressionQueries {
     "q_in_filter" -> qInFilterSql, "q_string_funcs" -> qStringFuncsSql,
     "q_like_regex" -> qLikeRegexSql, "q_date_funcs" -> qDateFuncsSql,
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
-    "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
+    "q_conv_funcs" -> qConvFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
     "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
