@@ -9,9 +9,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
 
 /**
  * Rewrites `Filter(rank/row_number <= k, Window[single ranking expr])` to run on top of
- * the native [[TopKPerKeyNode]] pre-limit — the planner-injection analog of how the
- * reference swaps whole operators under existing query shapes (gazelle_plugin:
- * native-sql-engine/core/src/main/scala/com/intel/oap/extension/ColumnarOverrides.scala:1).
+ * the native [[TopKPerKeyNode]] pre-limit. This is the direct analog of the reference's
+ * OWN rank-filter optimizer rule (gazelle_plugin: native-sql-engine/core/src/main/scala/
+ * com/intel/oap/extension/OptimizerOverrides.scala:39 `LocalRankWindow`, which splits the
+ * window into a map-side LocalWindowExec + filter before the exchange, LocalWindowExec
+ * being a full sort-based window per map partition). graft's version keeps bounded k-row
+ * HEAPS per key instead of sorting each partition — O(n log k) and no buffered row array
+ * — and injects via the same `injectOptimizerRule` route (OptimizerOverrides.scala:222).
  *
  * Why: the stock plan sorts EVERY partition's full row set before the rank filter drops
  * all but k rows (Spark's own WindowGroupLimit mitigation still sorts each map partition).

@@ -141,6 +141,39 @@ class ScaleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  test("preferSortMergeJoin=false picks ShuffledHashJoin (reference forceShuffledHashJoin analog)") {
+    // gazelle_plugin forces SHJ over SMJ via a custom strategy (StrategyOverrides.scala:39
+    // JoinSelectionOverrides + forceShuffledHashJoin). Spark 4 exposes the same preference
+    // natively; this proves the conf route yields the same physical operator — one hash
+    // build instead of sorting both fact sides.
+    // threshold sized so the narrow build side is NOT broadcastable (> 4 KB) but IS
+    // local-hash-map buildable (< 4 KB x 32 shuffle partitions) — the SHJ window
+    val confs = Seq(
+      "spark.sql.join.preferSortMergeJoin" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // wide probe side vs narrow build side: Spark's JoinSelection picks SHJ (BuildRight)
+      // when the build is 3x smaller and preferSortMergeJoin is off — no sort of either side
+      val li = graft.sources.TableIO.lineitem(spark, SparkTestBase.sf)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"))
+      val o = graft.sources.TableIO.orders(spark, SparkTestBase.sf)
+        .select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice") * (org.apache.spark.sql.functions.lit(1) - col("l_discount"))), 2).as("rev"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected SHJ with preferSortMergeJoin=false:\n$plan")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffled join") {
     // At 100 TB a selective dimension-side filter should reach the FACT scan as a bloom
     // filter (Spark's InjectRuntimeFilter), pruning probe rows before the shuffle. The
