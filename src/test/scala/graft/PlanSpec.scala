@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite {
     assert(li.repartition(8).coalesce(2).rdd.getNumPartitions == 2)
   }
 
+  test("collect_list aggregates via ObjectHashAggregate, falling back to SortAggregate") {
+    // the reference covers both HashAggregateExec and SortAggregateExec (docs/operators.md
+    // #15/#16); object-buffer aggregates pick ObjectHashAggregate by default and MUST
+    // degrade to SortAggregate when it is disabled — both paths proven here
+    val q = graft.functions.ExpressionQueries.qCollectList(spark, sf)
+    assert(executedPlan(q).contains("ObjectHashAggregate"))
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try {
+      val p = executedPlan(graft.functions.ExpressionQueries.qCollectList(spark, sf))
+      assert(p.contains("SortAggregate"), s"expected SortAggregate fallback:\n$p")
+    } finally spark.conf.unset("spark.sql.execution.useObjectHashAggregateExec")
+  }
+
   test("q_window_rank executes through the native TopKPerKey pre-limit") {
     val plan = executedPlan(RelationalOps.qWindowRank(spark, sf))
     assert(plan.contains("TopKPerKey"),
