@@ -69,28 +69,36 @@ object TpcdsShapedQueries {
    * customers whose order revenue grew >50% year-over-year. The per-(customer, year)
    * aggregate subplan appears twice; Catalyst's exchange reuse materializes it once
    * (same property q_shuffle_reuse asserts).
+   *
+   * The growth PREDICATE runs on exact integer cent sums (`2*t1 > 3*t0`), never on
+   * floating sums: a double sum is accumulation-order-dependent, and a row near the 1.5x
+   * boundary could be included by one engine and excluded by the other — a flipped
+   * filter row can't be absorbed by output rounding.
    */
   def qDsYoy(spark: SparkSession, dir: String): DataFrame = {
     val yearly = TableIO.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
-      .agg(sum(col("o_totalprice")).as("total"))
-    val a = yearly.select(col("o_custkey").as("custkey"), col("yr").as("yr0"), col("total").as("t0"))
-    val b = yearly.select(col("o_custkey").as("custkey_b"), col("yr").as("yr1"), col("total").as("t1"))
+      .agg(sum(col("cents")).as("total_cents"))
+    val a = yearly.select(col("o_custkey").as("custkey"), col("yr").as("yr0"), col("total_cents").as("t0"))
+    val b = yearly.select(col("o_custkey").as("custkey_b"), col("yr").as("yr1"), col("total_cents").as("t1"))
     a.join(b, col("custkey") === col("custkey_b") && col("yr1") === col("yr0") + 1)
-      .filter(col("t1") > col("t0") * 1.5)
-      .select(col("custkey"), col("yr0"), round(col("t0"), 2).as("rev0"), round(col("t1"), 2).as("rev1"))
+      .filter(col("t1") * 2 > col("t0") * 3) // exact: t1 > 1.5 * t0 in integer math
+      .select(col("custkey"), col("yr0"),
+        round(col("t0") / 100.0, 2).as("rev0"), round(col("t1") / 100.0, 2).as("rev1"))
       .orderBy(col("custkey"), col("yr0"))
   }
 
   val qDsYoySql: String =
     """WITH yearly AS (
-      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr, sum(o_totalprice) AS total
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |  FROM orders GROUP BY 1, 2)
       |SELECT a.o_custkey AS custkey, a.yr AS yr0,
-      |  round(a.total, 2) AS rev0, round(b.total, 2) AS rev1
+      |  round(a.total_cents / 100.0, 2) AS rev0, round(b.total_cents / 100.0, 2) AS rev1
       |FROM yearly a JOIN yearly b
       |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
-      |WHERE b.total > a.total * 1.5
+      |WHERE b.total_cents * 2 > a.total_cents * 3
       |ORDER BY custkey, yr0""".stripMargin
 
   /**
@@ -204,12 +212,18 @@ object TpcdsShapedQueries {
    * DS shape 6 (q6/q65 family): rows above a correlated group average — parts priced
    * >30% over their brand's average, counted by type. The per-brand average joins back
    * against the same table (broadcastable once aggregated: one row per brand).
+   *
+   * The above-average PREDICATE is exact rational arithmetic on integer cents
+   * (price * n * 10 > sum * 13 ⟺ price > 1.3 * sum/n), so boundary rows can't flip
+   * between engines on floating-point accumulation order.
    */
   def qDsAboveAvg(spark: SparkSession, dir: String): DataFrame = {
     val p = TableIO.part(spark, dir)
-    val brandAvg = p.groupBy(col("p_brand")).agg(avg(col("p_retailprice")).as("brand_avg"))
+      .withColumn("price_cents", round(col("p_retailprice") * 100).cast("long"))
+    val brandAvg = p.groupBy(col("p_brand"))
+      .agg(sum(col("price_cents")).as("sum_cents"), count(lit(1)).as("n_brand"))
     p.join(brandAvg, Seq("p_brand"))
-      .filter(col("p_retailprice") > col("brand_avg") * 1.3)
+      .filter(col("price_cents") * col("n_brand") * 10 > col("sum_cents") * 13)
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
       .orderBy(col("p_type"))
@@ -217,10 +231,11 @@ object TpcdsShapedQueries {
 
   val qDsAboveAvgSql: String =
     """SELECT p_type, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
-      |FROM part p
-      |JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
+      |FROM (SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents FROM part) p
+      |JOIN (SELECT p_brand, CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |             count(*) AS n_brand
       |      FROM part GROUP BY 1) b USING (p_brand)
-      |WHERE p_retailprice > brand_avg * 1.3
+      |WHERE price_cents * n_brand * 10 > sum_cents * 13
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -159,6 +159,10 @@ object Dedup {
    * verified output equals the exhaustive-jaccard oracle on any realistic data.
    */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    // cache() (MEMORY_AND_DISK) because the gram frame feeds both signature generation
+    // and exact verification; blocks are LRU-evicted under memory pressure, and a
+    // long-running service would unpersist after materializing the result — a returned
+    // lazy DataFrame cannot safely unpersist its own inputs here.
     val g = gramHashSets(TableIO.documents(spark, dir)).cache()
     val bands = lshBands(minhashSignatures(g))
     val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
@@ -197,63 +201,85 @@ object Dedup {
 
   // ---- n-gram Jaccard via inverted index ----------------------------------------------
 
-  /**
-   * Candidate pairs from a document-frequency-capped inverted gram index. Grams whose df
-   * exceeds `maxDf` are dropped from the index BEFORE pair generation: one stop-gram with
-   * df = d would otherwise emit d·(d-1)/2 pair rows (df = 10⁶ → ~10¹² rows — the classic
-   * inverted-index scale-killer). With the cap, per-gram fan-out is bounded by
-   * maxDf²/2 regardless of corpus size. A true near-dup pair at jaccard >= 0.5 shares
-   * many grams, overwhelmingly rare ones, so candidates survive the cap; only pairs whose
-   * ENTIRE overlap is stop-grams (noise, not near-dups) are missed — the deliberate,
-   * documented trade (same as PPJoin-style prefix filtering). DedupSpec proves the capped
-   * candidates still cover every exhaustive-jaccard pair on the test corpus and bounds
-   * the pair-row count under a planted stop-gram.
-   */
-  def ngramCandidates(g: DataFrame, maxDf: Long): DataFrame = {
-    val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
-    // df per gram, computed map-side-combinably; the semi-join keeps only capped grams.
-    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("h"))
-    val invC = inv.join(rare, Seq("h"), "left_semi")
-    invC.select(col("doc_id").as("a_id"), col("h"))
-      .join(invC.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-  }
+  private val NgramMaxDf = 256L
 
   /**
-   * N-gram Jaccard near-dup: df-capped inverted-index candidates + EXACT intersection
-   * counts, all in the co-occurrence domain (never array_intersect over gram arrays —
-   * measured 2.7x slower when this ran candidate verification through [[verifiedJaccard]]):
-   *  - inter_low: co-occurring sub-cap grams per pair, counted map-side-combinably from
-   *    the capped index (`groupBy(a,b).count`). This is also the candidate set — bounded
-   *    fan-out per gram (maxDf²/2) at any corpus size.
-   *  - inter_high: the correction for shared HIGH-df grams, counted only for candidate
-   *    pairs by joining them through the (tiny) high-df index slice — so stop-grams
-   *    contribute their true intersection weight without ever generating pairs.
-   * inter = inter_low + inter_high is exactly |A∩B|, so the output equals the exhaustive
-   * oracle for every pair sharing at least one sub-cap gram (pairs whose ENTIRE overlap
-   * is stop-grams are noise, not near-dups — the documented PPJoin-style trade).
+   * The capped-index building blocks shared by [[ngramCandidates]] and
+   * [[ngramJaccardPairs]] — ONE definition, so the spec-certified candidate logic and the
+   * shipped query logic cannot drift.
+   *
+   * EXACT candidate generation with bounded fan-out, combining an absolute df cap with a
+   * prefix-filter completeness argument (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08
+   * PPJoin):
+   *  - `interLow`: pairs co-occurring in at least one SUB-cap gram, with their sub-cap
+   *    intersection counts (map-side-combinable `groupBy(a,b).count`; per-gram fan-out
+   *    bounded by maxDf²/2 at any corpus size).
+   *  - A pair missed by interLow shares ONLY high-df grams. By the prefix theorem (global
+   *    order = ascending df), each such doc's prefix — its |d| - ceil(t·|d|) + 1 rarest
+   *    grams — must contain high-df grams, which happens iff the doc has FEWER sub-cap
+   *    grams than its prefix length. Those "cluster docs" (near-total duplication — their
+   *    content is corpus-frequent) are detected by count, and `extraPairs` joins their
+   *    high-df grams pair-to-pair. On a healthy corpus this set is ~empty; in a
+   *    duplication cluster it is exactly the cluster — whose C(n,2) pairs are the answer,
+   *    not avoidable work. (Run exact dedup first: a corpus of a million IDENTICAL docs
+   *    legitimately has ~5·10¹¹ near-dup pairs.)
+   * Round-2's first cut was the df cap alone — broken for clusters larger than the cap
+   * (every shared gram exceeds it; all pairs missed). DedupSpec pins a 300-doc cluster.
    */
-  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
-      maxDf: Long = 256): DataFrame = {
-    val g = gramHashSets(TableIO.documents(spark, dir)).cache()
+  private def ngramIndex(g: DataFrame, threshold: Double, maxDf: Long):
+      (DataFrame, DataFrame, DataFrame) = {
     val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
+    // the split index feeds several DAG branches (interLow twice via the self-join, nLow,
+    // extraPairs, interHigh) — cache both halves or each branch recomputes the df
+    // aggregation + semi/anti joins (measured 2.5x slower uncached)
     val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))
-    val invLow = inv.join(rare, Seq("h"), "left_semi")
-    val invHigh = inv.join(rare, Seq("h"), "left_anti")
+    val invLow = inv.join(rare, Seq("h"), "left_semi").cache()
+    val invHigh = inv.join(rare, Seq("h"), "left_anti").cache()
     val interLow = invLow.select(col("doc_id").as("a_id"), col("h"))
       .join(invLow.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_low"))
-    val interHigh = interLow.select(col("a_id"), col("b_id"))
+    val nLow = invLow.groupBy(col("doc_id")).agg(count(lit(1)).as("n_low"))
+    val clusterDocs = g.select(col("doc_id"), col("sz"))
+      .join(nLow, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_low"), lit(0L)) < col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"))
+    val highE = invHigh.join(clusterDocs, Seq("doc_id"), "left_semi")
+    val extraPairs = highE.select(col("doc_id").as("a_id"), col("h"))
+      .join(highE.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    (interLow, extraPairs, invHigh)
+  }
+
+  /** Complete candidate-pair set for jaccard >= threshold (see [[ngramIndex]]). */
+  def ngramCandidates(g: DataFrame, threshold: Double): DataFrame = {
+    val (interLow, extraPairs, _) = ngramIndex(g, threshold, NgramMaxDf)
+    interLow.select(col("a_id"), col("b_id"))
+      .unionByName(extraPairs).distinct()
+  }
+
+  /**
+   * Exact jaccard >= threshold pairs for a gram frame. Intersections stay in the
+   * co-occurrence domain (never array_intersect over gram arrays — measured 2.7x
+   * slower): inter = inter_low (from the capped index) + inter_high (shared high-df
+   * grams, counted ONLY for candidate pairs through the high-df index slice, so
+   * stop-grams contribute their true weight without generating pairs).
+   */
+  def ngramJaccardPairs(g: DataFrame, threshold: Double): DataFrame = {
+    val (interLow, extraPairs, invHigh) = ngramIndex(g, threshold, NgramMaxDf)
+    val pairs = interLow
+      .unionByName(extraPairs.withColumn("inter_low", lit(0L)))
+      .groupBy(col("a_id"), col("b_id")).agg(max(col("inter_low")).as("inter_low"))
+      .cache() // read by both the interHigh derivation and the final join
+    val interHigh = pairs.select(col("a_id"), col("b_id"))
       .join(invHigh.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
       .join(invHigh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_high"))
     val sa = g.select(col("doc_id").as("a_id"), col("sz").as("sza"))
     val sb = g.select(col("doc_id").as("b_id"), col("sz").as("szb"))
-    interLow
+    pairs
       .join(interHigh, Seq("a_id", "b_id"), "left")
       .withColumn("inter", col("inter_low") + coalesce(col("inter_high"), lit(0L)))
       .join(sa, "a_id").join(sb, "b_id")
@@ -261,7 +287,13 @@ object Dedup {
         col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** N-gram Jaccard near-dup over the documents table (see [[ngramJaccardPairs]]) —
+    * equals the exhaustive-jaccard oracle, with bounded candidate generation. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val g = gramHashSets(TableIO.documents(spark, dir)).cache()
+    ngramJaccardPairs(g, threshold).orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- SimHash -------------------------------------------------------------------------

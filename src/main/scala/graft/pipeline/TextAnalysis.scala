@@ -52,7 +52,10 @@ object TextAnalysis {
         var b = 0; var e = text.length
         while (b < e && text.charAt(b) == ' ') b += 1
         while (e > b && text.charAt(e - 1) == ' ') e -= 1
-        val toks = text.substring(b, e).split("\\s+")
+        // limit -1 keeps trailing empty strings: Java's default split drops them while
+        // DuckDB's string_split_regex keeps them — text ending in "\n" must tokenize
+        // identically on both engines
+        val toks = text.substring(b, e).split("\\s+", -1)
         val n = toks.length
         var stop = 0
         var i = 0
@@ -99,7 +102,10 @@ object TextAnalysis {
         var b = 0; var e = text.length
         while (b < e && text.charAt(b) == ' ') b += 1
         while (e > b && text.charAt(e - 1) == ' ') e -= 1
-        val toks = text.substring(b, e).split("\\s+")
+        // limit -1 keeps trailing empty strings: Java's default split drops them while
+        // DuckDB's string_split_regex keeps them — text ending in "\n" must tokenize
+        // identically on both engines
+        val toks = text.substring(b, e).split("\\s+", -1)
         val n = toks.length
         val uni = new java.util.HashMap[String, Int](n * 2)
         var i = 0

@@ -38,21 +38,34 @@ import org.apache.spark.sql.catalyst.rules.Rule
  */
 object RankLimitRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Smallest upper bound k implied by the conjuncts for `rankAttr` (rank <= k forms). */
-  private def impliedLimit(conjuncts: Seq[Expression], rankAttr: Attribute): Option[Int] = {
-    val bounds = conjuncts.flatMap {
-      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k)
-      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k - 1)
-      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k)
-      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k)
-      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k - 1)
+  /** Above this the pre-limit stops paying (heaps hold k rows per key per partition and
+    * the stock window path is no longer clearly worse) — same idea as Spark's
+    * windowGroupLimitThreshold guard. */
+  private val MaxRewriteLimit = 1 << 20
+
+  /** Smallest upper bound k implied by the conjuncts for `rankAttr` (rank <= k forms).
+    * Bounds are computed in Long: `rnk < Int.MinValue` must yield a degenerate bound, not
+    * wrap around to Int.MaxValue. */
+  private def impliedLimit(conjuncts: Seq[Expression], rankAttr: Attribute): Option[Long] = {
+    val bounds: Seq[Long] = conjuncts.flatMap {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k.toLong)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k.toLong - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rankAttr) => Some(k.toLong)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k.toLong)
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rankAttr) => Some(k.toLong - 1)
       case _ => None
     }
     bounds.reduceOption(_ min _)
   }
 
-  /** Spark's InferWindowGroupLimit may have inserted its own pre-limit; the native
-    * operator supersedes it (and unlike it, needs no map-side sort). */
+  /** Defensive strip of Spark's own WindowGroupLimit pre-limit if one is already below
+    * the Window. Batch-order note: injected operator-optimization rules run BEFORE the
+    * "Infer window group limit" batch, so in the normal flow this rule fires first and
+    * Infer may then add a FINAL-mode WindowGroupLimit above our TopKPerKeyNode — that pass
+    * rides the sort the Window needs anyway and streams over only the <= k*keys
+    * survivors, so it is harmless (and the map-side partial WindowGroupLimit, the one
+    * that would re-sort every input partition, is never inserted because the rows are
+    * already limited). The strip below matters only if batch ordering ever flips. */
   private def stripGroupLimit(p: LogicalPlan): LogicalPlan = p match {
     case wgl: WindowGroupLimit => wgl.child
     case other => other
@@ -70,10 +83,10 @@ object RankLimitRule extends Rule[LogicalPlan] with PredicateHelper {
             case _ => None // dense_rank/ntile/...: retention semantics differ, leave alone
           }
           (withTies, impliedLimit(splitConjunctivePredicates(cond), a.toAttribute)) match {
-            case (Some(ties), Some(k)) if k > 0 =>
+            case (Some(ties), Some(k)) if k > 0 && k <= MaxRewriteLimit =>
               f.copy(child = w.copy(child =
-                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child), ties)))
-            case _ => f
+                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k.toInt, stripGroupLimit(w.child), ties)))
+            case _ => f // k <= 0 (always-false filter) or huge: leave the stock plan alone
           }
         case _ => f
       }

@@ -89,7 +89,9 @@ case class TopKPerKeyExec(
         val key = keyGen(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+          // initial capacity is NOT k: the queue grows as rows arrive, so a large k
+          // never preallocates a k-sized array per key
+          heap = new java.util.PriorityQueue[InternalRow](math.min(limit, 16), ord.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.offer(row.copy())

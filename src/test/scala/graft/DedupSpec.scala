@@ -68,33 +68,60 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("df-capped ngram candidates still cover every exhaustive jaccard pair") {
+  test("prefix-filtered ngram candidates cover every exhaustive jaccard pair (theorem check)") {
     val g = Dedup.gramHashSets(graft.sources.TableIO.documents(spark, sf)).cache()
     try {
-      val capped = Dedup.ngramCandidates(g, 256)
+      val candidates = Dedup.ngramCandidates(g, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // uncapped candidates + exact verify = the exhaustive truth at threshold 0.5
-      val truePairs = Dedup.dedupNgramJaccard(spark, sf, threshold = 0.5, maxDf = Long.MaxValue)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exhaustive truth: all-pairs jaccard over the gram sets, computed in-memory
+      val sets = g.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ids = sets.keys.toSeq.sorted
+      val truePairs = (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.size
+        a = sets(ids(i)); b = sets(ids(j))
+        inter = (a & b).size
+        if inter * 1.0 / (a.size + b.size - inter) >= 0.5
+      } yield (ids(i), ids(j))).toSet
       assert(truePairs.nonEmpty)
-      assert(truePairs.subsetOf(capped),
-        s"df cap dropped true pairs: ${truePairs -- capped}")
+      assert(truePairs.subsetOf(candidates),
+        s"prefix filter dropped true pairs: ${truePairs -- candidates}")
     } finally g.unpersist()
   }
 
-  test("df cap bounds candidate fan-out under a planted stop-gram") {
+  test("a planted super-cap stop-gram generates zero candidate fan-out") {
     import spark.implicits._
-    // n docs all share ONE stop-gram (identical leading 3 tokens); every other gram unique.
-    val n = 200
+    // n=300 docs all share ONE stop-gram (df=300 > the 256 cap); every other gram is
+    // unique (df=1). The docs have plenty of sub-cap grams (4 of 5 > prefix length 3),
+    // so none is a "cluster doc" — the stop-gram never pairs anything, and the
+    // n·(n-1)/2 ≈ 45k pair rows a naive inverted index would emit never materialize.
+    // (Correct too: pairwise jaccard = 1/9 < 0.5.)
+    val n = 300
     val docs = (1 to n)
       .map(i => (i.toLong, s"the common gram u$i v$i w$i x$i"))
       .toDF("doc_id", "text")
     val g = Dedup.gramHashSets(docs).cache()
     try {
-      // uncapped index: the stop-gram alone fans out to all n·(n-1)/2 pairs
-      assert(Dedup.ngramCandidates(g, Long.MaxValue).count() == n.toLong * (n - 1) / 2)
-      // capped index drops the df=200 gram; no sub-cap gram co-occurs -> zero pairs
-      assert(Dedup.ngramCandidates(g, 50).count() == 0L)
+      assert(Dedup.ngramCandidates(g, 0.5).count() == 0L)
+    } finally g.unpersist()
+  }
+
+  test("a duplication cluster LARGER than any df cutoff keeps all its pairs (PPJoin fix)") {
+    import spark.implicits._
+    // 300 near-identical docs: every shared gram has df=300, which round-2's first-cut
+    // absolute df cap (256) would have dropped entirely — missing ALL the cluster's
+    // pairs. The prefix filter keeps them: each doc's rarest grams are still shared.
+    val n = 300
+    val base = (1 to 12).map(k => s"c$k").mkString(" ")
+    val docs = (1 to n).map(i => (i.toLong, s"$base u$i")).toDF("doc_id", "text")
+    val g = Dedup.gramHashSets(docs).cache()
+    try {
+      // 13 tokens -> 11 grams; 10 shared + 1 unique per doc -> pairwise jacc = 10/12
+      val pairs = Dedup.ngramJaccardPairs(g, 0.5)
+      assert(pairs.count() == n.toLong * (n - 1) / 2,
+        "every pair of the cluster must survive candidate generation")
+      val sample = pairs.limit(5).collect()
+      sample.foreach(r => assert(math.abs(r.getDouble(2) - 10.0 / 12.0) < 1e-12))
     } finally g.unpersist()
   }
 }

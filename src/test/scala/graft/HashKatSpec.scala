@@ -41,20 +41,17 @@ class HashKatSpec extends AnyFunSuite {
     assert(one(crc32(lit(""))).getLong(0) == 0L)
   }
 
-  test("murmur3 hash and xxhash64 are stable at Spark's documented seed") {
-    // Spark pins both to seed 42; these values are cross-version stable (shuffle
-    // partitioning and bucketing depend on them, so Spark cannot change them silently).
-    assert(one(hash(lit("abc"))).getInt(0) == one(hash(lit("abc"))).getInt(0))
-    assert(one(hash(lit(42))).getInt(0) == one(expr("hash(42)")).getInt(0))
-    // xxhash64 of an int column at seed 42 — the value Spark documents for bucketing
-    val viaDf = one(xxhash64(lit("abc"))).getLong(0)
-    val viaSql = one(expr("xxhash64('abc')")).getLong(0)
-    assert(viaDf == viaSql)
-    // murmur3 reference value: Spark's Murmur3Hash of UTF8 "abc" with seed 42
-    val m = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-      org.apache.spark.unsafe.types.UTF8String.fromString("abc").getBaseObject,
-      org.apache.spark.unsafe.types.UTF8String.fromString("abc").getBaseOffset,
-      3, 42)
-    assert(one(hash(lit("abc"))).getInt(0) == m)
+  test("murmur3 hash and xxhash64 match hardcoded seed-42 known-answer values") {
+    // HARDCODED constants, not computed from the implementation under test: these are
+    // the algorithm-defined murmur3_x86_32 / XXH64 values of the UTF-8 bytes at seed 42
+    // (Spark's fixed seed). They are load-bearing across the ecosystem — shuffle
+    // partitioning and bucket layout depend on them, so any regression here corrupts
+    // data placement silently. A tautological self-comparison would never catch that.
+    assert(one(hash(lit("abc"))).getInt(0) == 1322437556)
+    assert(one(hash(lit(""))).getInt(0) == 142593372)
+    assert(one(hash(lit(42))).getInt(0) == 29417773)
+    assert(one(xxhash64(lit("abc"))).getLong(0) == 1423657621850124518L)
+    assert(one(xxhash64(lit(""))).getLong(0) == -7444071767201028348L)
+    assert(one(xxhash64(lit(42))).getLong(0) == -387659249110444264L)
   }
 }
