@@ -1,0 +1,101 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/**
+ * The user-facing library surface — every data-curation operator on ARBITRARY DataFrames,
+ * not just the test tables. This is the "switch from the reference" entry point: SQL-shaped
+ * work goes through plain Spark SQL / DataFrame API (graft adds nothing and that is the
+ * point — Catalyst/Tungsten are the execution engine); the operators below are the
+ * capabilities Spark itself lacks, each distributed-by-construction and spec/oracle-proven
+ * on the driver corpus (SURVEY.md §2.4-§2.5).
+ *
+ * Expected schemas: text ops take (doc_id: Long, text: String, ...); vector ops take
+ * (vec_id: Long, embedding: Array[Float]) with queries as (query_id, embedding). Extra
+ * columns pass through where the op returns rows of the input.
+ */
+object Graft {
+
+  // ---- deduplication -------------------------------------------------------------------
+
+  /** Verified MinHash-LSH near-duplicate pairs (a_id, b_id, jacc >= threshold). */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    Dedup.minhashPairs(docs, threshold)
+
+  /** Exact n-gram-Jaccard pairs via bounded candidate generation (equals exhaustive). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    Dedup.ngramJaccardPairs(Dedup.gramHashSets(docs).cache(), threshold)
+
+  /** SimHash pairs within a hamming radius (64-bit signatures, pigeonhole-banded). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame =
+    Dedup.simhashPairs(docs, maxHamming)
+
+  /** Cluster id per document appearing in a near-dup pair (connected components). */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    Dedup.connectedComponents(nearDupPairs(docs, threshold).select(col("a_id"), col("b_id")))
+
+  /** The deduplicated corpus: exact dups keep min doc_id, near-dup clusters keep one
+    * representative. Returns the KEPT input rows with all their columns. */
+  def dedupe(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    Dedup.dedupedCorpus(docs, threshold)
+
+  /** Embedding near-dup pairs, LSH-bucketed (the form that survives 100 TB). */
+  def embeddingNearDupPairs(vecs: DataFrame, tau: Double = 0.45): DataFrame =
+    Dedup.embeddingPairsLsh(vecs, tau)
+
+  // ---- similarity search ---------------------------------------------------------------
+
+  /** Exact top-k cosine neighbors per query (one corpus scan, bounded-heap re-rank). */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Similarity.topKNeighbors(corpus, queries, k)
+
+  /** Approximate top-k via multi-table random-hyperplane LSH (recall-spec'd). */
+  def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Similarity.topKNeighborsLsh(corpus, queries, k)
+
+  /** Approximate top-k via sampled-k-means IVF probing (recall-spec'd). */
+  def topKNeighborsIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Similarity.topKNeighborsIvf(corpus, queries, k)
+
+  // ---- text analysis -------------------------------------------------------------------
+
+  def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCounts(docs)
+  def qualityFeatures(docs: DataFrame): DataFrame = TextAnalysis.qualityFeatures(docs)
+  def repetitionSignals(docs: DataFrame): DataFrame = TextAnalysis.repetitionSignals(docs)
+  def languageId(docs: DataFrame): DataFrame = TextAnalysis.languageId(docs)
+  def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docs)
+
+  // ---- deterministic sampling ----------------------------------------------------------
+
+  /** Hash-threshold uniform sample — reproducible across retries and repartitionings. */
+  def sampleUniform(df: DataFrame): DataFrame = Sampling.sampledUniform(df)
+  def sampleStratified(docs: DataFrame): DataFrame = Sampling.sampledStratified(docs)
+
+  // ---- relational operators Spark lacks ------------------------------------------------
+
+  /** Exact top-k rows per key via the native bounded-heap operator (no partition sort). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey(df, keyCols, orderCols, k)
+
+  /** As-of join: enrich each left row with the latest right payload at or before its
+    * timestamp (union + partition-local window; one shuffle on the key). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    AsOfJoin.backward(left, right, key, leftTs, rightTs, payload)
+
+  /** Point-in-interval join as a binned equi-join (no nested loop at scale). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, binWidth: Double): DataFrame =
+    RangeJoin.pointInInterval(points, intervals, pointCol, loCol, hiCol, binWidth)
+
+  /** Inner equi-join with deterministic salting for pathological key skew; the
+    * discriminator is any probe-side column with per-row variety. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      discriminator: org.apache.spark.sql.Column, salts: Int = 16): DataFrame =
+    SkewJoin.saltedInner(probe, build, key, discriminator, salts)
+}

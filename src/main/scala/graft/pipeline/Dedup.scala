@@ -154,16 +154,17 @@ object Dedup {
   }
 
   /**
-   * MinHash-LSH near-duplicate pairs, verified with exact Jaccard >= threshold.
-   * With 128 perms / 32 bands, recall at j >= 0.8 is ~1 - (1 - 0.8^4)^32 > 0.999998, so the
-   * verified output equals the exhaustive-jaccard oracle on any realistic data.
+   * MinHash-LSH near-duplicate pairs for ANY (doc_id, text) frame, verified with exact
+   * Jaccard >= threshold. With 128 perms / 32 bands, recall at j >= 0.8 is
+   * ~1 - (1 - 0.8^4)^32 > 0.999998, so the verified output equals the exhaustive-jaccard
+   * oracle on any realistic data.
    */
-  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     // cache() (MEMORY_AND_DISK) because the gram frame feeds both signature generation
     // and exact verification; blocks are LRU-evicted under memory pressure, and a
     // long-running service would unpersist after materializing the result — a returned
     // lazy DataFrame cannot safely unpersist its own inputs here.
-    val g = gramHashSets(TableIO.documents(spark, dir)).cache()
+    val g = gramHashSets(docs).cache()
     val bands = lshBands(minhashSignatures(g))
     val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
@@ -172,8 +173,11 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
     verifiedJaccard(candidates, g)
       .filter(col("jacc") >= threshold)
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    minhashPairs(TableIO.documents(spark, dir), threshold)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** Shared oracle fragment: the grams CTE body + jaccard pair predicate (single source
     * of truth — the minhash, ngram, components, and corpus oracles all splice these). */
@@ -332,8 +336,8 @@ object Dedup {
    * land well under. Hash-seeded — not SQL-expressible, so driver check is rows-only;
    * DedupSpec asserts recall against the exact-jaccard pairs.
    */
-  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
-    val sh = simhashes(TableIO.documents(spark, dir))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val sh = simhashes(docs)
     val blocks = (0 until SimhashBlocks).map { k =>
       struct(lit(k).as("blk"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("bv"))
     }
@@ -346,8 +350,11 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming) // cheap per-row filter BEFORE the pair distinct
       .select(col("a_id"), col("b_id"), col("hamming")).distinct()
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame =
+    simhashPairs(TableIO.documents(spark, dir), maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
 
   // ---- embedding cosine near-dup -------------------------------------------------------
 
@@ -358,18 +365,20 @@ object Dedup {
    * for by default — at 100 TB the cross join is unrunnable, which is why the headline
    * `dedup_embedding` name maps to [[dedupEmbeddingLsh]].
    */
-  def dedupEmbeddingExact(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+  def embeddingPairsExact(vecs: DataFrame, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
-    val e = TableIO.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def dedupEmbeddingExact(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame =
+    embeddingPairsExact(TableIO.embeddings(spark, dir), tau)
+      .orderBy(col("a_id"), col("b_id"))
 
   def dedupEmbeddingSql(tau: Double): String =
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -387,22 +396,24 @@ object Dedup {
    * bucket) -> rows-only for the driver; DedupSpec asserts recall against
    * [[dedupEmbeddingExact]], which is the oracle-checked exhaustive twin.
    */
-  def dedupEmbeddingLsh(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+  def embeddingPairsLsh(vecs: DataFrame, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
-    val e = TableIO.embeddings(spark, dir)
-    val buckets = Similarity.lshBuckets(e)
+    val buckets = Similarity.lshBuckets(vecs)
     val candidates = buckets.select(col("vec_id").as("a_id"), col("bucket"))
       .join(buckets.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val ea = vecs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val eb = vecs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     candidates.join(ea, "a_id").join(eb, "b_id")
       .withColumn("cos", cosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame =
+    embeddingPairsLsh(TableIO.embeddings(spark, dir), tau)
+      .orderBy(col("a_id"), col("b_id"))
 
   // ---- connected components over near-dup pairs -----------------------------------------
 
@@ -490,22 +501,26 @@ object Dedup {
    * cached inside [[dedupMinhash]] so signature + verify share one computation.
    * Returns kept docs, summarized per source for a stable driver check.
    */
-  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = TableIO.documents(spark, dir)
+  /** Deduplicated corpus for ANY (doc_id, text, ...) frame: returns the KEPT rows with
+    * all their original columns — the frame a pipeline feeds to the next stage. */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val exactKeep = docs
       .withColumn("h", md5(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("keeper"))
       .drop("h", "keeper")
-    val pairs = dedupMinhash(spark, dir, threshold).select(col("a_id"), col("b_id"))
+    val pairs = minhashPairs(docs, threshold).select(col("a_id"), col("b_id"))
     val nearDrop = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     exactKeep.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
+
+  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    dedupedCorpus(TableIO.documents(spark, dir), threshold)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
-  }
 
   def dedupCorpusSql(threshold: Double): String =
     s"""WITH RECURSIVE $GramsCteSql,

@@ -37,15 +37,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact top-k cosine neighbors of each query vector over an arbitrary corpus:
+    * broadcast the (small) query set, scan the corpus once, native TopKPerKey re-rank.
+    * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding). */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
+    rankTopK(scored, k)
+  }
+
   /** Top-k neighbors for each query vector (vec_id < nQueries), brute force. */
   def annBruteforce(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
-    rankTopK(scored, k)
+    topKNeighbors(e, e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
   }
 
   def annBruteforceSql(nQueries: Int, k: Int): String =
@@ -93,21 +99,25 @@ object Similarity {
    * by construction (driver check is rows-only; SimilaritySpec asserts recall vs brute
    * force). Shuffle is O(n·L) on the bucket key — no cross join at any scale.
    */
-  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = TableIO.embeddings(spark, dir)
-    val buckets = lshBuckets(e)
-    val qb = buckets.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("bucket"))
-    val cb = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+  def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qb = lshBuckets(queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cb = lshBuckets(corpus).select(col("vec_id").as("neighbor_id"), col("bucket"))
     val candidates = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val qe = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val qe = queries.select(col("query_id"), col("embedding").as("qe"))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = candidates
       .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
     rankTopK(scored, k)
+  }
+
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = TableIO.embeddings(spark, dir)
+    topKNeighborsLsh(e,
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
   }
 
   // ---- IVF path -------------------------------------------------------------------------
@@ -232,22 +242,29 @@ object Similarity {
    * quantizes elsewhere) -> rows-only for the driver; SimilaritySpec asserts recall >= 0.8
    * vs brute force at 8/16 probes.
    */
-  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = TableIO.embeddings(spark, dir)
-    val cents = trainQuantizer(e)
-    val corpusLists = ivfAssign(e, 1, cents).select(col("vec_id").as("neighbor_id"), col("list_id"))
-    val queryLists = ivfAssign(e.filter(col("vec_id") < nQueries), IvfProbes, cents)
+  def topKNeighborsIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = IvfProbes): DataFrame = {
+    val cents = trainQuantizer(corpus)
+    val corpusLists = ivfAssign(corpus, 1, cents)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val queryLists = ivfAssign(
+        queries.select(col("query_id").as("vec_id"), col("embedding")), nProbe, cents)
       .select(col("vec_id").as("query_id"), col("list_id"))
     val candidates = queryLists.join(corpusLists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val qe = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val ce = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val qe = queries.select(col("query_id"), col("embedding").as("qe"))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = candidates
       .join(broadcast(qe), Seq("query_id")).join(ce, Seq("neighbor_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
     rankTopK(scored, k)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = TableIO.embeddings(spark, dir)
+    topKNeighborsIvf(e,
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
   }
 
   /**

@@ -18,12 +18,15 @@ object TextAnalysis {
   private val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation. */
-  def textTokens(spark: SparkSession, dir: String): DataFrame =
-    TableIO.documents(spark, dir).select(
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_calc"))
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(TableIO.documents(spark, dir))
 
   val textTokensSql: String =
     s"""SELECT doc_id,
@@ -43,10 +46,11 @@ object TextAnalysis {
    * the declarative form: SQL `trim` strips SPACES only (not Java String.trim's control
    * chars), and ratios over an empty text are null, not NaN.
    */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val stops = StopwordSet
-    TableIO.fanOut(TableIO.documents(spark, dir))
+    TableIO.fanOut(docs)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         var b = 0; var e = text.length
@@ -72,6 +76,9 @@ object TextAnalysis {
         "quality_score")
   }
 
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityFeatures(TableIO.documents(spark, dir))
+
   val textQualitySql: String =
     s"""SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, chars_per_token,
        |  stopword_ratio * 0.4 + alpha_ratio * 0.4
@@ -94,9 +101,10 @@ object TextAnalysis {
    * fanOut, zero shuffle at any corpus size); fractions are exact int/int divisions so
    * both engines produce identical doubles.
    */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    TableIO.fanOut(TableIO.documents(spark, dir))
+    TableIO.fanOut(docs)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         var b = 0; var e = text.length
@@ -129,6 +137,9 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_tokens", "top_tok_frac", "top_bigram_frac")
   }
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(TableIO.documents(spark, dir))
 
   val textRepetitionSql: String =
     """WITH t AS (
@@ -187,9 +198,9 @@ object TextAnalysis {
    * prediction = first language (fixed order) with the maximal score. Deterministic and
    * SQL-expressible, so it is oracle-checked end to end.
    */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  def languageId(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    val scored = TableIO.documents(spark, dir).select(
+    val scored = docs.select(
       (col("doc_id") +: LangMarkers.map { case (lang, ms) =>
         size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
       }): _*)
@@ -201,6 +212,9 @@ object TextAnalysis {
     // foldRight gives en > de > fr > es > zh precedence on ties (first when wins)
     scored.withColumn("predicted", predicted)
   }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    languageId(TableIO.documents(spark, dir))
 
   val textLangidSql: String = {
     val scoreExprs = LangMarkers.map { case (lang, ms) =>
@@ -219,10 +233,13 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 over whitespace-normalized text (stable content identity). */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TableIO.documents(spark, dir).select(
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fingerprint"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(TableIO.documents(spark, dir))
 
   val textFingerprintSql: String =
     """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint

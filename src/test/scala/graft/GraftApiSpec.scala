@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/**
+ * The library front door exercised on CONSTRUCTED DataFrames — none of these touch the
+ * driver test tables, proving the operators work on arbitrary user data with extra
+ * columns passing through (the "switch to graft" contract, not just the test harness).
+ */
+class GraftApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend", "web"),
+      (3L, "completely different content about spark query engines and planning", "books"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank", "crawl"), // exact dup of 1
+      (5L, "yet another unrelated document mentioning distributed joins only", "books")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("dedupe keeps one representative per exact/near-dup cluster, extra columns intact") {
+    val kept = Graft.dedupe(docs, threshold = 0.8)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"), "input columns preserved")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 4 is an exact dup of 1; 2 is a near-dup of 1 (one token differs) -> cluster keeps 1
+    assert(ids == Set(1L, 3L, 5L), s"got $ids")
+  }
+
+  test("nearDupPairs and nearDupClusters agree on the constructed corpus") {
+    val pairs = Graft.nearDupPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
+    val comp = Graft.nearDupClusters(docs, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("ngramJaccardPairs on user data equals set-arithmetic truth") {
+    val got = Graft.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $got")
+  }
+
+  test("text signals run on arbitrary frames") {
+    assert(Graft.tokenCounts(docs).count() == 5)
+    val rep = Graft.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep(1L) > rep(3L), "doc 1 repeats 'the' three times; doc 3 has no repeats")
+    val fp = Graft.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L) && fp(1L) != fp(2L))
+  }
+
+  test("topKNeighbors works on a constructed vector frame") {
+    import spark.implicits._
+    // corpus on a plane: vec 10 is closest to the query direction, then 11
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.1f, 0f, 0f)),
+      (11L, Array(1.0f, 0.8f, 0f, 0f)),
+      (12L, Array(-1.0f, 0.2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0f, 0f, 0f))).toDF("query_id", "embedding")
+    val got = Graft.topKNeighbors(corpus, queries, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 10L), (2, 11L)), s"got ${got.toSeq}")
+  }
+
+  test("topKPerKey and saltedJoin run on user frames") {
+    import spark.implicits._
+    val sales = Seq(("a", 3), ("a", 9), ("a", 5), ("b", 7), ("b", 1)).toDF("k", "v")
+    val top = Graft.topKPerKey(sales, Seq("k"), Seq(("v", true)), 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(top == Map("a" -> 9, "b" -> 7))
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+    val joined = Graft.saltedJoin(sales, dim, "k",
+      org.apache.spark.sql.functions.col("v"), salts = 4)
+    assert(joined.count() == 5)
+  }
+
+  test("asOfJoin and rangeJoin run on user frames") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0)).toDF("k", "qts", "px")
+    val trades = Seq((1L, 15L), (1L, 25L)).toDF("k", "tts")
+    val enriched = Graft.asOfJoin(trades, quotes, "k", "tts", "qts", Seq("px"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(enriched == Map(15L -> 100.0, 25L -> 101.0))
+
+    val points = Seq((1L, 5.0), (2L, 42.0)).toDF("pid", "x")
+    val intervals = Seq((7L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val inRange = Graft.rangeJoin(points, intervals, "x", "lo", "hi", binWidth = 8.0)
+    assert(inRange.select("pid").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
