@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CorpusStreaming
+
+class CorpusStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("streaming ingest admits only documents novel across and within batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val (indexDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    val stream = MemoryStream[Doc]
+    val q = CorpusStreaming.dedupIngest(stream.toDF(), indexDir, outDir, ckpt)
+    try {
+      stream.addData(
+        Doc(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        Doc(2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1 (same batch)
+        Doc(3L, "completely different content about spark query engines and planning"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(afterBatch1 == Set(1L, 3L), s"got $afterBatch1")
+
+      stream.addData(
+        Doc(11L, "the quick brown fox jumps over the lazy dog near the river bed"), // near-dup of admitted 1
+        Doc(12L, "yet another unrelated document mentioning distributed joins only"),
+        Doc(13L, "completely different content about spark query engines and planning")) // exact dup of admitted 3
+      q.processAllAvailable()
+      val afterBatch2 = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(afterBatch2 == Set(1L, 3L, 12L), s"got $afterBatch2")
+    } finally q.stop()
+  }
+
+  test("admitBatch is usable standalone for incremental batch ingestion") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft_ingest_b").toString + "/index"
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    assert(CorpusStreaming.admitBatch(b1, indexDir).count() == 2)
+    val b2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (4L, "fresh words entirely unlike anything admitted before today")).toDF("doc_id", "text")
+    val admitted = CorpusStreaming.admitBatch(b2, indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(4L), s"got $admitted")
+  }
+}
