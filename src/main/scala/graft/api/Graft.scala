@@ -20,19 +20,30 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
  */
 object Graft {
 
+  private def requireCols(df: DataFrame, what: String, cols: String*): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what frame needs columns ${cols.mkString("(", ", ", ")")}; " +
+        s"missing ${missing.mkString(", ")} in schema ${df.columns.mkString("(", ", ", ")")}")
+    df
+  }
+  private def docsFrame(df: DataFrame): DataFrame = requireCols(df, "documents", "doc_id", "text")
+  private def vecsFrame(df: DataFrame): DataFrame = requireCols(df, "vectors", "vec_id", "embedding")
+  private def queryFrame(df: DataFrame): DataFrame = requireCols(df, "queries", "query_id", "embedding")
+
   // ---- deduplication -------------------------------------------------------------------
 
   /** Verified MinHash-LSH near-duplicate pairs (a_id, b_id, jacc >= threshold). */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    Dedup.minhashPairs(docs, threshold)
+    Dedup.minhashPairs(docsFrame(docs), threshold)
 
   /** Exact n-gram-Jaccard pairs via bounded candidate generation (equals exhaustive). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    Dedup.ngramJaccardPairs(Dedup.gramHashSets(docs).cache(), threshold)
+    Dedup.ngramJaccardPairs(Dedup.gramHashSets(docsFrame(docs)).cache(), threshold)
 
   /** SimHash pairs within a hamming radius (64-bit signatures, pigeonhole-banded). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame =
-    Dedup.simhashPairs(docs, maxHamming)
+    Dedup.simhashPairs(docsFrame(docs), maxHamming)
 
   /** Cluster id per document appearing in a near-dup pair (connected components). */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
@@ -41,33 +52,33 @@ object Graft {
   /** The deduplicated corpus: exact dups keep min doc_id, near-dup clusters keep one
     * representative. Returns the KEPT input rows with all their columns. */
   def dedupe(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    Dedup.dedupedCorpus(docs, threshold)
+    Dedup.dedupedCorpus(docsFrame(docs), threshold)
 
   /** Embedding near-dup pairs, LSH-bucketed (the form that survives 100 TB). */
   def embeddingNearDupPairs(vecs: DataFrame, tau: Double = 0.45): DataFrame =
-    Dedup.embeddingPairsLsh(vecs, tau)
+    Dedup.embeddingPairsLsh(vecsFrame(vecs), tau)
 
   // ---- similarity search ---------------------------------------------------------------
 
   /** Exact top-k cosine neighbors per query (one corpus scan, bounded-heap re-rank). */
   def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
-    Similarity.topKNeighbors(corpus, queries, k)
+    Similarity.topKNeighbors(vecsFrame(corpus), queryFrame(queries), k)
 
   /** Approximate top-k via multi-table random-hyperplane LSH (recall-spec'd). */
   def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
-    Similarity.topKNeighborsLsh(corpus, queries, k)
+    Similarity.topKNeighborsLsh(vecsFrame(corpus), queryFrame(queries), k)
 
   /** Approximate top-k via sampled-k-means IVF probing (recall-spec'd). */
   def topKNeighborsIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
-    Similarity.topKNeighborsIvf(corpus, queries, k)
+    Similarity.topKNeighborsIvf(vecsFrame(corpus), queryFrame(queries), k)
 
   // ---- text analysis -------------------------------------------------------------------
 
-  def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCounts(docs)
-  def qualityFeatures(docs: DataFrame): DataFrame = TextAnalysis.qualityFeatures(docs)
-  def repetitionSignals(docs: DataFrame): DataFrame = TextAnalysis.repetitionSignals(docs)
-  def languageId(docs: DataFrame): DataFrame = TextAnalysis.languageId(docs)
-  def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docs)
+  def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCounts(docsFrame(docs))
+  def qualityFeatures(docs: DataFrame): DataFrame = TextAnalysis.qualityFeatures(docsFrame(docs))
+  def repetitionSignals(docs: DataFrame): DataFrame = TextAnalysis.repetitionSignals(docsFrame(docs))
+  def languageId(docs: DataFrame): DataFrame = TextAnalysis.languageId(docsFrame(docs))
+  def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docsFrame(docs))
 
   // ---- deterministic sampling ----------------------------------------------------------
 

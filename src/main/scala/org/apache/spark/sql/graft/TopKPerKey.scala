@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
   Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /**
  * Native per-key top-k operator — graft's demonstration of the full custom-operator route
@@ -71,12 +72,19 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  // the pruning ratio is the whole point of the operator — surface it in the UI/metrics
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numPrunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned by the k-heap"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val ties = withTies
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
+    val prunedRows = longMetric("numPrunedRows")
     child.execute().mapPartitionsInternal { iter =>
       val keyGen = UnsafeProjection.create(keyExprs, outAttrs)
       val ord = RowOrdering.create(sortOrder, outAttrs)
@@ -84,8 +92,10 @@ case class TopKPerKeyExec(
       // tieBufs (rank mode only) holds rows equal to the current boundary (heap head).
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val tieBufs = if (ties) new java.util.HashMap[UnsafeRow, java.util.ArrayDeque[InternalRow]]() else null
+      var inputCount = 0L
       while (iter.hasNext) {
         val row = iter.next()
+        inputCount += 1
         val key = keyGen(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -119,9 +129,20 @@ case class TopKPerKeyExec(
           }
         }
       }
+      var kept = 0L
       val heapRows = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-      if (ties) heapRows ++ tieBufs.values().iterator().asScala.flatMap(_.iterator().asScala)
-      else heapRows
+      val all =
+        if (ties) heapRows ++ tieBufs.values().iterator().asScala.flatMap(_.iterator().asScala)
+        else heapRows
+      // the trailing block evaluates once the output iterator drains, when `kept` is final
+      all.map { r => kept += 1; outRows += 1; r } ++ new Iterator[InternalRow] {
+        private var done = false
+        override def hasNext: Boolean = {
+          if (!done) { prunedRows += inputCount - kept; done = true }
+          false
+        }
+        override def next(): InternalRow = Iterator.empty.next()
+      }
     }
   }
 }
