@@ -43,7 +43,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .flatMap { case (id, raw) =>
+        val text = if (raw == null) "" else raw // null text = no grams, like SQL nulls
         val toks = text.split(' ')
         if (toks.length < 3) Iterator.empty
         else {
@@ -312,7 +313,8 @@ object Dedup {
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, raw) =>
+      val text = if (raw == null) "" else raw
       val votes = new Array[Int](64)
       val toks = text.split(' ')
       var i = 0

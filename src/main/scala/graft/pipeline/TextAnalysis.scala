@@ -52,7 +52,8 @@ object TextAnalysis {
     val stops = StopwordSet
     TableIO.fanOut(docs)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw // null-safe like the SQL expression ops
         var b = 0; var e = text.length
         while (b < e && text.charAt(b) == ' ') b += 1
         while (e > b && text.charAt(e - 1) == ' ') e -= 1
@@ -106,7 +107,8 @@ object TextAnalysis {
     import spark.implicits._
     TableIO.fanOut(docs)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw // null-safe like the SQL expression ops
         var b = 0; var e = text.length
         while (b < e && text.charAt(b) == ' ') b += 1
         while (e > b && text.charAt(e - 1) == ' ') e -= 1

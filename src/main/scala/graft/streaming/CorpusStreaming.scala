@@ -65,6 +65,32 @@ object CorpusStreaming {
     admitted
   }
 
+  /**
+   * Compact the append-only band index: per-batch appends accumulate one small file per
+   * batch per partition (the classic streaming small-files problem — at one batch/minute
+   * a day leaves ~1.4k file groups, and file-listing cost starts to dominate the
+   * semi-join's scan). Rewrites the index into `targetFiles` files sorted by (band, bh)
+   * so row-group min/max stats line up with the probe keys. Not atomic with concurrent
+   * writers — run it from the maintenance path while the ingest query is stopped (the
+   * same discipline every file-format compaction without a table format requires).
+   */
+  def compactIndex(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit = {
+    val tmp = indexDir + ".compact"
+    spark.read.parquet(indexDir)
+      .repartition(targetFiles, col("band"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(indexDir)
+    val bak = new java.io.File(indexDir + ".old")
+    require(dir.renameTo(bak), s"could not move $indexDir aside")
+    require(new java.io.File(tmp).renameTo(dir), s"could not promote $tmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+  }
+
   /** Wire the gate onto a stream: admitted rows land in `outDir`, the band index grows in
     * `indexDir`, exactly one gate pass per micro-batch. */
   def dedupIngest(docsStream: DataFrame, indexDir: String, outDir: String,

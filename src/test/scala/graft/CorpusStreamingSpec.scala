@@ -40,6 +40,22 @@ class CorpusStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compactIndex rewrites the band index without changing gate decisions") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft_ingest_c").toString + "/index"
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    CorpusStreaming.admitBatch(b1, indexDir).count()
+    val before = spark.read.parquet(indexDir).collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    CorpusStreaming.compactIndex(spark, indexDir, targetFiles = 2)
+    val after = spark.read.parquet(indexDir).collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(after == before, "compaction must preserve the index content")
+    // a near-dup of doc 1 must still be rejected against the compacted index
+    val b2 = Seq((2L, "alpha beta gamma delta epsilon zeta eta theta iota mu"))
+      .toDF("doc_id", "text")
+    assert(CorpusStreaming.admitBatch(b2, indexDir).count() == 0)
+  }
+
   test("admitBatch is usable standalone for incremental batch ingestion") {
     import spark.implicits._
     val indexDir = Files.createTempDirectory("graft_ingest_b").toString + "/index"

@@ -66,6 +66,20 @@ class RobustnessSpec extends AnyFunSuite {
     assert(graft.pipeline.Dedup.simhashes(emptyDocs).count() == 0)
   }
 
+  test("typed text kernels are null-safe (library inputs may carry null text)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some real text with enough tokens here"), (2L, null))
+      .toDF("doc_id", "text")
+    // gram-based ops: null text has no grams -> doc 2 simply absent from pair space
+    assert(graft.pipeline.Dedup.gramHashSets(docs).count() == 1)
+    assert(graft.pipeline.Dedup.simhashPairs(docs).count() == 0)
+    // feature kernels: null text scores like empty text, no NPE
+    val q = graft.pipeline.TextAnalysis.qualityFeatures(docs).collect()
+    assert(q.length == 2)
+    val rep = graft.pipeline.TextAnalysis.repetitionSignals(docs).collect()
+    assert(rep.length == 2)
+  }
+
   test("TopKPerKey on empty input and k larger than group size") {
     import org.apache.spark.sql.graft.TopKPerKey
     val empty = TableIO.orders(spark, sf).filter(col("o_orderkey") < 0)
