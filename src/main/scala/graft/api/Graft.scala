@@ -37,7 +37,11 @@ object Graft {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     Dedup.minhashPairs(docsFrame(docs), threshold)
 
-  /** Exact n-gram-Jaccard pairs via bounded candidate generation (equals exhaustive). */
+  /** Exact n-gram-Jaccard pairs via bounded candidate generation (equals exhaustive).
+    * The gram frame is cached (MEMORY_AND_DISK, LRU-evicted under pressure) because it
+    * feeds both candidate generation and intersection counting; a long-running service
+    * should materialize the result and unpersist via spark.catalog.clearCache() between
+    * requests — the returned lazy frame cannot safely unpersist its own input. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     Dedup.ngramJaccardPairs(Dedup.gramHashSets(docsFrame(docs)).cache(), threshold)
 
@@ -83,8 +87,10 @@ object Graft {
   // ---- deterministic sampling ----------------------------------------------------------
 
   /** Hash-threshold uniform sample — reproducible across retries and repartitionings. */
-  def sampleUniform(df: DataFrame): DataFrame = Sampling.sampledUniform(df)
-  def sampleStratified(docs: DataFrame): DataFrame = Sampling.sampledStratified(docs)
+  def sampleUniform(df: DataFrame): DataFrame =
+    Sampling.sampledUniform(requireCols(df, "sample input", "doc_id"))
+  def sampleStratified(docs: DataFrame): DataFrame =
+    Sampling.sampledStratified(requireCols(docs, "stratified sample input", "doc_id", "lang"))
 
   // ---- relational operators Spark lacks ------------------------------------------------
 

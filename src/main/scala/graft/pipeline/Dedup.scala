@@ -166,7 +166,13 @@ object Dedup {
     // long-running service would unpersist after materializing the result — a returned
     // lazy DataFrame cannot safely unpersist its own inputs here.
     val g = gramHashSets(docs).cache()
-    val bands = lshBands(minhashSignatures(g))
+    minhashPairsFrom(g, lshBands(minhashSignatures(g)), threshold)
+  }
+
+  /** Pair generation from PRE-COMPUTED gram + band frames — callers that already hold
+    * them (the streaming ingest gate) avoid re-shingling and re-signing the batch. */
+  private[graft] def minhashPairsFrom(g: DataFrame, bands: DataFrame,
+      threshold: Double): DataFrame = {
     val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
     val candidates = x.join(y, Seq("band", "bh"))
@@ -504,10 +510,14 @@ object Dedup {
    * Returns kept docs, summarized per source for a stable driver check.
    */
   /** Deduplicated corpus for ANY (doc_id, text, ...) frame: returns the KEPT rows with
-    * all their original columns — the frame a pipeline feeds to the next stage. */
+    * all their original columns — the frame a pipeline feeds to the next stage.
+    * Null text carries NO content signal, so null-text rows pass through UNTOUCHED
+    * (md5(null) is null, and a naive partition-by-hash would silently collapse every
+    * null-text row into one "exact-duplicate" group). */
   def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val exactKeep = docs
-      .withColumn("h", md5(col("text")))
+      .withColumn("h", when(col("text").isNull,
+        concat(lit("null:"), col("doc_id").cast("string"))).otherwise(md5(col("text"))))
       .withColumn("keeper", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("keeper"))

@@ -39,11 +39,17 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector over an arbitrary corpus:
     * broadcast the (small) query set, scan the corpus once, native TopKPerKey re-rank.
-    * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding). */
-  def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
+    * `excludeSelf` drops corpus rows whose vec_id equals the query's query_id — ONLY
+    * meaningful when queries are drawn from the corpus itself (the ann* driver queries);
+    * for independent ID spaces it must stay false or a same-numbered true neighbor would
+    * silently vanish. */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(col("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = broadcast(q).join(c, cond)
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
     rankTopK(scored, k)
   }
@@ -51,7 +57,8 @@ object Similarity {
   /** Top-k neighbors for each query vector (vec_id < nQueries), brute force. */
   def annBruteforce(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
-    topKNeighbors(e, e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
+    topKNeighbors(e, e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")),
+      k, excludeSelf = true)
   }
 
   def annBruteforceSql(nQueries: Int, k: Int): String =
@@ -99,12 +106,13 @@ object Similarity {
    * by construction (driver check is rows-only; SimilaritySpec asserts recall vs brute
    * force). Shuffle is O(n·L) on the bucket key — no cross join at any scale.
    */
-  def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val qb = lshBuckets(queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("bucket"))
     val cb = lshBuckets(corpus).select(col("vec_id").as("neighbor_id"), col("bucket"))
     val candidates = qb.join(cb, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id")).distinct()
     val qe = queries.select(col("query_id"), col("embedding").as("qe"))
     val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
@@ -117,7 +125,8 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
     topKNeighborsLsh(e,
-      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")),
+      k, excludeSelf = true)
   }
 
   // ---- IVF path -------------------------------------------------------------------------
@@ -243,7 +252,7 @@ object Similarity {
    * vs brute force at 8/16 probes.
    */
   def topKNeighborsIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int = IvfProbes): DataFrame = {
+      nProbe: Int = IvfProbes, excludeSelf: Boolean = false): DataFrame = {
     val cents = trainQuantizer(corpus)
     val corpusLists = ivfAssign(corpus, 1, cents)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
@@ -251,7 +260,7 @@ object Similarity {
         queries.select(col("query_id").as("vec_id"), col("embedding")), nProbe, cents)
       .select(col("vec_id").as("query_id"), col("list_id"))
     val candidates = queryLists.join(corpusLists, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id")).distinct()
     val qe = queries.select(col("query_id"), col("embedding").as("qe"))
     val ce = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
@@ -264,7 +273,8 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = TableIO.embeddings(spark, dir)
     topKNeighborsIvf(e,
-      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")), k)
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding")),
+      k, excludeSelf = true)
   }
 
   /**

@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.CompletionIterator
 
 /**
  * Native per-key top-k operator — graft's demonstration of the full custom-operator route
@@ -134,15 +135,10 @@ case class TopKPerKeyExec(
       val all =
         if (ties) heapRows ++ tieBufs.values().iterator().asScala.flatMap(_.iterator().asScala)
         else heapRows
-      // the trailing block evaluates once the output iterator drains, when `kept` is final
-      all.map { r => kept += 1; outRows += 1; r } ++ new Iterator[InternalRow] {
-        private var done = false
-        override def hasNext: Boolean = {
-          if (!done) { prunedRows += inputCount - kept; done = true }
-          false
-        }
-        override def next(): InternalRow = Iterator.empty.next()
-      }
+      // completion body runs once the output iterator drains, when `kept` is final
+      CompletionIterator[InternalRow, Iterator[InternalRow]](
+        all.map { r => kept += 1; outRows += 1; r },
+        prunedRows += inputCount - kept)
     }
   }
 }

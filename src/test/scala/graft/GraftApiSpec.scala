@@ -69,6 +69,30 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 10L), (2, 11L)), s"got ${got.toSeq}")
   }
 
+  test("topKNeighbors keeps a corpus vector whose id collides with the query id") {
+    import spark.implicits._
+    // query_id and vec_id are UNRELATED id spaces in the library API: corpus vec 5 is the
+    // true nearest neighbor of query 5 and must NOT be self-excluded
+    val corpus = Seq(
+      (5L, Array(1.0f, 0f, 0f, 0f)),
+      (6L, Array(0.2f, 1.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((5L, Array(1.0f, 0.05f, 0f, 0f))).toDF("query_id", "embedding")
+    val top1 = Graft.topKNeighbors(corpus, queries, k = 1).collect().head
+    assert(top1.getLong(2) == 5L, s"self-exclusion wrongly dropped vec 5: $top1")
+  }
+
+  test("dedupe passes null-text rows through untouched (no content signal)") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta", "a"),
+      (2L, null, "b"),
+      (3L, null, "c")
+    ).toDF("doc_id", "text", "source")
+    val ids = Graft.dedupe(withNulls).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"null-text rows must not collapse: $ids")
+  }
+
   test("topKPerKey and saltedJoin run on user frames") {
     import spark.implicits._
     val sales = Seq(("a", 3), ("a", 9), ("a", 5), ("b", 7), ("b", 1)).toDF("k", "v")
