@@ -91,6 +91,10 @@ object Graft {
     Sampling.sampledUniform(requireCols(df, "sample input", "doc_id"))
   def sampleStratified(docs: DataFrame): DataFrame =
     Sampling.sampledStratified(requireCols(docs, "stratified sample input", "doc_id", "lang"))
+  /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
+    * by id hash — retry-stable replication for corpus mixing. */
+  def mixtureWeighted(docs: DataFrame): DataFrame =
+    Sampling.mixtureWeighted(requireCols(docs, "mixture input", "doc_id", "source"))
 
   // ---- relational operators Spark lacks ------------------------------------------------
 

@@ -22,6 +22,33 @@ class PropertySpec extends AnyFunSuite {
     assert(tokens.map(FastHash.hash64) == hashes, "deterministic across invocations")
   }
 
+  test("TopKPerKey withTies equals stock window rank on random data (seeded trials)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val k = 1 + rnd.nextInt(4)
+      // small value domain forces heavy ties, including at the k boundary
+      val rows = Seq.tabulate(300)(i => (rnd.nextInt(6).toString, rnd.nextInt(8), i))
+        .toDF("key", "v", "row_id")
+      val w = Window.partitionBy($"key").orderBy($"v".desc)
+      val viaRule = rows.withColumn("rnk", rank().over(w)).filter($"rnk" <= k)
+      viaRule.collect()
+      assert(viaRule.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        s"seed $seed: rewrite must fire")
+      // stock reference: second window expr KEPT through the collect (dropping it would
+      // let pruning reduce the Window to one expr and the rewrite would fire here too)
+      val stock = rows.withColumn("rnk", rank().over(w))
+        .withColumn("rn2", row_number().over(w)).filter($"rnk" <= k)
+      assert(!stock.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val got = viaRule.select("key", "v", "rnk", "row_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+      val want = stock.select($"key", $"v", $"rnk", $"row_id", $"rn2").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+      assert(got == want, s"seed $seed k=$k: ${got.size} vs ${want.size} rows")
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     import spark.implicits._
     for (seed <- 1 to 5) {
