@@ -40,6 +40,22 @@ class CorpusStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gram-less short documents dedup via the content-hash lane") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft_ingest_s").toString + "/index"
+    // 2 tokens -> no 3-gram shingles -> no LSH bands; only the content lane can catch it
+    val b1 = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(CorpusStreaming.admitBatch(b1, indexDir).count() == 1)
+    val b2 = Seq(
+      (2L, "hello world"), // cross-batch exact dup of admitted 1
+      (3L, "hi"), // novel short doc
+      (4L, "hi")  // within-batch exact dup of 3 -> keep-min keeps 3
+    ).toDF("doc_id", "text")
+    val admitted = CorpusStreaming.admitBatch(b2, indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L), s"got $admitted")
+  }
+
   test("compactIndex rewrites the band index without changing gate decisions") {
     import spark.implicits._
     val indexDir = Files.createTempDirectory("graft_ingest_c").toString + "/index"
