@@ -92,9 +92,12 @@ object Graft {
   def sampleStratified(docs: DataFrame): DataFrame =
     Sampling.sampledStratified(requireCols(docs, "stratified sample input", "doc_id", "lang"))
   /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
-    * by id hash — retry-stable replication for corpus mixing. */
-  def mixtureWeighted(docs: DataFrame): DataFrame =
-    Sampling.mixtureWeighted(requireCols(docs, "mixture input", "doc_id", "source"))
+    * by id hash — retry-stable replication for corpus mixing. `weights` maps source name
+    * to its blend weight; unlisted sources get `defaultWeight`. */
+  def mixtureWeighted(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame =
+    Sampling.mixtureWeighted(
+      requireCols(docs, "mixture input", "doc_id", "source"), weights, defaultWeight)
 
   // ---- relational operators Spark lacks ------------------------------------------------
 

@@ -76,21 +76,29 @@ object Sampling {
     f"${math.min(255, math.round(math.floor((w - math.floor(w)) * 256))).toInt}%02x"
 
   /**
-   * Row-level mixture weighting: emits floor(w)+Bernoulli(frac(w)) deterministic copies of
-   * each row (`copy_id` distinguishes them). Replication happens AFTER filters/dedup in a
-   * real pipeline, so the explode multiplies only surviving rows.
+   * Row-level mixture weighting with caller-supplied per-source weights: emits
+   * floor(w)+Bernoulli(frac(w)) deterministic copies of each row (`copy_id` distinguishes
+   * them; sources not in `weights` get `defaultWeight`). Replication happens AFTER
+   * filters/dedup in a real pipeline, so the explode multiplies only surviving rows.
+   * Internal working columns are collision-checked so arbitrary user schemas are safe.
    */
-  def mixtureWeighted(docs: DataFrame): DataFrame = {
-    val copies = mixtureWeights.foldLeft(lit(1)) { case (acc, (src, w)) =>
-      val base = math.floor(w).toInt
-      when(col("source") === src,
-        lit(base) + when(hashKeep(fracHex(w)), 1).otherwise(0)).otherwise(acc)
+  def mixtureWeighted(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(!docs.columns.contains("copy_id") && !docs.columns.contains("n_copies"),
+      "input already carries a copy_id/n_copies column — rename it before mixture weighting")
+    def copyExpr(w: Double): Column =
+      lit(math.floor(w).toInt) + when(hashKeep(fracHex(w)), 1).otherwise(0)
+    val copies = weights.foldLeft(copyExpr(defaultWeight)) { case (acc, (src, w)) =>
+      when(col("source") === src, copyExpr(w)).otherwise(acc)
     }
     docs.withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
       .withColumn("copy_id", explode(sequence(lit(1), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Test-corpus mixture (the driver query's fixed blend). */
+  def mixtureWeighted(docs: DataFrame): DataFrame = mixtureWeighted(docs, mixtureWeights)
 
   /** `sample_mixture`: rows per source after mixture weighting (src0 up, src1 down). */
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =

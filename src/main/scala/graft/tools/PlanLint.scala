@@ -33,7 +33,9 @@ object PlanLint {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
+        // execute the df's OWN QueryExecution so AQE finalizes THIS plan (a noop write
+        // would run a separate QE and leave df's executedPlan at isFinalPlan=false)
+        df.queryExecution.toRdd.foreachPartition(_ => ())
         val plan = df.queryExecution.executedPlan.toString
         val issues = Seq(
           (plan.contains("CartesianProduct") && !allowCartesian(name)) ->
@@ -48,7 +50,9 @@ object PlanLint {
       } catch {
         case e: Throwable =>
           flagged += 1
-          println(s"[planlint] ERROR $name: ${e.getMessage.linesIterator.next()}")
+          val msg = Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+            .getOrElse(e.getClass.getName)
+          println(s"[planlint] ERROR $name: $msg")
       }
     }
     println(s"[planlint] done: $flagged flagged of ${graft.SparkEntry.queries.size}")

@@ -93,6 +93,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 3L), s"null-text rows must not collapse: $ids")
   }
 
+  test("mixtureWeighted applies caller-supplied weights on arbitrary sources") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i =>
+      (i, s"text $i", if (i <= 50) "wikipedia" else "commoncrawl"))
+      .toDF("doc_id", "text", "source")
+    val blended = Graft.mixtureWeighted(corpus, Map("wikipedia" -> 3.0, "commoncrawl" -> 0.5))
+    val bySource = blended.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("wikipedia") == 150L, s"3.0x of 50 docs: $bySource")
+    val cc = bySource.getOrElse("commoncrawl", 0L)
+    assert(cc > 5 && cc < 45, s"~50% of 50 docs via hash-Bernoulli: $cc")
+    // unlisted sources pass through at weight 1, deterministically
+    val withOther = corpus.withColumn("source", org.apache.spark.sql.functions.lit("books"))
+    assert(Graft.mixtureWeighted(withOther, Map("wikipedia" -> 3.0)).count() == 100L)
+    // collision guard: pre-existing copy_id must be rejected, not clobbered
+    intercept[IllegalArgumentException] {
+      Graft.mixtureWeighted(corpus.withColumn("copy_id", org.apache.spark.sql.functions.lit(1)), Map("wikipedia" -> 2.0))
+    }
+  }
+
   test("topKPerKey and saltedJoin run on user frames") {
     import spark.implicits._
     val sales = Seq(("a", 3), ("a", 9), ("a", 5), ("b", 7), ("b", 1)).toDF("k", "v")
