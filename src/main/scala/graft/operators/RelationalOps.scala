@@ -154,6 +154,55 @@ object RelationalOps {
       |  SELECT o_orderkey AS key, 'lo' AS bucket FROM orders WHERE o_totalprice < 2000.0)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** #9b set operators: INTERSECT lowers to left-semi + distinct, EXCEPT to left-anti +
+    * distinct — the remaining relational-algebra surface beyond UNION. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = TableIO.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+    val urgentBuyers = TableIO.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val both = bigSpenders.intersect(urgentBuyers)
+      .select(col("o_custkey"), lit("both").as("kind"))
+    val onlyBig = bigSpenders.except(urgentBuyers)
+      .select(col("o_custkey"), lit("only_big").as("kind"))
+    both.unionByName(onlyBig)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+      |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT kind, count(*) AS n FROM (
+      |  SELECT o_custkey, 'both' AS kind FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_big' AS kind FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** #32c null semantics: null-safe equality (`<=>` / IS NOT DISTINCT FROM), null
+    * propagation through comparisons, and null-aware conditionals — the three-valued
+    * logic surface every engine must get right. Nulls manufactured via nullif (the base
+    * tables are non-null). */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val flagOrNull = nullif(col("l_returnflag"), lit("N"))
+    val statusOrNull = nullif(col("l_linestatus"), lit("O"))
+    TableIO.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (flagOrNull <=> statusOrNull).as("nullsafe_eq"),
+      (flagOrNull === statusOrNull).isNull.as("plain_eq_is_null"),
+      (flagOrNull <=> lit(null)).as("is_null_via_nullsafe"),
+      when(flagOrNull.isNull, "was_null").otherwise(flagOrNull).as("filled"))
+  }
+
+  val qNullSemanticsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O') AS nullsafe_eq,
+      |  (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) IS NULL AS plain_eq_is_null,
+      |  nullif(l_returnflag, 'N') IS NOT DISTINCT FROM NULL AS is_null_via_nullsafe,
+      |  CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 'was_null'
+      |       ELSE nullif(l_returnflag, 'N') END AS filled
+      |FROM lineitem""".stripMargin
+
   /** #10 broadcast hash join: fact ⋈ broadcast dim. */
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val nation = TableIO.nation(spark, dir)
@@ -550,7 +599,7 @@ object RelationalOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
-    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _,
+    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_null_semantics" -> qNullSemantics _,
     "q_join_broadcast" -> qJoinBroadcast _, "q_join_large" -> qJoinLarge _,
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,
@@ -562,7 +611,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
     "q_sort" -> qSortSql, "q_topn" -> qTopNSql, "q_limit" -> qLimitSql,
-    "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql,
+    "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql, "q_setops" -> qSetOpsSql, "q_null_semantics" -> qNullSemanticsSql,
     "q_join_broadcast" -> qJoinBroadcastSql, "q_join_large" -> qJoinLargeSql,
     "q_join_outer" -> qJoinOuterSql, "q_join_full" -> qJoinFullSql,
     "q_join_semi" -> qJoinSemiSql, "q_join_anti" -> qJoinAntiSql,
