@@ -96,6 +96,48 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(scalar.head().getLong(0) > 0)
   }
 
+  test("set operators, null semantics, and rollup as SQL text equal the DataFrame plans") {
+    TableIO.registerAll(spark, sf)
+    // the oracle SQL is ANSI enough that Spark parses it verbatim
+    sameResult(spark.sql(operators.RelationalOps.qSetOpsSql),
+      operators.RelationalOps.qSetOps(spark, sf))
+    val rollup = spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)
+    sameResult(rollup, operators.RelationalOps.qRollup(spark, sf))
+    val nulls = spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_returnflag, 'N') <=> nullif(l_linestatus, 'O') AS nullsafe_eq,
+        |  (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) IS NULL AS plain_eq_is_null,
+        |  nullif(l_returnflag, 'N') <=> NULL AS is_null_via_nullsafe,
+        |  CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 'was_null'
+        |       ELSE nullif(l_returnflag, 'N') END AS filled
+        |FROM lineitem""".stripMargin)
+    sameResult(nulls, operators.RelationalOps.qNullSemantics(spark, sf))
+  }
+
+  test("explode, date extraction, and conditional aggregation as SQL text") {
+    TableIO.registerAll(spark, sf)
+    val explodeSql = spark.sql(
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT explode(split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)
+    sameResult(explodeSql, operators.RelationalOps.qExplode(spark, sf)
+      .select("token", "n"))
+    val channels = spark.sql(
+      """SELECT channel, yr, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'web'
+        |              WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog'
+        |              ELSE 'store' END AS channel,
+        |         year(o_orderdate) AS yr, o_totalprice
+        |  FROM orders)
+        |GROUP BY channel, yr ORDER BY channel, yr""".stripMargin)
+    sameResult(channels, operators.TpcdsShapedQueries.qDsChannels(spark, sf))
+  }
+
   test("native vector expressions are callable from SQL over a real table") {
     TableIO.registerAll(spark, sf)
     val sql = spark.sql(
