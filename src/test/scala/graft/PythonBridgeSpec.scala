@@ -53,13 +53,33 @@ def n_ws_tokens(s: pd.Series) -> pd.Series:
 def n_bpe_tokens(s: pd.Series) -> pd.Series:
     return s.map(lambda t: len(bpe.findall(t)))
 
-res = (spark.read.parquet(inp)
-       .select(col("doc_id"),
-               n_ws_tokens(col("text")).alias("n_ws_tokens"),
-               n_bpe_tokens(col("text")).alias("n_bpe_tokens")))
+docs = spark.read.parquet(inp)
+res = docs.select(col("doc_id"),
+                  n_ws_tokens(col("text")).alias("n_ws_tokens"),
+                  n_bpe_tokens(col("text")).alias("n_bpe_tokens"))
 plan = res._jdf.queryExecution().executedPlan().toString()
 assert "ArrowEvalPython" in plan, "expected the Arrow batch bridge operator, got:\n" + plan
 res.coalesce(1).write.mode("overwrite").parquet(out)
+
+# MapInPandas: iterator-of-Arrow-batches transform (the Multimodal batch-UDF shape)
+def batch_chars(batches):
+    for pdf in batches:
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_chars": pdf["text"].str.len()})
+mp = docs.mapInPandas(batch_chars, "doc_id long, n_chars int")
+mplan = mp._jdf.queryExecution().executedPlan().toString()
+assert "MapInPandas" in mplan, mplan
+mp.coalesce(1).write.mode("overwrite").parquet(out + "_map")
+
+# applyInPandas: grouped pandas aggregation (FlatMapGroupsInPandasExec)
+def per_source(pdf):
+    return pd.DataFrame({"source": [pdf["source"].iloc[0]],
+                         "total_ws": [int(pdf["n"].sum())]})
+ap = (docs.select(col("source"), n_ws_tokens(col("text")).alias("n"))
+      .groupBy("source").applyInPandas(per_source, "source string, total_ws long"))
+aplan = ap._jdf.queryExecution().executedPlan().toString()
+assert "FlatMapGroupsInPandas" in aplan, aplan
+ap.coalesce(1).write.mode("overwrite").parquet(out + "_grouped")
+
 spark.stop()
 print("BRIDGE_OK")
 """
@@ -85,6 +105,23 @@ print("BRIDGE_OK")
     assert(fromPython.size == fromJvm.size && fromPython.nonEmpty)
     assert(fromPython == fromJvm,
       s"bridge/JVM mismatch on ${fromJvm.count(kv => fromPython.get(kv._1) != Some(kv._2))} docs")
+
+    // MapInPandas output vs the JVM length() expression
+    val mapChars = spark.read.parquet(outDir + "_map")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val jvmChars = graft.sources.TableIO.documents(spark, sf)
+      .selectExpr("doc_id", "length(text) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mapChars == jvmChars, "MapInPandas char counts must match length(text)")
+
+    // grouped applyInPandas vs the JVM groupBy-sum over the same token counts
+    val grouped = spark.read.parquet(outDir + "_grouped")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val jvmGrouped = TextAnalysis.textTokens(spark, sf)
+      .join(graft.sources.TableIO.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_ws_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == jvmGrouped, s"grouped bridge mismatch: $grouped vs $jvmGrouped")
     Files.deleteIfExists(scriptPath)
   }
 }
