@@ -305,6 +305,35 @@ object ExpressionQueries {
       |  strftime(CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
       |FROM events WHERE event_id < 100""".stripMargin
 
+  /**
+   * #35c MapType kernels: construction, key lookup, keys/values extraction, size,
+   * map_from_entries — the MAP column type from the reference's support matrix
+   * (docs/operators.md type columns). Oracle checks against ground truth reconstructed
+   * from the source columns (the q_json_funcs trick), so Spark's map round-trip is what
+   * is proven.
+   */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(col("o_orderstatus"), col("o_totalprice"),
+      lit("priority_len"), length(col("o_orderpriority")).cast("double"))
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      element_at(m, col("o_orderstatus")).as("price_via_map"),
+      element_at(m, "priority_len").as("prio_len_via_map"),
+      size(m).as("map_size"),
+      array_join(map_keys(m), ",").as("keys_joined"),
+      element_at(map_from_entries(array(
+        struct(lit("k").as("key"), col("o_custkey").as("value")))), "k").as("cust_via_entries"))
+  }
+
+  val qMapFuncsSql: String =
+    """SELECT o_orderkey,
+      |  o_totalprice AS price_via_map,
+      |  CAST(length(o_orderpriority) AS DOUBLE) AS prio_len_via_map,
+      |  2 AS map_size,
+      |  o_orderstatus || ',priority_len' AS keys_joined,
+      |  o_custkey AS cust_via_entries
+      |FROM orders""".stripMargin
+
   /** #30b base-conversion + sub-second epoch kernels (the reference's Hex/Conv and
     * MicrosToTimestamp/UnixMicros unary operators — ColumnarUnaryOperator.scala). */
   def qConvFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -614,7 +643,7 @@ object ExpressionQueries {
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
     "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
-    "q_conv_funcs" -> qConvFuncs _, "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
+    "q_conv_funcs" -> qConvFuncs _, "q_map_funcs" -> qMapFuncs _, "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
     "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
@@ -625,7 +654,7 @@ object ExpressionQueries {
     "q_in_filter" -> qInFilterSql, "q_string_funcs" -> qStringFuncsSql,
     "q_like_regex" -> qLikeRegexSql, "q_date_funcs" -> qDateFuncsSql,
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
-    "q_conv_funcs" -> qConvFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
+    "q_conv_funcs" -> qConvFuncsSql, "q_map_funcs" -> qMapFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
     "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
