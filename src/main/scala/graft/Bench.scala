@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
  * is timed. Cold single-shot times at small SF are dominated by plan compilation
  * (~0.5-1.5 s/query measured), which says nothing about 100 TB scan/shuffle efficiency —
  * the thing this benchmark exists to track.
+ *
+ * Output-size discipline: the driver captures only a bounded TAIL of stdout (~2 KB
+ * measured in rounds 1-2 — both recorded `parsed: null` because the full 120-query
+ * JSON line was longer than the capture window and lost its opening brace). The line
+ * therefore (a) rounds times to milliseconds and (b) details only the headline queries,
+ * folding the rest into `other_sec` — while `value` stays the TOTAL across all queries.
  */
 object Bench {
   /** Execute the FULL plan. `count()` would let Catalyst prune every final projection
@@ -18,30 +24,71 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Queries that get a per-name entry in the emitted JSON (the rest aggregate into
+    * `other_sec`): the whole TPC-H + DS packs and the heaviest pipeline operators —
+    * the ones whose regressions matter at 100 TB. */
+  private val Headline: Set[String] = Set(
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    "q_ds_channels", "q_ds_grouping", "q_ds_yoy", "q_ds_above_avg", "q_ds_snowflake", "q_ds_cte",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_components", "dedup_corpus", "dedup_embedding", "dedup_embedding_exact",
+    "ann_bruteforce", "ann_lsh", "ann_ivf",
+    "text_quality", "text_tokens", "text_langid", "text_fingerprint",
+    "q_count_distinct", "q_window_rank", "q_percentile", "q_join_large", "q_range_join",
+    "q_asof_join", "q_topk_per_key", "multimodal_decode", "sample_stratified")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Local-iteration escape hatch: run only queries whose name contains the filter.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     // Warm the JVM itself (parquet reader, shuffle, codegen infrastructure).
     try {
       exec(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
       exec(spark.range(1000).selectExpr("sum(id)"))
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.contains) }
+      case None        => SparkEntry.queries
+    }
+    var qIdx = 0
+    val results = selected.map { case (name, fn) =>
+      // Periodic full GC so the ContextCleaner actually releases prior queries' shuffle
+      // files and broadcasts: with a large heap, GC (the cleaner's trigger) can otherwise
+      // not run for the whole suite and accumulated state degrades later queries — the
+      // round-2 suite measured individual queries up to 6x slower in-suite than isolated.
+      // (A real cluster's executors hit GC naturally; local[32] with 24g does not.)
+      qIdx += 1
+      if (qIdx % 10 == 0) System.gc()
       try {
         exec(fn(spark, sfDir)) // untimed warm-up: plan + codegen compile
+        // Clear cached intermediates so (a) the timed run honestly pays for materializing
+        // its own cached frames (dedup/minhash pipelines cache the gram frame by design)
+        // and (b) queries are isolated — in round 2 the suite's caches were never dropped,
+        // and accumulated cached relations evicted each other: the driver measured
+        // dedup_ngram_jaccard at 23 s under that pressure vs 6 s in isolation.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         exec(fn(spark, sfDir)) // timed steady-state execution
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => name -> -1.0 }
+      finally spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): String = f"$v%.3f"
+    val detailed = results.filter { case (k, _) => Headline.contains(k) || only.isDefined }
+    val otherSec = results.collect { case (k, v) if !detailed.contains(k) => v }.sum
+    val qs = detailed.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""other_sec":${ms(otherSec)},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Emit the JSON line LAST, after Spark's shutdown logging, alone on its own line and
-    // flushed — round-1's driver captured a truncated tail and recorded parsed:null.
+    // flushed — and kept under the driver's tail-capture window (see Scaladoc).
     System.out.println(line)
     System.out.flush()
   }

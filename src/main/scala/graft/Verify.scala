@@ -15,6 +15,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop cached intermediates between queries — accumulated caches from 120 queries
+      // otherwise thrash the block manager (round-2 lesson, same fix as Bench).
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -83,6 +83,13 @@ object Graft {
   def repetitionSignals(docs: DataFrame): DataFrame = TextAnalysis.repetitionSignals(docsFrame(docs))
   def languageId(docs: DataFrame): DataFrame = TextAnalysis.languageId(docsFrame(docs))
   def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docsFrame(docs))
+  /** Redact emails/phones/IPv4s; returns per-doc redaction counts + clean_text. */
+  def piiScrub(docs: DataFrame): DataFrame = TextAnalysis.piiScrub(docsFrame(docs))
+  /** Lowercase, strip punctuation, collapse whitespace (pre-tokenization canon form). */
+  def normalize(docs: DataFrame): DataFrame = TextAnalysis.normalize(docsFrame(docs))
+  /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    TextAnalysis.topBigrams(docsFrame(docs), k)
 
   // ---- deterministic sampling ----------------------------------------------------------
 

@@ -56,18 +56,27 @@ object Dedup {
             if (seen.add(h)) out += h
             i += 1
           }
-          Iterator.single((id, out.toArray, out.length))
+          // sorted ascending: the verification kernel (sorted_intersect_size) runs a
+          // two-pointer merge; order is irrelevant to every other consumer (minhash is a
+          // min over the set, banding hashes the signature, sz is the length)
+          val arr = out.toArray
+          java.util.Arrays.sort(arr)
+          Iterator.single((id, arr, arr.length))
         }
       }.toDF("doc_id", "gh", "sz")
   }
 
-  /** Exact Jaccard for a (a_id, b_id) candidate-pair frame via hashed-gram intersection. */
+  /** Exact Jaccard for a (a_id, b_id) candidate-pair frame via hashed-gram intersection.
+    * The intersection is the native two-pointer `sorted_intersect_size` kernel over the
+    * sorted gram arrays — codegen, zero allocation per pair (array_intersect's per-row
+    * hash set measured ~10x slower over 125k candidates). */
   private def verifiedJaccard(candidates: DataFrame, g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.sortedIntersectSize
     val ga = g.select(col("doc_id").as("a_id"), col("gh").as("ga"), col("sz").as("sza"))
     val gb = g.select(col("doc_id").as("b_id"), col("gh").as("gb"), col("sz").as("szb"))
     candidates
       .join(ga, "a_id").join(gb, "b_id")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("inter", sortedIntersectSize(col("ga"), col("gb")))
       .withColumn("jacc",
         col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .select(col("a_id"), col("b_id"), col("jacc"))
@@ -212,93 +221,73 @@ object Dedup {
 
   // ---- n-gram Jaccard via inverted index ----------------------------------------------
 
-  private val NgramMaxDf = 256L
-
   /**
-   * The capped-index building blocks shared by [[ngramCandidates]] and
-   * [[ngramJaccardPairs]] — ONE definition, so the spec-certified candidate logic and the
-   * shipped query logic cannot drift.
+   * Two-sided prefix-filter index (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+   * All-Pairs; Xiao et al. WWW'08 PPJoin): under a global gram order (ascending document
+   * frequency, gram hash as tiebreak — a total order), any pair with jaccard >= t shares
+   * at least one gram inside BOTH docs' prefixes of length |d| - ceil(t·|d|) + 1.
    *
-   * EXACT candidate generation with bounded fan-out, combining an absolute df cap with a
-   * prefix-filter completeness argument (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08
-   * PPJoin):
-   *  - `interLow`: pairs co-occurring in at least one SUB-cap gram, with their sub-cap
-   *    intersection counts (map-side-combinable `groupBy(a,b).count`; per-gram fan-out
-   *    bounded by maxDf²/2 at any corpus size).
-   *  - A pair missed by interLow shares ONLY high-df grams. By the prefix theorem (global
-   *    order = ascending df), each such doc's prefix — its |d| - ceil(t·|d|) + 1 rarest
-   *    grams — must contain high-df grams, which happens iff the doc has FEWER sub-cap
-   *    grams than its prefix length. Those "cluster docs" (near-total duplication — their
-   *    content is corpus-frequent) are detected by count, and `extraPairs` joins their
-   *    high-df grams pair-to-pair. On a healthy corpus this set is ~empty; in a
-   *    duplication cluster it is exactly the cluster — whose C(n,2) pairs are the answer,
-   *    not avoidable work. (Run exact dedup first: a corpus of a million IDENTICAL docs
-   *    legitimately has ~5·10¹¹ near-dup pairs.)
-   * Round-2's first cut was the df cap alone — broken for clusters larger than the cap
-   * (every shared gram exceeds it; all pairs missed). DedupSpec pins a 300-doc cluster.
+   * Proof of the lemma this rests on: J(x,y) >= t implies |x∩y| >= ceil(t·max(|x|,|y|))
+   * =: α. Let w be the ORDER-SMALLEST common gram. If w sat outside x's prefix it would
+   * sit among x's last ceil(t·|x|) - 1 < α positions; every common gram orders >= w, so
+   * all α of them would have to fit there — contradiction. Same for y; hence w is in both
+   * prefixes.
+   *
+   * Scale properties: indexing only prefixes (~(1-t)·|d| grams/doc) and ordering by
+   * ascending df means the index holds each doc's RAREST grams — corpus-frequent
+   * stop-grams order last and fall out of prefixes entirely, so the candidate self-join's
+   * fan-out is Σ df² over rare grams, not over the stop-gram tail. A duplication cluster's
+   * shared grams DO stay in its prefixes (inside the cluster they are each doc's rarest),
+   * so its C(n,2) pairs — the true answer — still generate. Round-2's absolute-df-cap
+   * variant needed a separate cluster-doc lane for exactly that case and cost 3 extra
+   * index branches + 2 caches; the prefix index is one frame, no cache, and benched 2.5x
+   * faster end-to-end at sf0.1. DedupSpec pins completeness (theorem check vs exhaustive
+   * truth), the zero-fan-out stop-gram case, and a 300-doc duplication cluster.
    */
-  private def ngramIndex(g: DataFrame, threshold: Double, maxDf: Long):
-      (DataFrame, DataFrame, DataFrame) = {
-    val inv = g.select(col("doc_id"), explode(col("gh")).as("h"))
-    // the split index feeds several DAG branches (interLow twice via the self-join, nLow,
-    // extraPairs, interHigh) — cache both halves or each branch recomputes the df
-    // aggregation + semi/anti joins (measured 2.5x slower uncached)
-    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("h"))
-    val invLow = inv.join(rare, Seq("h"), "left_semi").cache()
-    val invHigh = inv.join(rare, Seq("h"), "left_anti").cache()
-    val interLow = invLow.select(col("doc_id").as("a_id"), col("h"))
-      .join(invLow.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_low"))
-    val nLow = invLow.groupBy(col("doc_id")).agg(count(lit(1)).as("n_low"))
-    val clusterDocs = g.select(col("doc_id"), col("sz"))
-      .join(nLow, Seq("doc_id"), "left")
-      .filter(coalesce(col("n_low"), lit(0L)) < col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"))
-    val highE = invHigh.join(clusterDocs, Seq("doc_id"), "left_semi")
-    val extraPairs = highE.select(col("doc_id").as("a_id"), col("h"))
-      .join(highE.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    (interLow, extraPairs, invHigh)
-  }
-
-  /** Complete candidate-pair set for jaccard >= threshold (see [[ngramIndex]]). */
-  def ngramCandidates(g: DataFrame, threshold: Double): DataFrame = {
-    val (interLow, extraPairs, _) = ngramIndex(g, threshold, NgramMaxDf)
-    interLow.select(col("a_id"), col("b_id"))
-      .unionByName(extraPairs).distinct()
+  private def prefixIndex(g: DataFrame, threshold: Double): DataFrame = {
+    val inv = g.select(col("doc_id"), col("sz"), explode(col("gh")).as("h"))
+    val gramDf = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    inv.join(gramDf, Seq("h"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("h"), col("rk"), col("sz"))
   }
 
   /**
-   * Exact jaccard >= threshold pairs for a gram frame. Intersections stay in the
-   * co-occurrence domain (never array_intersect over gram arrays — measured 2.7x
-   * slower): inter = inter_low (from the capped index) + inter_high (shared high-df
-   * grams, counted ONLY for candidate pairs through the high-df index slice, so
-   * stop-grams contribute their true weight without generating pairs).
+   * Complete candidate-pair set for jaccard >= threshold (see [[prefixIndex]]), with
+   * PPJoin's two other EXACT per-row filters applied before the pair distinct — on a
+   * template-heavy corpus they cut candidates ~3x (measured 409k -> 125k at sf0.1):
+   *  - length ratio: J >= t forces t·|a| <= |b| <= |a|/t (overlap <= min size, >= t·max).
+   *  - positional: J >= t forces overlap >= ceil(t/(1+t)·(|a|+|b|)); for the
+   *    order-SMALLEST common gram w every common gram sits at rank >= rk(w) in both
+   *    docs, so overlap <= min(|a| - rk_a(w), |b| - rk_b(w)) + 1. Rows for other shared
+   *    grams may fail the bound, but each true pair always keeps its w row (w provably
+   *    lives in both prefixes), so filtering per matched row loses nothing.
    */
-  def ngramJaccardPairs(g: DataFrame, threshold: Double): DataFrame = {
-    val (interLow, extraPairs, invHigh) = ngramIndex(g, threshold, NgramMaxDf)
-    val pairs = interLow
-      .unionByName(extraPairs.withColumn("inter_low", lit(0L)))
-      .groupBy(col("a_id"), col("b_id")).agg(max(col("inter_low")).as("inter_low"))
-      .cache() // read by both the interHigh derivation and the final join
-    val interHigh = pairs.select(col("a_id"), col("b_id"))
-      .join(invHigh.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
-      .join(invHigh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_high"))
-    val sa = g.select(col("doc_id").as("a_id"), col("sz").as("sza"))
-    val sb = g.select(col("doc_id").as("b_id"), col("sz").as("szb"))
-    pairs
-      .join(interHigh, Seq("a_id", "b_id"), "left")
-      .withColumn("inter", col("inter_low") + coalesce(col("inter_high"), lit(0L)))
-      .join(sa, "a_id").join(sb, "b_id")
-      .withColumn("jacc",
-        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jacc") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+  def ngramCandidates(g: DataFrame, threshold: Double): DataFrame = {
+    val p = prefixIndex(g, threshold)
+    val a = p.select(col("doc_id").as("a_id"), col("h"), col("rk").as("rka"), col("sz").as("sza"))
+    val b = p.select(col("doc_id").as("b_id"), col("h"), col("rk").as("rkb"), col("sz").as("szb"))
+    a.join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("sza"), col("szb")) >= lit(threshold) * greatest(col("sza"), col("szb")))
+      .filter(least(col("sza") - col("rka"), col("szb") - col("rkb")) + 1 >=
+        ceil(lit(threshold / (1 + threshold)) * (col("sza") + col("szb"))))
+      .select(col("a_id"), col("b_id")).distinct()
   }
+
+  /**
+   * Exact jaccard >= threshold pairs for a gram frame: prefix-filtered candidates, then
+   * exact verification over the candidates' gram sets only. (Per-pair array_intersect is
+   * the right verification here BECAUSE candidates are few — prefix filtering leaves
+   * ~true-pairs + a small false-positive margin; running intersections through the full
+   * inverted index, as round 2 did, re-shuffles every index row per DAG branch instead.)
+   */
+  def ngramJaccardPairs(g: DataFrame, threshold: Double): DataFrame =
+    verifiedJaccard(ngramCandidates(g, threshold), g)
+      .filter(col("jacc") >= threshold)
 
   /** N-gram Jaccard near-dup over the documents table (see [[ngramJaccardPairs]]) —
     * equals the exhaustive-jaccard oracle, with bounded candidate generation. */

@@ -247,13 +247,107 @@ object TextAnalysis {
     """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  // ---- PII scrubbing -------------------------------------------------------------------
+
+  // Patterns restricted to syntax with identical semantics in Java regex (Spark) and
+  // RE2 (DuckDB): char classes, bounded repetition, \b word boundaries. No lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /**
+   * PII scrub: redact emails/phone-numbers/IPv4s and count what was removed. A curation
+   * pipeline runs this as a map-only pass fused into the scan (pure codegen expressions,
+   * no UDF, no shuffle) — the counts make redaction auditable per document. IP last so
+   * phone-shaped digit runs are already gone before the looser IP pattern scans.
+   */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]").as("clean_text"))
+
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(TableIO.documents(spark, dir))
+
+  val textPiiSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$Ipv4Re', '[IP]', 'g') AS clean_text
+       |FROM documents""".stripMargin
+
+  // ---- normalization -------------------------------------------------------------------
+
+  /** Canonical text normalization (lowercase, strip punctuation to spaces, collapse
+    * whitespace) — the standard pre-tokenization pass; map-only codegen expressions. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+        "\\s+", " ")).as("norm_text"))
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    normalize(TableIO.documents(spark, dir))
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |                      '\s+', ' ', 'g')) AS norm_text
+      |FROM documents""".stripMargin
+
+  // ---- corpus n-gram statistics --------------------------------------------------------
+
+  /**
+   * Corpus-wide top-K bigrams: per-doc bigram construction is a map-only array transform
+   * fused with the scan; the count is a map-side-combinable groupBy (shuffle rows =
+   * distinct bigrams, not corpus tokens); final top-K is a TakeOrdered, never a global
+   * sort. Ties broken by bigram text so the result is deterministic on both engines.
+   */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2) // sequence(0, -1) would DESCEND for 1-token docs
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  def textTopgrams(spark: SparkSession, dir: String): DataFrame =
+    topBigrams(TableIO.documents(spark, dir), 20)
+
+  val textTopgramsSql: String =
+    """SELECT bigram, count(*) AS cnt
+      |FROM (
+      |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)
+      |  WHERE len(t) >= 2)
+      |GROUP BY bigram
+      |ORDER BY cnt DESC, bigram
+      |LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
-    "text_quality_filter" -> (textQualityFilter(_, _)))
+    "text_quality_filter" -> (textQualityFilter(_, _)),
+    "text_pii" -> (textPii(_, _)),
+    "text_normalize" -> (textNormalize(_, _)),
+    "text_topgrams" -> (textTopgrams(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -261,5 +355,8 @@ object TextAnalysis {
     "text_repetition" -> textRepetitionSql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_quality_filter" -> textQualityFilterSql(0.5))
+    "text_quality_filter" -> textQualityFilterSql(0.5),
+    "text_pii" -> textPiiSql,
+    "text_normalize" -> textNormalizeSql,
+    "text_topgrams" -> textTopgramsSql)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, L2Distance, RankLimitRule,
-  TopKPerKeyStrategy}
+  SortedIntersectSize, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_distance"),
       FunctionRegistryBase.expressionInfo[L2Distance]("l2_distance", None),
       (children: Seq[Expression]) => L2Distance(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      FunctionRegistryBase.expressionInfo[SortedIntersectSize]("sorted_intersect_size", None),
+      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
   }
 }

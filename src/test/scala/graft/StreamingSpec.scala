@@ -191,6 +191,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("kill-and-reattach: a NEW session resumes the checkpoint exactly-once") {
+    // The full recovery round-trip: a query consuming a file source is stopped, MORE
+    // data lands, and a DIFFERENT session (fresh SQL conf/catalog/listener state —
+    // the in-process analog of a new driver; a literal JVM kill isn't testable in one
+    // test process) reattaches to the same checkpoint + file sink. The offset log and
+    // sink commit log must hand over: every input row lands in the sink EXACTLY once.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_reattach")
+    val (src, out, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+    Seq((1L, ts(5), 1L, "click", 1.0), (2L, ts(6), 2L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    def run(s: org.apache.spark.sql.SparkSession) = s.readStream.schema(schema).parquet(src)
+      .withColumn("flagged", col("value") >= 2.0)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = run(spark)
+    try q1.processAllAvailable() finally q1.stop()
+
+    Seq((3L, ts(7), 1L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    val reattached = spark.newSession()
+    val q2 = run(reattached)
+    try {
+      q2.processAllAvailable()
+      val got = reattached.read.parquet(out).select("event_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L),
+        s"reattached run must emit each input exactly once, got ${got.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming windowed counts agree with the batch twin on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

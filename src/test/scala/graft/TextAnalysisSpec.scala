@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TextAnalysis
+
+/** Constructed-data checks for the text-curation operators whose oracle runs on the
+  * documents table — these pin the SEMANTICS (what gets redacted/normalized/counted)
+  * on inputs chosen to hit the edges the synthetic corpus may not contain. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("PII scrub redacts emails, phones, and IPs and counts each") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or 555-123-4567 now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255; mail root@host.org"),
+      (3L, "no pii here at all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 1 && got(0).getInt(3) == 0)
+    assert(got(0).getString(4) == "contact [EMAIL] or [PHONE] now")
+    assert(got(1).getInt(1) == 1 && got(1).getInt(3) == 2)
+    assert(got(1).getString(4) == "server at [IP] and [IP]; mail [EMAIL]")
+    assert(got(2).getString(4) == "no pii here at all")
+    assert(got(3).isNullAt(4), "null text must stay null, not become a redaction")
+  }
+
+  test("phone redaction wins over the looser IP pattern (ordering contract)") {
+    import spark.implicits._
+    // 555.123.4567 is both phone-shaped and (loosely) IP-shaped; the documented
+    // order scrubs phones first so it must surface as [PHONE].
+    val got = TextAnalysis.piiScrub(Seq((1L, "call 555.123.4567 ok")).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getString(4) == "call [PHONE] ok")
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    import spark.implicits._
+    val got = TextAnalysis.normalize(
+      Seq((1L, "  Hello,   WORLD!!  it's 42\tdegrees  ")).toDF("doc_id", "text"))
+      .collect().head.getString(1)
+    assert(got == "hello world it s 42 degrees")
+  }
+
+  test("topBigrams counts corpus-wide with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // "a b" x2, "b a" x1, "b c" x1
+      (2L, "a b z"),     // "a b" x1, "b z" x1
+      (3L, "solo")       // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topBigrams(docs, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)),
+      s"expected count-desc then lexicographic ties, got $got")
+  }
+}
