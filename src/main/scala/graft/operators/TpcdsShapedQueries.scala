@@ -238,13 +238,116 @@ object TpcdsShapedQueries {
       |WHERE price_cents * n_brand * 10 > sum_cents * 13
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /**
+   * DS shape 7 (q14 "cross-channel" family): an INTERSECT of two fact slices drives the
+   * main aggregation — parts that sold in BOTH the high-priority and low-priority order
+   * channels, then revenue by part brand for just those parts. Spark plans INTERSECT as
+   * a left-semi after distinct (shuffle on the intersect key only: a long), and the
+   * resulting key set joins the fact as an AQE-decided join — no materialized temp table.
+   */
+  def qDsCrossChannel(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    val o = TableIO.orders(spark, dir)
+    val p = TableIO.part(spark, dir)
+    def channelParts(priorities: Seq[String]) =
+      li.join(o.filter(col("o_orderpriority").isin(priorities: _*)),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"))
+    val both = channelParts(Seq("1-URGENT", "2-HIGH"))
+      .intersect(channelParts(Seq("5-LOW")))
+    li.join(both, Seq("l_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qDsCrossChannelSql: String =
+    """WITH both_channels AS (
+      |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderpriority = '5-LOW')
+      |SELECT p_brand, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+      |FROM lineitem
+      |JOIN both_channels USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /**
+   * DS shape 8 (q10/q35 family): an EXISTS-chain — customers with at least one urgent
+   * order AND at least one open (status 'O') order, profiled by nation. Both predicates
+   * plan as left-semi joins on the customer key; the dimension join is a broadcast.
+   */
+  def qDsExistsChain(spark: SparkSession, dir: String): DataFrame = {
+    val c = TableIO.customer(spark, dir)
+    val o = TableIO.orders(spark, dir)
+    val n = TableIO.nation(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(urgent, Seq("c_custkey"), "left_semi")
+      .join(open, Seq("c_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val qDsExistsChainSql: String =
+    """SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT')
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderstatus = 'O')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /**
+   * DS shape 9 (q88 family): many conditional aggregates over ONE fact scan — order
+   * counts and revenue for six quantity bands computed as sum(CASE...) columns, a single
+   * pass with zero joins. The DS-hard property is that naive engines scan once per band;
+   * here all bands fuse into one codegen stage over one scan.
+   */
+  def qDsMultiBand(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    def band(lo: Int, hi: Int) =
+      sum(when(col("l_quantity") >= lo && col("l_quantity") < hi, 1).otherwise(0))
+    li.agg(
+      band(1, 10).as("b1_9"),
+      band(10, 20).as("b10_19"),
+      band(20, 30).as("b20_29"),
+      band(30, 40).as("b30_39"),
+      band(40, 50).as("b40_49"),
+      sum(when(col("l_quantity") >= 50, 1).otherwise(0)).as("b50_up"),
+      round(sum(when(col("l_quantity") < 25, col("l_extendedprice")).otherwise(lit(0.0))), 2)
+        .as("rev_low_half"))
+  }
+
+  val qDsMultiBandSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS b1_9,
+      |  CAST(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 ELSE 0 END) AS BIGINT) AS b10_19,
+      |  CAST(sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 ELSE 0 END) AS BIGINT) AS b20_29,
+      |  CAST(sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN 1 ELSE 0 END) AS BIGINT) AS b30_39,
+      |  CAST(sum(CASE WHEN l_quantity >= 40 AND l_quantity < 50 THEN 1 ELSE 0 END) AS BIGINT) AS b40_49,
+      |  CAST(sum(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b50_up,
+      |  round(sum(CASE WHEN l_quantity < 25 THEN l_extendedprice ELSE 0 END), 2) AS rev_low_half
+      |FROM lineitem""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_snowflake" -> (qDsSnowflake(_, _)),
     "q_ds_yoy" -> (qDsYoy(_, _)),
     "q_ds_grouping" -> (qDsGrouping(_, _)),
     "q_ds_channels" -> (qDsChannels(_, _)),
     "q_ds_topn_window" -> (qDsTopnWindow(_, _)),
-    "q_ds_above_avg" -> (qDsAboveAvg(_, _)))
+    "q_ds_above_avg" -> (qDsAboveAvg(_, _)),
+    "q_ds_cross_channel" -> (qDsCrossChannel(_, _)),
+    "q_ds_exists_chain" -> (qDsExistsChain(_, _)),
+    "q_ds_multi_band" -> (qDsMultiBand(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_ds_snowflake" -> qDsSnowflakeSql,
@@ -252,5 +355,8 @@ object TpcdsShapedQueries {
     "q_ds_grouping" -> qDsGroupingSql,
     "q_ds_channels" -> qDsChannelsSql,
     "q_ds_topn_window" -> qDsTopnWindowSql,
-    "q_ds_above_avg" -> qDsAboveAvgSql)
+    "q_ds_above_avg" -> qDsAboveAvgSql,
+    "q_ds_cross_channel" -> qDsCrossChannelSql,
+    "q_ds_exists_chain" -> qDsExistsChainSql,
+    "q_ds_multi_band" -> qDsMultiBandSql)
 }

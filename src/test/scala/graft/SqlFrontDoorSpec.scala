@@ -138,6 +138,29 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     sameResult(channels, operators.TpcdsShapedQueries.qDsChannels(spark, sf))
   }
 
+  test("PII scrub, normalization, and multi-band aggregation as SQL text") {
+    TableIO.registerAll(spark, sf)
+    val pii = spark.sql(
+      """SELECT doc_id,
+        |  size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails,
+        |  size(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', 0)) AS n_phones,
+        |  size(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+        |    '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]'),
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]') AS clean_text
+        |FROM documents""".stripMargin)
+    sameResult(pii, pipeline.TextAnalysis.textPii(spark, sf))
+    val norm = spark.sql(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+        |       '\\s+', ' ')) AS norm_text
+        |FROM documents""".stripMargin)
+    sameResult(norm, pipeline.TextAnalysis.textNormalize(spark, sf))
+    val bands = spark.sql(operators.TpcdsShapedQueries.qDsMultiBandSql)
+    sameResult(bands, operators.TpcdsShapedQueries.qDsMultiBand(spark, sf))
+  }
+
   test("native vector expressions are callable from SQL over a real table") {
     TableIO.registerAll(spark, sf)
     val sql = spark.sql(
