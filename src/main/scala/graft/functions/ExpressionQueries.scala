@@ -638,6 +638,116 @@ object ExpressionQueries {
         expr("approx_percentile(l_quantity, 0.5)").as("approx_p50"))
       .orderBy(col("l_linestatus"))
 
+  /**
+   * #35c higher-order array functions — the lambda surface (transform/filter/aggregate/
+   * exists/forall/zip_with/sequence/flatten/slice/array_distinct). These run as codegen'd
+   * per-row loops with NO shuffle and no UDF serialization — the shape embedding math and
+   * token-pipeline steps take at 100 TB. Arrays are stringified at the edge (element-wise
+   * `cast` under `concat_ws`) so the oracle compare is representation-stable; the DuckDB
+   * twin uses its own lambda builtins (`list_transform`/`list_filter`) or reconstructs the
+   * ground truth directly from the scalar source columns — independent derivations, same
+   * values.
+   */
+  def qHofFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val a1 = array(col("o_orderkey"), col("o_custkey"), col("o_orderkey") + col("o_custkey"))
+    val a2 = array(col("o_custkey"), col("o_orderkey"), col("o_orderkey") * 2)
+    def s(c: org.apache.spark.sql.Column) = concat_ws(",", transform(c, _.cast("string")))
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      s(transform(a1, x => x * 2)).as("doubled"),
+      s(filter(a1, x => x % 2 === 0)).as("evens"),
+      aggregate(a1, lit(0L), (acc, x) => acc + x).as("total"),
+      exists(a1, x => x % 7 === 0).as("any_div7"),
+      forall(a1, x => x > 0).as("all_pos"),
+      s(zip_with(a1, a2, (x, y) => x + y)).as("zipped"),
+      s(flatten(array(a2, a2))).as("flat"),
+      s(slice(a1, 1, 2)).as("first_two"),
+      s(sequence(lit(1L), col("o_orderkey") % 5 + 1)).as("seq"),
+      s(array_distinct(concat(a2, a2))).as("dedup"))
+  }
+
+  val qHofFuncsSql: String =
+    """SELECT o_orderkey,
+      |  array_to_string(list_transform([o_orderkey, o_custkey, o_orderkey + o_custkey],
+      |    x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled,
+      |  array_to_string(list_transform(list_filter(
+      |    [o_orderkey, o_custkey, o_orderkey + o_custkey], x -> x % 2 = 0),
+      |    x -> CAST(x AS VARCHAR)), ',') AS evens,
+      |  CAST(2 * (o_orderkey + o_custkey) AS BIGINT) AS total,
+      |  (o_orderkey % 7 = 0 OR o_custkey % 7 = 0 OR (o_orderkey + o_custkey) % 7 = 0) AS any_div7,
+      |  (o_orderkey > 0 AND o_custkey > 0 AND o_orderkey + o_custkey > 0) AS all_pos,
+      |  CAST(o_orderkey + o_custkey AS VARCHAR) || ',' || CAST(o_custkey + o_orderkey AS VARCHAR)
+      |    || ',' || CAST(3 * o_orderkey + o_custkey AS VARCHAR) AS zipped,
+      |  array_to_string(list_transform(
+      |    [o_custkey, o_orderkey, o_orderkey * 2, o_custkey, o_orderkey, o_orderkey * 2],
+      |    x -> CAST(x AS VARCHAR)), ',') AS flat,
+      |  CAST(o_orderkey AS VARCHAR) || ',' || CAST(o_custkey AS VARCHAR) AS first_two,
+      |  array_to_string(list_transform(generate_series(1, o_orderkey % 5 + 1),
+      |    x -> CAST(x AS VARCHAR)), ',') AS seq,
+      |  CAST(o_custkey AS VARCHAR)
+      |    || CASE WHEN o_orderkey <> o_custkey
+      |            THEN ',' || CAST(o_orderkey AS VARCHAR) ELSE '' END
+      |    || CASE WHEN o_orderkey * 2 <> o_custkey AND o_orderkey * 2 <> o_orderkey
+      |            THEN ',' || CAST(o_orderkey * 2 AS VARCHAR) ELSE '' END AS dedup
+      |FROM orders""".stripMargin
+
+  /** #39g regression/ordered-set aggregates: regr_slope/intercept/r2/count (the reference's
+    * ColumnarHashAggregation stat surface extended), median, bool_and/bool_or, and the
+    * bit_and/bit_or/bit_xor integer aggregates. */
+  def qAggStats3(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"),
+        round(expr("median(l_quantity)"), 4).as("med_q"),
+        expr("bool_and(l_quantity > 0)").as("all_qty_pos"),
+        expr("bool_or(l_discount > 0.05)").as("any_disc"),
+        expr("bit_and(l_partkey)").as("band"),
+        expr("bit_or(l_partkey)").as("bor"),
+        expr("bit_xor(l_partkey)").as("bxor"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggStats3Sql: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+      |  round(median(l_quantity), 4) AS med_q,
+      |  bool_and(l_quantity > 0) AS all_qty_pos,
+      |  bool_or(l_discount > 0.05) AS any_disc,
+      |  bit_and(l_partkey) AS band,
+      |  bit_or(l_partkey) AS bor,
+      |  bit_xor(l_partkey) AS bxor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #36b date constructors and calendar parts: make_date round-trip, add_months (both
+    * engines clamp to month end), quarter/ISO week, date_sub, quarter truncation. */
+  def qDateFuncs2(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir).select(
+      col("o_orderkey"),
+      make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+        dayofmonth(col("o_orderdate"))).as("remade"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      quarter(col("o_orderdate")).as("qtr"),
+      weekofyear(col("o_orderdate")).as("wk"),
+      date_sub(col("o_orderdate"), 7).as("minus7"),
+      trunc(col("o_orderdate"), "quarter").as("qstart"))
+
+  val qDateFuncs2Sql: String =
+    """SELECT o_orderkey,
+      |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+      |            CAST(day(o_orderdate) AS INT)) AS remade,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+      |  CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS minus7,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart
+      |FROM orders""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_math" -> qMath _, "q_case_when" -> qCaseWhen _, "q_coalesce_expr" -> qCoalesceExpr _,
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
@@ -647,7 +757,9 @@ object ExpressionQueries {
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
     "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
-    "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _)
+    "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _,
+    "q_hof_funcs" -> qHofFuncs _, "q_agg_stats3" -> qAggStats3 _,
+    "q_date_funcs2" -> qDateFuncs2 _)
 
   val oracles: Map[String, String] = Map(
     "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
@@ -658,6 +770,8 @@ object ExpressionQueries {
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
     "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
-    "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql)
+    "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
+    "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,
+    "q_date_funcs2" -> qDateFuncs2Sql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }

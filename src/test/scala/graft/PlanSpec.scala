@@ -124,4 +124,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p5.contains("BroadcastHashJoin"), s"expected BHJ in q5:\n$p5")
     assert(p7.contains("BroadcastHashJoin"), s"expected BHJ in q7:\n$p7")
   }
+
+  test("higher-order array lambdas run codegen'd in a single map-only stage") {
+    val df = graft.functions.ExpressionQueries.qHofFuncs(spark, sf)
+    val plan = executedPlan(df)
+    // the lambda surface (transform/filter/aggregate/zip_with/...) must stay a per-row
+    // expression loop: one scan, no shuffle, no UDF/python eval node
+    assert(!plan.contains("Exchange"), s"HOF query must be map-only:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"),
+      s"HOF query must not fall back to a UDF runner:\n$plan")
+    assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
+  }
 }
