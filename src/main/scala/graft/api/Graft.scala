@@ -129,4 +129,10 @@ object Graft {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       discriminator: org.apache.spark.sql.Column, salts: Int = 16): DataFrame =
     SkewJoin.saltedInner(probe, build, key, discriminator, salts)
+
+  /** Write `df` clustered on its dominant filter columns so parquet row-group min/max
+    * skipping works (cluster DATE/numeric, not TIMESTAMP_NTZ — see LayoutWriter). */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+      targetFiles: Int = 0): Unit =
+    graft.sources.LayoutWriter.writeClustered(df, path, clusterCols, targetFiles)
 }

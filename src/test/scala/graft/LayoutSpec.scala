@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LayoutWriter, TableIO}
+
+/**
+ * Layout management: clustering on the dominant filter column must make parquet min/max
+ * skipping real — measured with scan metrics, not assumed. The same predicate over the
+ * same rows should READ a small fraction of a clustered layout and all of a random one.
+ */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  /** Rows the parquet reader actually emitted (post row-group/page skipping), summed
+    * over every scan node. Pure scan+filter plans have no exchange, so no AQE nesting. */
+  private def rowsScanned(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+  }
+
+  test("clustered layout skips row groups a random layout must read") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    // cluster on a DATE cast: TIMESTAMP_NTZ predicates are pushed but do not prune row
+    // groups in this stack (pinned below) — a layout manager must cluster on a type whose
+    // parquet stats the reader actually uses
+    val li = TableIO.lineitem(spark, sf)
+      .withColumn("ship_d", to_date(col("l_shipdate"))).cache()
+    try {
+      // a ~5% window in the MIDDLE of the date range: a random layout's every file
+      // span contains it, a clustered layout's files mostly don't
+      val dates = li.select(col("ship_d")).distinct()
+        .orderBy(col("ship_d")).collect().map(_.getDate(0))
+      val lo = dates(dates.length * 45 / 100)
+      val hi = dates(dates.length * 50 / 100)
+
+      // random layout: every file spans the whole date range
+      li.repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/random")
+      // clustered layout: disjoint date ranges per file, sorted inside
+      LayoutWriter.writeClustered(li, s"$dir/clustered", Seq("ship_d"), targetFiles = 8)
+
+      def filtered(path: String) =
+        spark.read.parquet(path)
+          .filter(col("ship_d") >= lit(lo) && col("ship_d") <= lit(hi))
+
+      val total = li.count()
+      val matching = filtered(s"$dir/random").count()
+      assert(matching > 0 && matching < total / 8,
+        s"probe predicate should be selective: $matching of $total")
+
+      val randomRead = rowsScanned(filtered(s"$dir/random"))
+      val clusteredRead = rowsScanned(filtered(s"$dir/clustered"))
+
+      // random: min/max spans of all 8 files contain the probe -> reads everything
+      assert(randomRead >= total * 9 / 10,
+        s"random layout should read ~all rows, read $randomRead of $total")
+      // clustered: only the file(s) whose range can match are read
+      assert(clusteredRead * 2 <= randomRead,
+        s"clustered layout should skip most row groups: $clusteredRead vs $randomRead")
+    } finally {
+      li.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("TIMESTAMP_NTZ caveat is real: pushed NTZ predicate does not prune row groups") {
+    val dir = Files.createTempDirectory("graft-layout-ntz").toString
+    val li = TableIO.lineitem(spark, sf).cache()
+    try {
+      LayoutWriter.writeClustered(li, s"$dir/ntz", Seq("l_shipdate"), targetFiles = 8)
+      val dates = li.select(col("l_shipdate")).distinct()
+        .orderBy(col("l_shipdate")).collect().map(_.get(0))
+      val lo = dates(dates.length * 45 / 100)
+      val hi = dates(dates.length * 50 / 100)
+      val f = spark.read.parquet(s"$dir/ntz")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") <= lit(hi))
+      f.collect()
+      val plan = f.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        s"NTZ predicate should still be pushed:\n$plan")
+      // ...but every row group is read anyway: if a Spark upgrade starts pruning these,
+      // this assertion fails and the LayoutWriter caveat doc should be dropped
+      assert(rowsScanned(f) == li.count(),
+        "NTZ row groups pruned: update LayoutWriter's caveat doc — DATE cast no longer needed")
+    } finally {
+      li.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("partitioned+clustered layout composes directory pruning with row-group skipping") {
+    val dir = Files.createTempDirectory("graft-layout2").toString
+    val orders = TableIO.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    try {
+      LayoutWriter.writePartitionedClustered(
+        orders, s"$dir/po", "o_year", Seq("o_custkey"), targetFiles = 16)
+
+      val yr = orders.select(min("o_year")).first().getInt(0)
+      val read = spark.read.parquet(s"$dir/po")
+        .filter(col("o_year") === yr && col("o_custkey") <= 10)
+
+      // directory pruning visible in the plan: only one year partition survives
+      read.collect()
+      val plan = read.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), s"expected pushed filters:\n$plan")
+
+      val expected = orders.filter(col("o_year") === yr && col("o_custkey") <= 10).count()
+      assert(read.count() == expected)
+
+      // row-group skipping on the clustered col inside the surviving partition
+      val inYear = orders.filter(col("o_year") === yr).count()
+      val scanned = rowsScanned(read)
+      assert(scanned < inYear,
+        s"expected in-partition skipping: scanned $scanned of $inYear partition rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
