@@ -20,7 +20,9 @@ object SparkEntry {
       pipeline.Similarity.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Sampling.all ++
-      pipeline.Multimodal.all
+      pipeline.Multimodal.all ++
+      pipeline.TextRetrieval.all ++
+      pipeline.Profiling.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
@@ -34,5 +36,7 @@ object SparkEntry {
       pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Sampling.oracles ++
-      pipeline.Multimodal.oracles
+      pipeline.Multimodal.oracles ++
+      pipeline.TextRetrieval.oracles ++
+      pipeline.Profiling.oracles
 }

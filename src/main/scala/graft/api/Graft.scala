@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Profiling, Sampling, Similarity, TextAnalysis, TextRetrieval}
 
 /**
  * The user-facing library surface — every data-curation operator on ARBITRARY DataFrames,
@@ -129,6 +129,17 @@ object Graft {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       discriminator: org.apache.spark.sql.Column, salts: Int = 16): DataFrame =
     SkewJoin.saltedInner(probe, build, key, discriminator, salts)
+
+  /** BM25 ranked retrieval: (doc_id, n_hits, score) for every document matching >= 1
+    * query term. Rank cuts belong to the caller (compose with topKPerKey). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    TextRetrieval.bm25(docsFrame(docs), queryTerms, k1, b)
+
+  /** One-scan table profile: per-column counts/nulls/ndv/extrema. `exact=false` swaps
+    * exact distinct counts for HLL++ (the 100 TB default — no Expand duplication). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame =
+    Profiling.profile(df, cols, exact)
 
   /** Write `df` clustered on its dominant filter columns so parquet row-group min/max
     * skipping works (cluster DATE/numeric, not TIMESTAMP_NTZ — see LayoutWriter). */
