@@ -596,7 +596,65 @@ object RelationalOps {
       |GROUP BY sa, sb
       |ORDER BY sa, sb""".stripMargin
 
+  /**
+   * #14b null-aware anti join — the NOT IN three-valued-logic trap. `x NOT IN (subquery)`
+   * is NOT a plain anti join: one NULL in the subquery domain makes the predicate UNKNOWN
+   * for every non-matching row, so the whole result is empty. Spark plans this as a
+   * null-aware anti join (single-column NAAJ lowers to a broadcast hash join with
+   * isNullAwareAntiJoin=true); getting it wrong silently returns rows a correct engine
+   * must drop. Same SQL text runs on both engines; the null-free twin proves the query
+   * is otherwise non-trivial.
+   */
+  val qNotInNullsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM customer
+      |                           WHERE c_custkey <= 50)) AS n_with_null_domain,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                           WHERE c_custkey <= 50)) AS n_null_free""".stripMargin
+
+  def qNotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.orders(spark, dir).createOrReplaceTempView("orders")
+    TableIO.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(qNotInNullsSql)
+  }
+
+  /** #8e unpivot/melt (the inverse of pivot — Spark's native `unpivot`, which lowers to
+    * Expand): wide measures to (key, metric, value) long form. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("custkey_d"),
+        (col("o_totalprice") / 2).as("half_price"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("custkey_d"), col("half_price")),
+        "metric", "value")
+
+  val qUnpivotSql: String =
+    """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'custkey_d', CAST(o_custkey AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'half_price', o_totalprice / 2 FROM orders""".stripMargin
+
+  /** #13c LATERAL join (correlated subquery in FROM, with ORDER BY + LIMIT — the
+    * per-group top-k idiom in pure SQL). Spark decorrelates it; same text both engines. */
+  val qLateralSql: String =
+    """SELECT n_name, t.top_cust, t.bal FROM nation,
+      |LATERAL (SELECT c_name AS top_cust, c_acctbal AS bal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, bal DESC, top_cust""".stripMargin
+
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.nation(spark, dir).createOrReplaceTempView("nation")
+    TableIO.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(qLateralSql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_not_in_nulls" -> qNotInNulls _, "q_unpivot" -> qUnpivot _, "q_lateral" -> qLateral _,
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
     "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_null_semantics" -> qNullSemantics _,
@@ -609,6 +667,7 @@ object RelationalOps {
     "q_range" -> qRange _, "q_explode" -> qExplode _, "q_posexplode" -> qPosexplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q_not_in_nulls" -> qNotInNullsSql, "q_unpivot" -> qUnpivotSql, "q_lateral" -> qLateralSql,
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
     "q_sort" -> qSortSql, "q_topn" -> qTopNSql, "q_limit" -> qLimitSql,
     "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql, "q_setops" -> qSetOpsSql, "q_null_semantics" -> qNullSemanticsSql,

@@ -23,7 +23,8 @@ object PlanLint {
     "tpch_q15", "q_scalar_subquery", "tpch_q22", "q_math", // scalar-frame variants
     "q_cross", // crossJoin of two broadcastable dims plans as broadcast-NLJ
     "ann_bruteforce", // broadcast query set x corpus scan IS the brute-force design
-    "dedup_embedding_exact" // the O(n²) oracle twin (crossJoin + filter lowers to BNLJ)
+    "dedup_embedding_exact", // the O(n²) oracle twin (crossJoin + filter lowers to BNLJ)
+    "text_bm25" // 1-row corpus-stats frame (N, avgdl) crossJoined by broadcast
   )
 
   def main(args: Array[String]): Unit = {
