@@ -38,6 +38,16 @@ object EventsStreaming {
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
   /**
+   * Dedup on event_id ALONE within the watermark: duplicates whose timestamps differ
+   * (retries, at-least-once replays) still collapse, and — unlike plain
+   * `dropDuplicates("event_id")`, whose state grows forever because the key carries no
+   * event-time column — state is evicted once the watermark passes, so memory is bounded
+   * by the delay horizon. This is the at-scale exactly-once ingest gate.
+   */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /**
    * Stream-stream interval join: purchases attributed to a same-user click in the
    * preceding 30 minutes. Both sides carry watermarks and the join condition bounds event
    * time in both directions, so Spark can expire join state — without the time bounds the

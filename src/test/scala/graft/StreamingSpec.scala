@@ -49,6 +49,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark collapses replays with differing timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // same event_id replayed 1 minute apart (an at-least-once source retry):
+    // plain dropDuplicates(event_id, ts) would keep BOTH — within-watermark dedup must not
+    stream.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(2), 1, "click", 1.0),
+      Event(2, ts(3), 1, "view", 2.0))
+    val q = EventsStreaming.dedupWithinWatermark(stream.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"expected one row per id, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow backfill: processes everything, stops, resumes incrementally") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      // AvailableNow terminates by itself once the backlog is drained
+      assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    }
+
+    try {
+      runOnce()
+      assert(spark.read.parquet(sink).count() == 2)
+      runOnce() // no new data: exactly-once means nothing is re-emitted
+      assert(spark.read.parquet(sink).count() == 2)
+      Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+      runOnce() // only the new file is processed
+      val out = spark.read.parquet(sink)
+      assert(out.count() == 3 && out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
