@@ -31,7 +31,9 @@ object Bench {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
-    "q_ds_channels", "q_ds_grouping", "q_ds_yoy", "q_ds_above_avg", "q_ds_snowflake", "q_ds_cte",
+    "q_ds_channels", "q_ds_grouping", "q_ds_yoy", "q_ds_above_avg", "q_ds_snowflake",
+    "q_ds_topn_window", "q_ds_cross_channel", "q_ds_exists_chain", "q_ds_multi_band",
+    "text_bm25", "q_profile",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_components", "dedup_corpus", "dedup_embedding", "dedup_embedding_exact",
     "ann_bruteforce", "ann_lsh", "ann_ivf",

@@ -691,6 +691,35 @@ object ExpressionQueries {
       |            THEN ',' || CAST(o_orderkey * 2 AS VARCHAR) ELSE '' END AS dedup
       |FROM orders""".stripMargin
 
+  /**
+   * #35d VariantType — the open semi-structured column type (Spark 4): parse once into a
+   * binary variant, extract typed paths without re-parsing text per access. At 100 TB the
+   * variant binary encoding + shredded parquet storage is the difference between "JSON
+   * strings re-parsed by every query" and "typed columnar access"; here the JSON is
+   * reconstructed from source columns (q_json_funcs trick) so DuckDB can oracle the
+   * extracted VALUES while Spark is what proves the variant round-trip.
+   */
+  def qVariant(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir)
+      .withColumn("js", concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"s\":\""), col("o_orderstatus"), lit("\"}")))
+      .selectExpr(
+        "o_orderkey",
+        "variant_get(parse_json(js), '$.k', 'bigint') AS k_typed",
+        "variant_get(parse_json(js), '$.s', 'string') AS s_typed",
+        "variant_get(parse_json(js), '$.k', 'double') AS k_dbl",
+        "variant_get(parse_json(js), '$.missing', 'string') AS missing_null",
+        "schema_of_variant(parse_json(js)) AS sch")
+
+  val qVariantSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey AS k_typed,
+      |  o_orderstatus AS s_typed,
+      |  CAST(o_orderkey AS DOUBLE) AS k_dbl,
+      |  CAST(NULL AS VARCHAR) AS missing_null,
+      |  'OBJECT<k: BIGINT, s: STRING>' AS sch
+      |FROM orders""".stripMargin
+
   /** #39g regression/ordered-set aggregates: regr_slope/intercept/r2/count (the reference's
     * ColumnarHashAggregation stat surface extended), median, bool_and/bool_or, and the
     * bit_and/bit_or/bit_xor integer aggregates. */
@@ -759,7 +788,7 @@ object ExpressionQueries {
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _,
     "q_hof_funcs" -> qHofFuncs _, "q_agg_stats3" -> qAggStats3 _,
-    "q_date_funcs2" -> qDateFuncs2 _)
+    "q_date_funcs2" -> qDateFuncs2 _, "q_variant" -> qVariant _)
 
   val oracles: Map[String, String] = Map(
     "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
@@ -772,6 +801,6 @@ object ExpressionQueries {
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,
-    "q_date_funcs2" -> qDateFuncs2Sql)
+    "q_date_funcs2" -> qDateFuncs2Sql, "q_variant" -> qVariantSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }

@@ -125,6 +125,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p7.contains("BroadcastHashJoin"), s"expected BHJ in q7:\n$p7")
   }
 
+  test("observe() collects pipeline metrics in the same pass (no second scan)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val src = graft.sources.TableIO.lineitem(spark, sf)
+      .observe("ingest", count(lit(1)).as("rows_seen"))
+    val out = src.filter(col("l_quantity") > 45)
+    out.collect()
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics.contains("ingest"), s"expected observed metrics, got $metrics")
+    // the observation sits UPSTREAM of the filter: it must count every scanned row,
+    // proving a pipeline can self-meter without a second job over the source
+    assert(metrics("ingest").getLong(0) ==
+      graft.sources.TableIO.lineitem(spark, sf).count(),
+      "observe must see every scanned row, not just filtered output")
+  }
+
   test("higher-order array lambdas run codegen'd in a single map-only stage") {
     val df = graft.functions.ExpressionQueries.qHofFuncs(spark, sf)
     val plan = executedPlan(df)
