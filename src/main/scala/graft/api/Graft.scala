@@ -146,4 +146,11 @@ object Graft {
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
       targetFiles: Int = 0): Unit =
     graft.sources.LayoutWriter.writeClustered(df, path, clusterCols, targetFiles)
+
+  /** Key-based upsert into a hive-partitioned parquet table; rewrites ONLY the
+    * partitions the updates touch (dynamic partition overwrite). Not ACID — see
+    * LayoutWriter.upsertPartitioned. */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, key: String, partitionCol: String): Unit =
+    graft.sources.LayoutWriter.upsertPartitioned(spark, path, updates, key, partitionCol)
 }

@@ -753,6 +753,50 @@ object ExpressionQueries {
       |  bit_xor(l_partkey) AS bxor
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** #39h SQL-standard ordered string aggregation: listagg WITHIN GROUP (Spark 4) ==
+    * DuckDB string_agg(... ORDER BY) — deterministic because the order is explicit. */
+  def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.lineitem(spark, dir).filter(col("l_orderkey") <= 100)
+      .createOrReplaceTempView("lineitem_head")
+    spark.sql(
+      """SELECT l_orderkey,
+        |  listagg(l_returnflag, ',') WITHIN GROUP (ORDER BY l_linenumber, l_returnflag) AS flags_seq,
+        |  listagg(DISTINCT l_linestatus, '|') WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+        |FROM lineitem_head GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+  }
+
+  val qListaggSql: String =
+    """SELECT l_orderkey,
+      |  string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag) AS flags_seq,
+      |  string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses
+      |FROM lineitem WHERE l_orderkey <= 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /**
+   * #38d ANSI-safe error-handling kernels (Spark 4 runs ANSI mode by default, so silent
+   * wraparound/garbage is gone and the try_* family is the explicit opt-out): division by
+   * zero, 64-bit overflow, bad casts, out-of-bounds array access — each yields NULL, not
+   * a crashed 100 TB job five hours in. Oracle reconstructs each NULL case explicitly.
+   */
+  def qTryFuncs(spark: SparkSession, dir: String): DataFrame =
+    TableIO.orders(spark, dir).selectExpr(
+      "o_orderkey",
+      "try_divide(o_totalprice, o_custkey % 3) AS div_or_null",
+      "try_add(9223372036854775807L, o_orderkey + 1L) AS overflow_null",
+      "try_cast(o_orderstatus AS INT) AS bad_cast_null",
+      "try_cast(cast(o_orderkey AS STRING) AS BIGINT) AS good_cast",
+      "try_element_at(array(o_orderkey, o_custkey), 5) AS oob_null")
+
+  val qTryFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+      |       ELSE o_totalprice / (o_custkey % 3) END AS div_or_null,
+      |  CAST(NULL AS BIGINT) AS overflow_null,
+      |  CAST(NULL AS INT) AS bad_cast_null,
+      |  o_orderkey AS good_cast,
+      |  CAST(NULL AS BIGINT) AS oob_null
+      |FROM orders""".stripMargin
+
   /** #36b date constructors and calendar parts: make_date round-trip, add_months (both
     * engines clamp to month end), quarter/ISO week, date_sub, quarter truncation. */
   def qDateFuncs2(spark: SparkSession, dir: String): DataFrame =
@@ -788,7 +832,8 @@ object ExpressionQueries {
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _,
     "q_hof_funcs" -> qHofFuncs _, "q_agg_stats3" -> qAggStats3 _,
-    "q_date_funcs2" -> qDateFuncs2 _, "q_variant" -> qVariant _)
+    "q_date_funcs2" -> qDateFuncs2 _, "q_variant" -> qVariant _,
+    "q_listagg" -> qListagg _, "q_try_funcs" -> qTryFuncs _)
 
   val oracles: Map[String, String] = Map(
     "q_math" -> qMathSql, "q_case_when" -> qCaseWhenSql, "q_coalesce_expr" -> qCoalesceExprSql,
@@ -801,6 +846,7 @@ object ExpressionQueries {
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,
-    "q_date_funcs2" -> qDateFuncs2Sql, "q_variant" -> qVariantSql)
+    "q_date_funcs2" -> qDateFuncs2Sql, "q_variant" -> qVariantSql,
+    "q_listagg" -> qListaggSql, "q_try_funcs" -> qTryFuncsSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /**
  * Data-layout management: cluster a table on its dominant filter/join columns before
@@ -43,6 +43,37 @@ object LayoutWriter {
     df.repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Key-based upsert into a hive-partitioned parquet table that rewrites ONLY the
+   * partitions the updates touch (dynamic partition overwrite). At 100 TB a refresh
+   * batch touches a handful of date partitions; rewriting the whole table for it is the
+   * difference between minutes and a day. Untouched partition files are left bit-for-bit
+   * alone (LayoutSpec asserts same files, same mtimes).
+   *
+   * Not ACID: a reader racing the overwrite of a touched partition can see it mid-swap —
+   * at that point you want a table format (Delta/Iceberg) on top; the PLAN shape (touched
+   * partitions only, anti-join on the key, union of survivors + updates) is the same one
+   * those formats execute underneath.
+   */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        key: String, partitionCol: String): Unit = {
+    val existing = spark.read.parquet(path)
+    val touched = updates.select(partitionCol).distinct()
+    // survivors: rows of touched partitions whose key is NOT replaced by an update.
+    // localCheckpoint materializes them BEFORE the overwrite — the write would otherwise
+    // read from the very files it is replacing.
+    val survivors = existing
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .join(updates.select(key), Seq(key), "left_anti")
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try survivors.unionByName(updates.select(existing.columns.map(col): _*))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
   /** Hive-partitioned + in-file clustered: directories prune on `partitionCol` at plan

@@ -95,6 +95,39 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-level upsert rewrites only the touched partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert").toString
+    val dir = s"$root/tbl"
+    try {
+      Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021), (4L, "d", 2022))
+        .toDF("id", "v", "yr").write.partitionBy("yr").parquet(dir)
+
+      def snapshot(yr: Int): Map[String, Long] = {
+        val d = new java.io.File(s"$dir/yr=$yr")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val before2021 = snapshot(2021)
+      val before2022 = snapshot(2022)
+
+      // one key update, one insert into an existing partition, one brand-new partition
+      val updates = Seq((2L, "B", 2020), (5L, "e", 2020), (6L, "f", 2023))
+        .toDF("id", "v", "yr")
+      graft.sources.LayoutWriter.upsertPartitioned(spark, dir, updates, "id", "yr")
+
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(out == Map(
+        1L -> ("a", 2020), 2L -> ("B", 2020), 3L -> ("c", 2021),
+        4L -> ("d", 2022), 5L -> ("e", 2020), 6L -> ("f", 2023)))
+
+      // untouched partitions: same files, same mtimes — bit-for-bit alone
+      assert(snapshot(2021) == before2021, "yr=2021 must not be rewritten")
+      assert(snapshot(2022) == before2022, "yr=2022 must not be rewritten")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("partitioned+clustered layout composes directory pruning with row-group skipping") {
     val dir = Files.createTempDirectory("graft-layout2").toString
     val orders = TableIO.orders(spark, sf)
