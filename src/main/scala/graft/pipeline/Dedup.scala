@@ -327,6 +327,61 @@ object Dedup {
   }
 
   /**
+   * SimHash signatures with an md5 token hash (60 bits: 15 hex chars, so the value and
+   * every shift stay inside a signed 64-bit long). Same Charikar construction as
+   * [[simhashes]]; the ONLY difference is the token hash function, chosen because both
+   * engines can compute md5 — which makes the signature construction itself
+   * oracle-checkable: the DuckDB twin rebuilds each of the 60 vote counters bit-by-bit
+   * from the md5 hex (`dedup_simhash_md5`). The production kernel stays on FastHash
+   * (one 8-byte hash vs hex-string md5 — measured ~6x cheaper); this variant exists to
+   * PROVE the construction, pairs recall is spec'd in DedupSpec.
+   */
+  def simhashesMd5(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, raw) =>
+      val text = if (raw == null) "" else raw
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      text.split(' ').foreach { tok =>
+        if (tok.nonEmpty) {
+          val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          var j = 0
+          while (j < 60) { votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+        }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+      (id, sig)
+    }.toDF("doc_id", "simhash")
+  }
+
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashesMd5(TableIO.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[simhashesMd5]]: per (doc, bit) vote counters reconstructed from the
+    * md5 hex — nibble p (1-based from the left of 15 chars) holds bits 4*(15-p)..4*(15-p)+3,
+    * so bit j lives in char position 15 - j/4 at in-nibble offset j%4. */
+  val dedupSimhashMd5Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, md5(tok) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0
+      |), votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, 15 - j // 4, 1)) - 1)
+      |                   >> (j % 4)) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS vote
+      |  FROM toks, range(60) r(j)
+      |  GROUP BY doc_id, j
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /**
    * SimHash near-dup pairs with hamming distance <= maxHamming, candidates from 8-bit block
    * bands. The default maxHamming=7 stays inside the pigeonhole guarantee (8 equal blocks
    * find every pair with < 8 differing bits), so banding loses nothing; strong near-dups
@@ -555,6 +610,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_simhash_md5" -> (dedupSimhashMd5(_, _)),
     "dedup_embedding" -> (dedupEmbeddingLsh(_, _)),
     "dedup_embedding_exact" -> (dedupEmbeddingExact(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
@@ -564,7 +620,9 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> jaccardPairsSql(0.8),
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.5),
-    // dedup_simhash intentionally omitted: hash-seeded, spec-verified (rows-only here)
+    // dedup_simhash intentionally omitted: hash-seeded, spec-verified (rows-only here);
+    // its CONSTRUCTION is oracle-proven by the md5-hash twin below
+    "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     // dedup_embedding (LSH) intentionally omitted: approximate by design, recall-spec'd
     "dedup_embedding_exact" -> dedupEmbeddingSql(0.45),
     "dedup_corpus" -> dedupCorpusSql(0.8),
