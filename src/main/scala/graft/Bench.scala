@@ -79,14 +79,20 @@ object Bench {
       } catch { case _: Throwable => name -> -1.0 }
       finally spark.catalog.clearCache()
     }
-    def ms(v: Double): String = f"$v%.3f"
-    val detailed = results.filter { case (k, _) => Headline.contains(k) || only.isDefined }
-    val otherSec = results.collect { case (k, v) if !detailed.contains(k) => v }.sum
+    // Locale.ROOT: the scala f-interpolator uses the default locale — a comma-decimal
+    // locale would emit {"value":6,123,...} and break the driver's JSON parse.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val ok = results.filter(_._2 >= 0) // -1.0 sentinels must not deflate the sums
+    val detailed = ok.filter { case (k, _) => Headline.contains(k) || only.isDefined }
+    val otherSec = ok.collect { case (k, v) if !detailed.contains(k) => v }.sum
     val qs = detailed.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedJson,""" +
       s""""other_sec":${ms(otherSec)},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Emit the JSON line LAST, after Spark's shutdown logging, alone on its own line and

@@ -329,8 +329,9 @@ object Dedup {
   /**
    * SimHash signatures with an md5 token hash (60 bits: 15 hex chars, so the value and
    * every shift stay inside a signed 64-bit long). Same Charikar construction as
-   * [[simhashes]]; the ONLY difference is the token hash function, chosen because both
-   * engines can compute md5 — which makes the signature construction itself
+   * [[simhashes]], with two deviations for exact cross-engine parity: md5 replaces
+   * FastHash (both engines can compute md5), and empty tokens / token-less docs are
+   * dropped (matching the SQL twin's unnest semantics) — which makes the construction
    * oracle-checkable: the DuckDB twin rebuilds each of the 60 vote counters bit-by-bit
    * from the md5 hex (`dedup_simhash_md5`). The production kernel stays on FastHash
    * (one 8-byte hash vs hex-string md5 — measured ~6x cheaper); this variant exists to
@@ -339,22 +340,27 @@ object Dedup {
   def simhashesMd5(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, raw) =>
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, raw) =>
       val text = if (raw == null) "" else raw
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](60)
+      var nToks = 0
       text.split(' ').foreach { tok =>
         if (tok.nonEmpty) {
+          nToks += 1
           val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
           var j = 0
           while (j < 60) { votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
         }
       }
-      var sig = 0L
-      var j = 0
-      while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
-      (id, sig)
+      if (nToks == 0) None // token-less doc: the SQL twin's unnest emits no rows either
+      else {
+        var sig = 0L
+        var j = 0
+        while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+        Some((id, sig))
+      }
     }.toDF("doc_id", "simhash")
   }
 

@@ -40,9 +40,13 @@ object Profiling {
           .as(s"${c}__max_str"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // column names are spliced into SQL text: escape string-literal quotes and backticks
+    // (profile is public API over arbitrary frames — "it's" or `a`b` must not break parse)
+    def lit(c: String): String = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def id(c: String): String = "`" + c.replace("`", "``") + "`"
     val stacked = cols.map { c =>
-      s"'$c', `${c}__nonnull`, `${c}__ndv`, `${c}__min_num`, `${c}__max_num`, " +
-        s"`${c}__min_str`, `${c}__max_str`"
+      s"${lit(c)}, ${id(c + "__nonnull")}, ${id(c + "__ndv")}, ${id(c + "__min_num")}, " +
+        s"${id(c + "__max_num")}, ${id(c + "__min_str")}, ${id(c + "__max_str")}"
     }.mkString(", ")
     wide.selectExpr("n_rows",
         s"stack(${cols.size}, $stacked) AS (column, n_nonnull, ndv, min_num, max_num, min_str, max_str)")

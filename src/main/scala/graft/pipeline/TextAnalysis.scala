@@ -258,34 +258,41 @@ object TextAnalysis {
   /**
    * PII scrub: redact emails/phone-numbers/IPv4s and count what was removed. A curation
    * pipeline runs this as a map-only pass fused into the scan (pure codegen expressions,
-   * no UDF, no shuffle) — the counts make redaction auditable per document. IP last so
-   * phone-shaped digit runs are already gone before the looser IP pattern scans.
+   * no UDF, no shuffle) — the counts make redaction auditable per document. Redaction is
+   * sequential (email → phone → IP), so each count is taken on the text AS THAT STAGE
+   * SEES IT: n_phones/n_ips equal the number of [PHONE]/[IP] tokens actually inserted
+   * (an IP inside an already-redacted email is not phantom-counted).
    */
-  def piiScrub(docs: DataFrame): DataFrame =
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "[PHONE]")
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]"),
-        Ipv4Re, "[IP]").as("clean_text"))
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(afterPhone, Ipv4Re, "[IP]").as("clean_text"))
+  }
 
   def textPii(spark: SparkSession, dir: String): DataFrame =
     piiScrub(TableIO.documents(spark, dir))
 
   val textPiiSql: String =
-    s"""SELECT doc_id,
+    s"""WITH staged AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') AS after_email
+       |  FROM documents
+       |), staged2 AS (
+       |  SELECT doc_id, text, after_email,
+       |    regexp_replace(after_email, '$PhoneRe', '[PHONE]', 'g') AS after_phone
+       |  FROM staged
+       |)
+       |SELECT doc_id,
        |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
-       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
-       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$EmailRe', '[EMAIL]', 'g'),
-       |    '$PhoneRe', '[PHONE]', 'g'),
-       |    '$Ipv4Re', '[IP]', 'g') AS clean_text
-       |FROM documents""".stripMargin
+       |  len(regexp_extract_all(after_email, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(after_phone, '$Ipv4Re')) AS n_ips,
+       |  regexp_replace(after_phone, '$Ipv4Re', '[IP]', 'g') AS clean_text
+       |FROM staged2""".stripMargin
 
   // ---- normalization -------------------------------------------------------------------
 

@@ -60,20 +60,39 @@ object LayoutWriter {
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         key: String, partitionCol: String): Unit = {
     val existing = spark.read.parquet(path)
-    val touched = updates.select(partitionCol).distinct()
+    // touched = partitions the updates land in PLUS partitions currently holding an
+    // updated key — a key whose partition value changes must have its OLD row rewritten
+    // away too, or the "upsert" leaves a stale duplicate in the untouched partition.
+    val updatedKeys = updates.select(key).distinct()
+    val touched = updates.select(partitionCol)
+      .union(existing.join(broadcast(updatedKeys), Seq(key), "left_semi")
+        .select(partitionCol))
+      .distinct()
     // survivors: rows of touched partitions whose key is NOT replaced by an update.
     // localCheckpoint materializes them BEFORE the overwrite — the write would otherwise
     // read from the very files it is replacing.
     val survivors = existing
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
-      .join(updates.select(key), Seq(key), "left_anti")
+      .join(updatedKeys, Seq(key), "left_anti")
       .localCheckpoint(true)
+    val out = survivors.unionByName(updates.select(existing.columns.map(col): _*))
+    // dynamic overwrite only replaces partitions PRESENT in the written data — a touched
+    // partition whose rows ALL moved away would keep its stale files. Compute both sets
+    // before the write (afterwards the source files may be gone) and delete the emptied
+    // directories explicitly. `touched` is small by construction (it is broadcast).
+    val touchedVals = touched.collect().map(r => String.valueOf(r.get(0))).toSet
+    val outVals = out.select(partitionCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-    try survivors.unionByName(updates.select(existing.columns.map(col): _*))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    try out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touchedVals -- outVals).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"), true)
+    }
   }
 
   /** Hive-partitioned + in-file clustered: directories prune on `partitionCol` at plan

@@ -26,6 +26,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3).isNullAt(4), "null text must stay null, not become a redaction")
   }
 
+  test("counts reconcile with inserted tokens: no phantom counts inside redacted spans") {
+    import spark.implicits._
+    // the IP-shaped host lives INSIDE the email match: after [EMAIL] replacement there is
+    // no IP left to redact, so n_ips must be 0 (a phantom 1 would break count auditing)
+    val got = TextAnalysis.piiScrub(
+      Seq((1L, "mail admin@10.0.0.1.com now")).toDF("doc_id", "text")).collect().head
+    assert(got.getString(4) == "mail [EMAIL] now")
+    assert(got.getInt(1) == 1 && got.getInt(3) == 0,
+      s"n_ips must count inserted [IP] tokens only: $got")
+  }
+
   test("phone redaction wins over the looser IP pattern (ordering contract)") {
     import spark.implicits._
     // 555.123.4567 is both phone-shaped and (loosely) IP-shaped; the documented
