@@ -42,10 +42,10 @@ object Profiling {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // column names are spliced into SQL text: escape string-literal quotes and backticks
     // (profile is public API over arbitrary frames — "it's" or `a`b` must not break parse)
-    def lit(c: String): String = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def sqlLit(c: String): String = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def id(c: String): String = "`" + c.replace("`", "``") + "`"
     val stacked = cols.map { c =>
-      s"${lit(c)}, ${id(c + "__nonnull")}, ${id(c + "__ndv")}, ${id(c + "__min_num")}, " +
+      s"${sqlLit(c)}, ${id(c + "__nonnull")}, ${id(c + "__ndv")}, ${id(c + "__min_num")}, " +
         s"${id(c + "__max_num")}, ${id(c + "__min_str")}, ${id(c + "__max_str")}"
     }.mkString(", ")
     wide.selectExpr("n_rows",
