@@ -136,9 +136,13 @@ object Graft {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     TextRetrieval.bm25(docsFrame(docs), queryTerms, k1, b)
 
-  /** One-scan table profile: per-column counts/nulls/ndv/extrema. `exact=false` swaps
-    * exact distinct counts for HLL++ (the 100 TB default — no Expand duplication). */
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame =
+  /** One-scan table profile: per-column counts/nulls/ndv/extrema. The default is the
+    * HLL++ ndv estimate (`exact = false`): exact multi-column `count(DISTINCT)` expands
+    * the input via Catalyst Expand — one duplicate per distinct aggregate, ~6x for a
+    * 5-column profile — which is the wrong plan at 100 TB. Pass `exact = true` only when
+    * an exact ndv is worth a multiplied scan (the driver oracle query does, to hash-match
+    * DuckDB). The default plan is Expand-free (asserted by GraftApiSpec). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame =
     Profiling.profile(df, cols, exact)
 
   /** Write `df` clustered on its dominant filter columns so parquet row-group min/max

@@ -59,40 +59,73 @@ object LayoutWriter {
    */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         key: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{count, first, lit}
     val existing = spark.read.parquet(path)
+
+    // ONE small job over the updates batch (the broadcast-sized side by contract) yields
+    // both the duplicate-key check and the partition values the updates land in. Two
+    // update rows for one key would make the upsert itself plant the duplicates it exists
+    // to prevent, and "last write wins" is undefined without an ordering column: fail fast.
+    val keyRows = updates.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"), first(col(partitionCol)).as("pv")).collect()
+    val dups = keyRows.filter(_.getLong(1) > 1).take(3)
+    require(dups.isEmpty,
+      s"updates batch has duplicate values of key '$key' (e.g. ${dups.map(_.get(0)).mkString(", ")}); " +
+        "resolve to one row per key before upserting")
+    val updatePartRaw = keyRows.map(_.get(2)).distinct.toSeq
+
     // touched = partitions the updates land in PLUS partitions currently holding an
     // updated key — a key whose partition value changes must have its OLD row rewritten
     // away too, or the "upsert" leaves a stale duplicate in the untouched partition.
     val updatedKeys = updates.select(key).distinct()
-    val touched = updates.select(partitionCol)
-      .union(existing.join(broadcast(updatedKeys), Seq(key), "left_semi")
-        .select(partitionCol))
-      .distinct()
-    // survivors: rows of touched partitions whose key is NOT replaced by an update.
-    // localCheckpoint materializes them BEFORE the overwrite — the write would otherwise
-    // read from the very files it is replacing.
-    val survivors = existing
-      .join(broadcast(touched), Seq(partitionCol), "left_semi")
-      .join(updatedKeys, Seq(key), "left_anti")
+    val movedFromRaw = existing.join(broadcast(updatedKeys), Seq(key), "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    val touchedRaw = (updatePartRaw ++ movedFromRaw).distinct
+
+    // survivors: rows of touched partitions whose key is NOT replaced by an update. The
+    // touched set is inlined as a literal IN list (partition VALUES — small by
+    // construction), so it prunes directories at plan time instead of needing a runtime
+    // semi join. localCheckpoint materializes survivors BEFORE the overwrite — the write
+    // would otherwise read from the very files it is replacing.
+    val touchedNonNull = touchedRaw.filter(_ != null)
+    val touchedPred =
+      if (touchedRaw.contains(null))
+        col(partitionCol).isNull || col(partitionCol).isInCollection(touchedNonNull)
+      else col(partitionCol).isInCollection(touchedNonNull)
+    val survivors = existing.filter(touchedPred)
+      .join(broadcast(updatedKeys), Seq(key), "left_anti")
       .localCheckpoint(true)
     val out = survivors.unionByName(updates.select(existing.columns.map(col): _*))
+
     // dynamic overwrite only replaces partitions PRESENT in the written data — a touched
-    // partition whose rows ALL moved away would keep its stale files. Compute both sets
-    // before the write (afterwards the source files may be gone) and delete the emptied
-    // directories explicitly. `touched` is small by construction (it is broadcast).
-    val touchedVals = touched.collect().map(r => String.valueOf(r.get(0))).toSet
-    val outVals = out.select(partitionCol).distinct().collect()
-      .map(r => String.valueOf(r.get(0))).toSet
+    // partition whose rows ALL moved away would keep its stale files. The emptied set is
+    // derived from data already in hand (updates' values from the key job, survivors'
+    // from the in-memory checkpoint) — no extra pass over the source files.
+    val survivorRaw = survivors.select(partitionCol).distinct().collect().map(_.get(0))
+    val emptied = (touchedRaw.toSet -- updatePartRaw) -- survivorRaw
+
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
     try out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (touchedVals -- outVals).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"), true)
+    emptied.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, hiveDirName(partitionCol, v)), true)
     }
+  }
+
+  /** `col=value` directory name exactly as Spark's writer lays it out: Hive path escaping
+    * for special characters (`:`, `/`, `%`, …), `__HIVE_DEFAULT_PARTITION__` for null —
+    * a raw s"$col=$v" would miss escaped and null directories and silently leave the
+    * stale files the emptied-partition cleanup exists to delete. */
+  private[graft] def hiveDirName(partitionCol: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val v = if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(String.valueOf(value))
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$v"
   }
 
   /** Hive-partitioned + in-file clustered: directories prune on `partitionCol` at plan

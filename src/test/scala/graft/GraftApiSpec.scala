@@ -125,6 +125,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
+  test("profile defaults to the Expand-free HLL++ plan; exact=true opts into Expand") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0), (3L, "a", 2.0)).toDF("id", "tag", "x")
+    val cols = Seq("id", "tag", "x")
+    def hasExpand(p: org.apache.spark.sql.DataFrame): Boolean =
+      p.queryExecution.executedPlan.toString.contains("Expand")
+    val approx = Graft.profile(df, cols)
+    assert(!hasExpand(approx), "default profile must not multiply the input via Expand")
+    assert(hasExpand(Graft.profile(df, cols, exact = true)),
+      "exact multi-column count(DISTINCT) is the Expand shape (documented opt-in)")
+    // on a tiny frame HLL++ ndv is exact: values must agree with the exact form
+    val ndv = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ndv == Map("id" -> 3L, "tag" -> 2L, "x" -> 2L), s"got $ndv")
+  }
+
   test("asOfJoin and rangeJoin run on user frames") {
     import spark.implicits._
     val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0)).toDF("k", "qts", "px")

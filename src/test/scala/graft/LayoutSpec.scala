@@ -128,6 +128,51 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("upsert partition-move deletes the emptied directory, including escaped and null names") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert-move").toString
+    val dir = s"$root/tbl"
+    try {
+      // partition values exercising Hive path escaping (':' -> %3A) and the null
+      // partition (__HIVE_DEFAULT_PARTITION__) — a raw "col=value" path would miss both
+      Seq((1L, "a", "us:east"), (2L, "b", "us:east"), (3L, "c", "eu"), (4L, "d", null))
+        .toDF("id", "v", "region").write.partitionBy("region").parquet(dir)
+      assert(new java.io.File(s"$dir/region=us%3Aeast").exists(), "writer escapes ':'")
+      assert(new java.io.File(s"$dir/region=__HIVE_DEFAULT_PARTITION__").exists())
+
+      // move BOTH rows out of us:east and the one row out of the null partition:
+      // both directories are emptied and must disappear, not linger with stale files
+      val updates = Seq((1L, "A", "eu"), (2L, "B", "eu"), (4L, "D", "eu"))
+        .toDF("id", "v", "region")
+      LayoutWriter.upsertPartitioned(spark, dir, updates, "id", "region")
+
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(out == Map(1L -> ("A", "eu"), 2L -> ("B", "eu"),
+        3L -> ("c", "eu"), 4L -> ("D", "eu")), s"got $out")
+      assert(!new java.io.File(s"$dir/region=us%3Aeast").exists(),
+        "emptied escaped partition directory must be deleted")
+      assert(!new java.io.File(s"$dir/region=__HIVE_DEFAULT_PARTITION__").exists(),
+        "emptied null partition directory must be deleted")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("upsert rejects duplicate keys in the updates batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert-dup").toString
+    val dir = s"$root/tbl"
+    try {
+      Seq((1L, "a", 2020)).toDF("id", "v", "yr").write.partitionBy("yr").parquet(dir)
+      val dupes = Seq((1L, "x", 2020), (1L, "y", 2020)).toDF("id", "v", "yr")
+      val e = intercept[IllegalArgumentException] {
+        LayoutWriter.upsertPartitioned(spark, dir, dupes, "id", "yr")
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      // table untouched by the failed upsert
+      assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq == Seq("a"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("partitioned+clustered layout composes directory pruning with row-group skipping") {
     val dir = Files.createTempDirectory("graft-layout2").toString
     val orders = TableIO.orders(spark, sf)
