@@ -487,29 +487,42 @@ object Dedup {
    * Returns (doc_id, component) for every node that appears in a pair.
    */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // symmetric edge list, pre-partitioned on the probe key and cached: the per-round
+    // join then reuses ONE materialized partitioning instead of re-shuffling the (larger)
+    // edge set every iteration. No distinct: min-label propagation is insensitive to edge
+    // multiplicity, so deduplicating here would buy nothing for a full extra shuffle+agg.
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .distinct().cache()
+      .repartition(col("u"))
+      .cache()
     // localCheckpoint truncates the logical plan to the materialized RDD each round —
     // without it the plan (and Catalyst re-analysis cost) grows with every iteration,
     // the classic iterative-algorithm trap on Spark. Previous rounds' checkpoints are
     // unpersisted once the next one is materialized so storage stays O(1) in iterations.
-    var checkpointed = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+    // Checkpoints also carry their outputPartitioning, which is what keeps the loop at
+    // ONE shuffle per round: labels arrive partitioned on doc_id, the rename to u is
+    // alias-aware (ProjectExec preserves partitioning through aliases), so the edge join
+    // needs no exchange, and the convergence join runs on two doc_id-partitioned sides.
+    // initialize each node at min(self, direct neighbors) — the first propagation round
+    // fused into the init aggregate (shuffle-free: edges are already partitioned on u).
+    // A star-shaped cluster whose center is the minimum id — the typical near-dup shape —
+    // is already converged here, so the loop body runs exactly once to verify.
+    var checkpointed = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(col("u"), min(col("v"))).as("component")).localCheckpoint()
     var labels = checkpointed
     var changed = 1L
     while (changed > 0) {
-      // neighbor minimum: for each node, the smallest label among its neighbors
-      val neighborMin = edges
+      // one-hop min-label propagation as union + min-aggregate; the groupBy is the only
+      // exchange in the round (labels ∪ messages, keyed by node)
+      val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
-        .groupBy(col("v").as("doc_id"))
-        .agg(min(col("component")).as("nmin"))
+        .select(col("v").as("doc_id"), col("component"))
+      val stepped = labels.unionByName(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
       // carry the previous label so the convergence check is one cheap action
-      val next = labels.withColumnRenamed("component", "old")
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
-          col("old"))
+      val next = stepped
+        .join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
         .localCheckpoint()
       changed = next.filter(col("component") =!= col("old")).count()
       checkpointed.unpersist()

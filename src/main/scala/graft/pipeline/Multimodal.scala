@@ -12,10 +12,12 @@ import graft.sources.TableIO
  * (gazelle_plugin: native-sql-engine/core/src/main/scala/org/apache/spark/sql/execution/
  * python/ColumnarArrowPythonRunner.scala:1, which ships Arrow batches to a Python worker).
  *
- * The decode kernels themselves are STUBBED with deterministic fakes (this container has
- * no image/audio libraries); everything Spark-side — binary schema, batched partition
- * processing, typed output schema, partitioning — is real and spec-tested. Swapping
- * `fakeDecode` for an actual JNI/Python decoder changes no plumbing.
+ * Image decode is REAL for JDK-supported formats (decodeImages: javax.imageio inside the
+ * mapPartitions kernel, spec-driven with in-test PNGs). Audio/video decode stays a
+ * deterministic STUB (no ffmpeg in this container), and the registered driver query uses
+ * the stub throughout because the driver corpus has no real media bytes; everything
+ * Spark-side — binary schema, batched partition processing, typed output schema,
+ * partitioning — is identical between the two kernels.
  *
  * Scale notes: mapPartitions keeps decode zero-shuffle (runs inside the scan stage);
  * payloads stay off the driver; metadata-only queries never touch the binary column
@@ -72,6 +74,50 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+  }
+
+  /**
+   * REAL image decode for formats the JDK ships readers for (PNG/JPEG/GIF/BMP): parses the
+   * payload with javax.imageio, emits true dims plus mean luminance sampled on a bounded
+   * 16x16 grid (constant work per image, no O(pixels) hot loop). Returns None for
+   * undecodable bytes — at scale one corrupt blob must not kill the stage.
+   */
+  private[graft] def decodeImage(docId: Long, payload: Array[Byte]): Option[MediaFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // no executor-local tmp files
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { i =>
+      val w = i.getWidth; val h = i.getHeight
+      val stepX = math.max(1, w / 16); val stepY = math.max(1, h / 16)
+      var sum = 0.0; var n = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = i.getRGB(x, y)
+          sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          n += 1; x += stepX
+        }
+        y += stepY
+      }
+      MediaFeatures(docId, payload.length, w, h, 1, sum / n)
+    }
+  }
+
+  /**
+   * Image decode over an arbitrary (doc_id, payload) frame — the same zero-shuffle
+   * mapPartitions stage as the stub path, with the real javax.imageio kernel inside.
+   * Undecodable payloads are dropped (flatMap), not failed. The driver corpus carries
+   * utf8-text payloads (no real media), so the registered query keeps the deterministic
+   * fake; MultimodalSpec drives THIS path with genuine in-test PNGs.
+   */
+  def decodeImages(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeImage(id, bytes) })
   }
 
   /**

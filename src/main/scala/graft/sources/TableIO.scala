@@ -42,9 +42,14 @@ object TableIO {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Register all tables as temp views so spark.sql(...) queries can reference them. */
+  /** Register all tables as temp views so spark.sql(...) queries can reference them.
+    * `events` is registered with the SAME normalized timestamp the Scala loaders expose —
+    * a SQL user must not see raw nanos longs where the API sees timestamps. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    tableNames.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /**
    * Fan a narrow scan out to all cores before CPU-heavy per-row compute (regex scoring,

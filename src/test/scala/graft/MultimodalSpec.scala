@@ -32,4 +32,37 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = ds.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should be shuffle-free:\n$plan")
   }
+
+  /** A real w x h PNG of one solid color, encoded with the JDK's own writer. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real image kernel decodes genuine PNG bytes: true dims, luminance, corrupt-drop") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, png(32, 20, 0xffffff)),             // white: luminance ~ 1.0
+      (2L, png(8, 40, 0x000000)),              // black: luminance ~ 0.0
+      (3L, png(100, 50, 0xff0000)),            // pure red: luminance ~ 0.299
+      (4L, "not an image at all".getBytes("UTF-8")) // must be dropped, not fail the stage
+    ).toDF("doc_id", "payload")
+
+    val got = Multimodal.decodeImages(media).collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"corrupt payload must be dropped: ${got.keySet}")
+    assert(got(1L).width == 32 && got(1L).height == 20)
+    assert(got(2L).width == 8 && got(2L).height == 40)
+    assert(got(3L).width == 100 && got(3L).height == 50)
+    assert(math.abs(got(1L).brightness - 1.0) < 0.01, s"white: ${got(1L).brightness}")
+    assert(got(2L).brightness < 0.01, s"black: ${got(2L).brightness}")
+    assert(math.abs(got(3L).brightness - 0.299) < 0.01, s"red: ${got(3L).brightness}")
+    assert(got(1L).n_bytes == png(32, 20, 0xffffff).length, "n_bytes is the encoded size")
+
+    // same zero-shuffle plan shape as the stub path
+    val plan = Multimodal.decodeImages(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"image decode should be shuffle-free:\n$plan")
+  }
 }

@@ -161,6 +161,72 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     sameResult(bands, operators.TpcdsShapedQueries.qDsMultiBand(spark, sf))
   }
 
+  test("binned range join equals its SQL-text BETWEEN twin") {
+    TableIO.registerAll(spark, sf)
+    sameResult(spark.sql(operators.RelationalOps.qRangeJoinSql),
+      operators.RelationalOps.qRangeJoin(spark, sf))
+  }
+
+  test("as-of join equals a SQL-text window formulation") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value,
+        |        row_number() OVER (PARTITION BY c.event_id ORDER BY p.p_ts DESC) AS rn
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.p_ts <= c.ts)
+        |SELECT event_id, user_id, coalesce(purchase_id, -1L) AS purchase_id,
+        |       coalesce(purchase_value, 0.0) AS purchase_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    sameResult(sql, operators.EventsQueries.qAsofJoin(spark, sf))
+  }
+
+  test("exact dedup summary runs as plain SQL text") {
+    TableIO.registerAll(spark, sf)
+    // the DuckDB oracle SQL is ANSI enough that Spark parses it verbatim — the dedup
+    // entry point is reachable from a pure SQL front door, not just the Scala API
+    sameResult(spark.sql(pipeline.Dedup.dedupExactSql),
+      pipeline.Dedup.dedupExact(spark, sf))
+  }
+
+  test("sessionization equals its SQL-text lag + running-sum twin") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """WITH tagged AS (
+        |  SELECT user_id, ts,
+        |    lag(unix_micros(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR unix_micros(ts) - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM tagged)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)
+    sameResult(sql, operators.EventsQueries.qSessionize(spark, sf))
+  }
+
+  test("native PIVOT clause equals the DataFrame pivot") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT l_returnflag, coalesce(`F`, 0.0) AS rev_f, coalesce(`O`, 0.0) AS rev_o
+        |FROM (SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem)
+        |PIVOT (round(sum(l_extendedprice), 2) FOR l_linestatus IN ('F', 'O'))
+        |ORDER BY l_returnflag""".stripMargin)
+    sameResult(sql, functions.ExpressionQueries.qPivot(spark, sf))
+  }
+
+  test("native UNPIVOT clause equals the DataFrame unpivot") {
+    TableIO.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d,
+        |         o_totalprice / 2 AS half_price FROM orders)
+        |UNPIVOT INCLUDE NULLS (value FOR metric IN (o_totalprice, custkey_d, half_price))""".stripMargin)
+    sameResult(sql, operators.RelationalOps.qUnpivot(spark, sf))
+  }
+
   test("native vector expressions are callable from SQL over a real table") {
     TableIO.registerAll(spark, sf)
     val sql = spark.sql(
