@@ -422,7 +422,9 @@ object ExpressionQueries {
 
   /** #39b distinct aggregates (two-phase distinct agg at scale). */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
-    TableIO.lineitem(spark, dir)
+    // fanOut: the multi-distinct Expand (x3 row duplication) must not run on the single
+    // split a small parquet arrives as; no-op at production split counts
+    TableIO.fanOut(TableIO.lineitem(spark, dir))
       .groupBy(col("l_linestatus"))
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),

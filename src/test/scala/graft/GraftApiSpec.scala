@@ -125,16 +125,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
-  test("profile defaults to the Expand-free HLL++ plan; exact=true opts into Expand") {
+  test("profile plans are Expand-free in BOTH modes; default is the one-pass HLL++ form") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.0), (2L, "b", 3.0), (3L, "a", 2.0)).toDF("id", "tag", "x")
     val cols = Seq("id", "tag", "x")
-    def hasExpand(p: org.apache.spark.sql.DataFrame): Boolean =
-      p.queryExecution.executedPlan.toString.contains("Expand")
+    def plan(p: org.apache.spark.sql.DataFrame): String =
+      p.queryExecution.executedPlan.toString
     val approx = Graft.profile(df, cols)
-    assert(!hasExpand(approx), "default profile must not multiply the input via Expand")
-    assert(hasExpand(Graft.profile(df, cols, exact = true)),
-      "exact multi-column count(DISTINCT) is the Expand shape (documented opt-in)")
+    assert(!plan(approx).contains("Expand"),
+      "default profile must not multiply the input via Expand")
+    // one HLL++ pass: no per-column subtrees, so no join in the plan either
+    assert(!plan(approx).contains("Join"), "approx mode must stay a single aggregate pass")
+    // exact mode: per-column single-distinct subtrees, still never the Expand shape
+    assert(!plan(Graft.profile(df, cols, exact = true)).contains("Expand"),
+      "exact ndv must use per-column single-distinct aggregates, not multi-distinct Expand")
     // on a tiny frame HLL++ ndv is exact: values must agree with the exact form
     val ndv = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(ndv == Map("id" -> 3L, "tag" -> 2L, "x" -> 2L), s"got $ndv")

@@ -55,11 +55,12 @@ class RetrievalProfilingSpec extends AnyFunSuite {
     assert(p("s").getString(6) == "a" && p("s").getString(7) == "c")
     assert(p("s").isNullAt(4) && p("s").isNullAt(5), "string column has no numeric extrema")
 
-    // ONE scan: the profile of a single frame must not re-read the source per column
+    // exact mode: one base scan + one column-pruned scan per ndv subtree (each reads a
+    // single column, so total bytes ~ one full-width pass) — and never more
     val scans = Profiling.profile(df, Seq("id", "v", "s"))
       .queryExecution.executedPlan.toString
       .linesIterator.count(l => l.contains("LocalTableScan") || l.contains("Scan parquet"))
-    assert(scans == 1, s"expected exactly one scan, saw $scans")
+    assert(scans == 4, s"expected base + 3 per-column scans, saw $scans")
   }
 
   test("profiler approx mode tracks exact ndv within HLL++ tolerance and avoids Expand") {
@@ -75,5 +76,11 @@ class RetrievalProfilingSpec extends AnyFunSuite {
     }
     assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
       "approx profile must not pay the multi-distinct Expand duplication")
+    // the at-scale default stays a strictly ONE-scan single pass (count the FINAL plan
+    // only — AQE's treeString appends the initial plan, which would double-count)
+    val scans = approxDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"approx mode must profile in one scan, saw $scans")
   }
 }
