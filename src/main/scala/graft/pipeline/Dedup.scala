@@ -622,6 +622,50 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- benchmark decontamination -------------------------------------------------------
+
+  /**
+   * Train-set contamination scan — the decontamination audit every LLM training pipeline
+   * runs before a release: for each candidate document, the fraction of its distinct
+   * 3-gram shingles that appear ANYWHERE in a benchmark corpus (n-gram containment; the
+   * GPT-3 appendix-C / C4-audit shape). Scale shape: grams ride as 64-bit hashes (same
+   * typed kernel as the dedup lane), the benchmark side collapses to a DISTINCT gram
+   * vocabulary before the join — fan-out is bounded by benchmark vocabulary, never
+   * candidate x benchmark docs — and a candidate with zero overlap still reports
+   * containment 0 through the left join.
+   */
+  def contamination(candidates: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bg = gramHashSets(benchmark).select(explode(col("gh")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    val dg = gramHashSets(candidates)
+      .select(col("doc_id"), col("sz"), explode(col("gh")).as("h"))
+    dg.join(bg, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("sz").as("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("sz"), 4).as("containment"))
+  }
+
+  /** `dedup_contamination`: every non-src1 doc scored against the src1 "benchmark". */
+  def dedupContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TableIO.documents(spark, dir)
+    contamination(docs.filter(col("source") =!= "src1"), docs.filter(col("source") === "src1"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupContaminationSql: String =
+    s"""WITH $GramsCteSql,
+       |bench AS (SELECT DISTINCT unnest(g.g) AS h
+       |          FROM grams g JOIN documents d USING (doc_id) WHERE d.source = 'src1'),
+       |cand AS (SELECT g.doc_id, unnest(g.g) AS h, len(g.g) AS sz
+       |         FROM grams g JOIN documents d USING (doc_id) WHERE d.source <> 'src1')
+       |SELECT c.doc_id, CAST(c.sz AS INT) AS n_grams,
+       |  CAST(count(b.h) AS BIGINT) AS n_hit,
+       |  round(count(b.h) * 1.0 / c.sz, 4) AS containment
+       |FROM cand c LEFT JOIN bench b USING (h)
+       |GROUP BY c.doc_id, c.sz
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,7 +677,8 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbeddingLsh(_, _)),
     "dedup_embedding_exact" -> (dedupEmbeddingExact(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
-    "dedup_components" -> (dedupComponents(_, _)))
+    "dedup_components" -> (dedupComponents(_, _)),
+    "dedup_contamination" -> (dedupContamination(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -645,5 +690,6 @@ object Dedup {
     // dedup_embedding (LSH) intentionally omitted: approximate by design, recall-spec'd
     "dedup_embedding_exact" -> dedupEmbeddingSql(0.45),
     "dedup_corpus" -> dedupCorpusSql(0.8),
-    "dedup_components" -> dedupComponentsSql(0.8))
+    "dedup_components" -> dedupComponentsSql(0.8),
+    "dedup_contamination" -> dedupContaminationSql)
 }

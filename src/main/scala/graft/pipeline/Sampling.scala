@@ -119,15 +119,46 @@ object Sampling {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- train/val/test split ------------------------------------------------------------
+
+  /**
+   * Deterministic corpus split on the doc-id hash: ~5% test (md5 prefix < '0d' of 256
+   * buckets), ~5% validation (< '1a'), remainder train. Exactly one split per row,
+   * retry-reproducible, no `rand()` — re-running the pipeline (or re-materializing a
+   * lost partition) assigns every document to the same split, which is what keeps a
+   * test set honest across pipeline versions.
+   */
+  def splitAssigned(docs: DataFrame): DataFrame = {
+    val pfx = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.withColumn("split",
+      when(pfx < "0d", "test").when(pfx < "1a", "val").otherwise("train"))
+  }
+
+  /** `sample_split`: doc/char counts per assigned split. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssigned(TableIO.documents(spark, dir))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  val sampleSplitSql: String =
+    """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+      |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+      |            ELSE 'train' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_uniform" -> (sampleUniform(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
-    "sample_mixture" -> (sampleMixture(_, _)))
+    "sample_mixture" -> (sampleMixture(_, _)),
+    "sample_split" -> (sampleSplit(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sample_uniform" -> sampleUniformSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "sample_mixture" -> sampleMixtureSql)
+    "sample_mixture" -> sampleMixtureSql,
+    "sample_split" -> sampleSplitSql)
 }

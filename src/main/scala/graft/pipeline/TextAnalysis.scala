@@ -345,7 +345,44 @@ object TextAnalysis {
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin
 
+  // ---- context-window chunking ---------------------------------------------------------
+
+  /**
+   * Overlapping token-window chunking — the context-window prep step between cleaning and
+   * tokenizer packing in a training pipeline: each document becomes one chunk per `stride`
+   * tokens, each chunk up to `chunkSize` tokens, consecutive chunks overlapping by
+   * `chunkSize - stride`. Map-only (sequence + posexplode + slice fused with the scan): a
+   * document's chunks never leave its partition, so this is embarrassingly parallel at
+   * any corpus size and adds zero shuffle.
+   */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").as("chunk_id"),
+        least(lit(chunkSize), size(col("t")) - col("col")).as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** `text_chunk`: 64-token windows every 48 tokens (25% overlap) over the corpus. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    chunk(TableIO.documents(spark, dir), chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val textChunkSql: String =
+    """SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+      |  CAST(least(64, len(t) - start) AS INT) AS n_chunk_tokens,
+      |  array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+      |FROM (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (textChunk(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
@@ -357,6 +394,7 @@ object TextAnalysis {
     "text_topgrams" -> (textTopgrams(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,

@@ -124,4 +124,22 @@ class DedupSpec extends AnyFunSuite {
       sample.foreach(r => assert(math.abs(r.getDouble(2) - 10.0 / 12.0) < 1e-12))
     } finally g.unpersist()
   }
+
+  test("contamination measures benchmark n-gram containment, zero for clean docs") {
+    import spark.implicits._
+    // benchmark holds one sentence; candidate 1 copies half of it verbatim, candidate 2
+    // shares nothing, candidate 3 is a full verbatim copy
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "the quick brown fox went somewhere else entirely today"),
+      (2L, "completely unrelated words about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(cands, bench)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 7 distinct trigrams, 2 in the benchmark ("the quick brown", "quick brown fox")
+    assert(got(1L) == ((7, 2L, 0.2857)), s"got ${got(1L)}")
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0, "clean doc must report zero containment")
+    assert(got(3L)._3 == 1.0, "verbatim copy must report full containment")
+  }
 }

@@ -53,6 +53,24 @@ class SamplingSpec extends AnyFunSuite {
       "(doc_id, copy_id) must be unique")
   }
 
+  test("split assignment is total, disjoint, deterministic, and roughly proportioned") {
+    val docs = TableIO.documents(spark, sf)
+    val assigned = Sampling.splitAssigned(docs)
+    assert(assigned.count() == docs.count(), "every doc gets exactly one split")
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.8, s"train should dominate: $counts")
+    assert(counts.getOrElse("test", 0L) > 0 && counts.getOrElse("val", 0L) > 0, s"$counts")
+    // determinism: the same doc lands in the same split on a fresh computation
+    val a = Sampling.splitAssigned(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssigned(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split assignment must be retry-reproducible")
+  }
+
   test("approx_count_distinct and approx_percentile land within tolerance of exact") {
     val li = TableIO.lineitem(spark, sf)
     val exact = li.agg(

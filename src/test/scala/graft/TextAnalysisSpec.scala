@@ -54,6 +54,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == "hello world it s 42 degrees")
   }
 
+  test("chunk emits overlapping token windows; short docs one chunk; no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, null.asInstanceOf[String])                 // null text -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9: windows of 4 tokens, last one truncated
+    assert(d1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"),
+      s"got ${d1.toSeq}")
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1), "n_chunk_tokens tracks truncation")
+    // consecutive chunks overlap by chunkSize - stride = 1 token
+    assert(d1(0)._4.split(' ').last == d1(1)._4.split(' ').head)
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b"))
+    assert(!got.exists(_._1 == 3L), "null text must produce no chunks")
+    val plan = TextAnalysis.chunk(docs, 4, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
+  }
+
   test("topBigrams counts corpus-wide with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
