@@ -622,6 +622,88 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- winnowing fingerprints ----------------------------------------------------------
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS algorithm):
+   * slide a w-window over each document's token-3-gram hash sequence and keep the
+   * RIGHTMOST MINIMAL hash of every window. Guarantees the paper proves: any shared token
+   * run of length >= w + 2 between two documents yields a shared (pos-independent)
+   * fingerprint (coverage), and expected density is 2/(w+1) — the standard local
+   * fingerprint for overlap/plagiarism detection, denser-than-minhash but position-aware.
+   *
+   * Scale shape: everything is per-document inside one typed kernel — ZERO shuffle, the
+   * selection never leaves the scan stage. Hashes are the first 48 bits of md5(gram) so
+   * DuckDB reconstructs the identical selection (`dedup_winnow` hash-matches); a
+   * FastHash-based variant would be faster per gram but unverifiable by the oracle.
+   * Docs with fewer than w+2 tokens winnow their single partial window (min over all
+   * grams), so every doc with >= 3 tokens gets >= 1 fingerprint.
+   */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, raw) =>
+        val text = if (raw == null) "" else raw
+        val toks = text.split(' ')
+        val n = toks.length - 2
+        if (n <= 0) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L // first 12 hex chars of md5 = first 6 bytes, big-endian
+            var b = 0
+            while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            hs(i) = h
+            md.reset()
+            i += 1
+          }
+          // trailing window ending at e; scanning e-to-start with STRICT < keeps the
+          // rightmost minimal on ties (the paper's tie rule)
+          val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+          var e = math.min(w - 1, n - 1)
+          while (e < n) {
+            var best = e
+            var j = e - 1
+            val start = math.max(0, e - w + 1)
+            while (j >= start) { if (hs(j) < hs(best)) best = j; j -= 1 }
+            sel += ((best + 1, hs(best))) // 1-based gram position
+            e += 1
+          }
+          sel.iterator.map { case (p, h) => (id, p, h) }
+        }
+      }.toDF("doc_id", "pos", "h")
+  }
+
+  /** `dedup_winnow`: winnowing fingerprint set (w=4) of every document. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(TableIO.documents(spark, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** DuckDB twin of [[winnowFingerprints]]: same 48-bit md5 gram hashes, same
+    * rightmost-min-per-window selection via min over a (h, -pos) struct. */
+  val dedupWinnowSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |ge AS (SELECT doc_id, len(tk) - 2 AS n,
+      |         unnest([{'pos': i,
+      |                  'h': CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 12) AS BIGINT)}
+      |                 for i in range(1, len(tk) - 1)]) AS ge
+      |       FROM t),
+      |g AS (SELECT doc_id, ge.pos AS pos, ge.h AS h, n FROM ge),
+      |w AS (SELECT doc_id, pos, h, n,
+      |        min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS h
+      |        FROM w WHERE pos >= 4 OR pos = n)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, h FROM sel ORDER BY doc_id, pos""".stripMargin
+
   // ---- benchmark decontamination -------------------------------------------------------
 
   /**
@@ -678,7 +760,8 @@ object Dedup {
     "dedup_embedding_exact" -> (dedupEmbeddingExact(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
-    "dedup_contamination" -> (dedupContamination(_, _)))
+    "dedup_contamination" -> (dedupContamination(_, _)),
+    "dedup_winnow" -> (dedupWinnow(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -691,5 +774,6 @@ object Dedup {
     "dedup_embedding_exact" -> dedupEmbeddingSql(0.45),
     "dedup_corpus" -> dedupCorpusSql(0.8),
     "dedup_components" -> dedupComponentsSql(0.8),
-    "dedup_contamination" -> dedupContaminationSql)
+    "dedup_contamination" -> dedupContaminationSql,
+    "dedup_winnow" -> dedupWinnowSql)
 }

@@ -125,6 +125,38 @@ class DedupSpec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("winnowing: coverage guarantee, shared-run detection, zero shuffle") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens >= w + 2
+    val docs = Seq(
+      (1L, s"unique one two three $shared"),
+      (2L, s"$shared completely different tail words here"),
+      (3L, "tiny doc x") // 3 tokens -> 1 gram -> 1 fingerprint
+    ).toDF("doc_id", "text")
+    val w = 4
+    val fps = Dedup.winnowFingerprints(docs, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // the paper's coverage guarantee: every w-window of gram positions holds >= 1 selection
+    for (d <- Seq(1L, 2L)) {
+      val pos = fps.filter(_._1 == d).map(_._2).sorted
+      val n = docs.filter($"doc_id" === d).head().getString(1).split(' ').length - 2
+      for (s <- 1 to n - w + 1)
+        assert(pos.exists(p => p >= s && p < s + w), s"doc $d window at $s uncovered: ${pos.toSeq}")
+    }
+    // docs sharing a run of >= w + k - 1 = 6 tokens must share a fingerprint HASH
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared 8-token run must yield a shared fingerprint")
+    assert(fps.count(_._1 == 3L) == 1, "short doc winnows its single partial window")
+
+    // map-only up to the small-input fanOut (round-robin, no-op at production split
+    // counts): the selection itself must never shuffle by key
+    val plan = Dedup.winnowFingerprints(docs, w).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"winnowing must not key-shuffle:\n$plan")
+  }
+
   test("contamination measures benchmark n-gram containment, zero for clean docs") {
     import spark.implicits._
     // benchmark holds one sentence; candidate 1 copies half of it verbatim, candidate 2
