@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.LayoutWriter
+
+/**
+ * Streaming materialized-table maintenance: fold a stream of keyed updates into a
+ * hive-partitioned parquet table, rewriting ONLY the partitions each micro-batch touches
+ * (LayoutWriter.upsertPartitioned inside foreachBatch) — the continuous-ingestion upsert
+ * pattern (CDC apply, feature-store refresh) without a table format.
+ *
+ * Semantics:
+ *  - Within a batch, LAST WRITE WINS under an explicit ordering column (`orderCol`,
+ *    e.g. an event timestamp): upsertPartitioned requires one row per key, and "last"
+ *    must be defined by data, not arrival order, for retries to be deterministic.
+ *  - Across retries the sink is effectively idempotent: re-applying the same batch's
+ *    upsert leaves the table in the same state (unlike a blind append, which duplicates).
+ *    The non-atomic window inside a single upsert (a reader racing the partition
+ *    overwrite) is inherited from upsertPartitioned and documented there.
+ *  - A key's partition-value change moves the row: the old partition is rewritten
+ *    without it (and deleted if emptied), the new one gains it.
+ */
+object TableMaintenance {
+
+  /** One batch of the maintenance loop (also usable for incremental batch pipelines). */
+  def applyUpserts(batch: DataFrame, path: String, key: String, partitionCol: String,
+      orderCol: String): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, monotonically_increasing_id())
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (!latest.isEmpty) {
+      val exists = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new Path(path))
+      if (exists) LayoutWriter.upsertPartitioned(spark, path, latest, key, partitionCol)
+      else latest.write.partitionBy(partitionCol).parquet(path)
+    }
+  }
+
+  /** Wire the maintenance loop onto a stream of updates. */
+  def upsertStream(updates: DataFrame, path: String, key: String, partitionCol: String,
+      orderCol: String, checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpserts(batch, path, key, partitionCol, orderCol)
+      }
+      .start()
+}

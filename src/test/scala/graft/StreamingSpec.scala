@@ -33,6 +33,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert maintains a partitioned table across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    val tbl = s"$root/tbl"
+    val ckpt = s"$root/ckpt"
+    // (id, value, yr partition, seq = the last-write-wins ordering column)
+    val stream = MemoryStream[(Long, String, Int, Long)]
+    val q = graft.streaming.TableMaintenance.upsertStream(
+      stream.toDF().toDF("id", "v", "yr", "seq"), tbl, "id", "yr", "seq", ckpt)
+    try {
+      // batch 1 creates the table; duplicate key 1 resolves to the higher seq
+      stream.addData((1L, "a", 2020, 1L), (1L, "a2", 2020, 2L), (2L, "b", 2021, 1L))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(tbl).collect()
+        .map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[Int]("yr"))).toMap
+      assert(state() == Map(1L -> ("a2", 2020), 2L -> ("b", 2021)), s"got ${state()}")
+
+      def files2021 = new java.io.File(s"$tbl/yr=2021").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+      val before = files2021
+      // batch 2: update key 1 in place, insert key 3, MOVE key 2 from 2021 to 2022
+      stream.addData((1L, "A", 2020, 3L), (3L, "c", 2020, 1L), (2L, "B", 2022, 2L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> ("A", 2020), 2L -> ("B", 2022), 3L -> ("c", 2020)),
+        s"got ${state()}")
+      assert(!new java.io.File(s"$tbl/yr=2021").exists(),
+        "emptied partition must be deleted after the key moved out")
+      val _ = before // moved-out partition is gone; nothing else to compare there
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("streaming dedup drops repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
