@@ -88,6 +88,21 @@ object Graft {
   /** Lowercase, strip punctuation, collapse whitespace (pre-tokenization canon form). */
   def normalize(docs: DataFrame): DataFrame = TextAnalysis.normalize(docsFrame(docs))
   /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
+  /** Overlapping token-window chunks (doc_id, chunk_id, n_chunk_tokens, chunk_text) —
+    * map-only, zero shuffle; the context-window prep step before tokenizer packing. */
+  def chunk(docs: DataFrame, chunkSize: Int = 512, stride: Int = 384): DataFrame =
+    TextAnalysis.chunk(docsFrame(docs), chunkSize, stride)
+
+  /** Benchmark decontamination: per candidate doc, the fraction of its distinct 3-gram
+    * shingles found anywhere in `benchmark` (doc_id, n_grams, n_hit, containment). */
+  def contamination(candidates: DataFrame, benchmark: DataFrame): DataFrame =
+    Dedup.contamination(docsFrame(candidates), docsFrame(benchmark))
+
+  /** Winnowing fingerprints (MOSS): (doc_id, pos, h) — rightmost-min of each w-window
+    * over the token-3-gram md5 hash sequence; per-doc kernel, no key shuffle. */
+  def winnow(docs: DataFrame, window: Int = 4): DataFrame =
+    Dedup.winnowFingerprints(docsFrame(docs), window)
+
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     TextAnalysis.topBigrams(docsFrame(docs), k)
 
@@ -101,6 +116,10 @@ object Graft {
   /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
     * by id hash — retry-stable replication for corpus mixing. `weights` maps source name
     * to its blend weight; unlisted sources get `defaultWeight`. */
+  /** Deterministic train/val/test assignment (~5/5/90) as an added `split` column. */
+  def splitAssign(df: DataFrame): DataFrame =
+    Sampling.splitAssigned(requireCols(df, "input", "doc_id"))
+
   def mixtureWeighted(docs: DataFrame, weights: Map[String, Double],
       defaultWeight: Double = 1.0): DataFrame =
     Sampling.mixtureWeighted(

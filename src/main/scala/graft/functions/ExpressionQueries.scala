@@ -627,6 +627,24 @@ object ExpressionQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** #72d-scale: the SAME exact percentiles via distributed sort + rank selection
+    * (operators.Percentiles.exactBySort) — no per-group value buffering, the form that
+    * survives 100 TB. Shares q_percentile's quantile_cont oracle. */
+  def qPercentileSort(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    val qty = graft.operators.Percentiles.exactBySort(
+      li, Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9))
+    val price = graft.operators.Percentiles.exactBySort(
+      li, Seq("l_returnflag"), "l_extendedprice", Seq(0.99))
+    qty.groupBy(col("l_returnflag"))
+      .agg(
+        round(min(when(col("q") === 0.5, col("value"))), 4).as("p50_q"),
+        round(min(when(col("q") === 0.9, col("value"))), 4).as("p90_q"))
+      .join(price.select(col("l_returnflag"), round(col("value"), 4).as("p99_price")),
+        Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /**
    * #39d sketch aggregates — the 100 TB shapes for distinct-count and quantiles: HLL++ and
    * t-digest are single-pass and mergeable (no two-phase distinct expansion). Approximate
@@ -830,7 +848,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_conv_funcs" -> qConvFuncs _, "q_map_funcs" -> qMapFuncs _, "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_percentile_sort" -> qPercentileSort _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _,
     "q_hof_funcs" -> qHofFuncs _, "q_agg_stats3" -> qAggStats3 _,
@@ -844,7 +862,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_conv_funcs" -> qConvFuncsSql, "q_map_funcs" -> qMapFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql, "q_percentile_sort" -> qPercentileSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,

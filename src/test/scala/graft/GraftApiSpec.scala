@@ -144,6 +144,27 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ndv == Map("id" -> 3L, "tag" -> 2L, "x" -> 2L), s"got $ndv")
   }
 
+  test("chunk, contamination, winnow, and splitAssign run on user frames") {
+    import spark.implicits._
+    val chunks = Graft.chunk(docs, chunkSize = 6, stride = 4).collect()
+    assert(chunks.nonEmpty && chunks.forall(_.getInt(2) <= 6))
+
+    val bench = Seq((9L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val cont = Graft.contamination(docs, bench)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cont(1L) == 1.0, "doc 1 is a verbatim copy of the benchmark text")
+    assert(cont(3L) == 0.0, "doc 3 shares nothing with the benchmark")
+
+    val fp1 = Graft.winnow(docs.filter($"doc_id" === 1L)).collect().map(_.getLong(2)).toSet
+    val fp4 = Graft.winnow(docs.filter($"doc_id" === 4L)).collect().map(_.getLong(2)).toSet
+    assert(fp1 == fp4, "identical texts must produce identical fingerprint sets")
+
+    val assigned = Graft.splitAssign(docs)
+    assert(assigned.columns.contains("split") && assigned.count() == docs.count())
+    intercept[IllegalArgumentException] { Graft.splitAssign(docs.drop("doc_id")) }
+  }
+
   test("asOfJoin and rangeJoin run on user frames") {
     import spark.implicits._
     val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0)).toDF("k", "qts", "px")
