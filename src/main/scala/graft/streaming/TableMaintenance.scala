@@ -31,7 +31,10 @@ object TableMaintenance {
   def applyUpserts(batch: DataFrame, path: String, key: String, partitionCol: String,
       orderCol: String): Unit = {
     val spark = batch.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, monotonically_increasing_id())
+    // tie-break by content hash, not monotonically_increasing_id: the id depends on task
+    // layout and would make a retried batch pick a different winner. After the hash, ties
+    // are only between bit-identical rows, where any pick is the same row.
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, xxhash64(struct(col("*"))))
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     if (!latest.isEmpty) {
