@@ -155,6 +155,13 @@ object Graft {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     TextRetrieval.bm25(docsFrame(docs), queryTerms, k1, b)
 
+  /** Exact interpolated percentiles by distributed sort + rank selection — no per-group
+    * value buffering (the `percentile` aggregate's OOM risk at scale). Long form:
+    * (keys..., q, value). See operators.Percentiles for the time/memory trade. */
+  def percentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame =
+    graft.operators.Percentiles.exactBySort(df, keys, valueCol, qs)
+
   /** One-scan table profile: per-column counts/nulls/ndv/extrema. The default is the
     * HLL++ ndv estimate (`exact = false`): exact multi-column `count(DISTINCT)` expands
     * the input via Catalyst Expand — one duplicate per distinct aggregate, ~6x for a

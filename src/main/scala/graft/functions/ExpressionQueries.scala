@@ -629,21 +629,23 @@ object ExpressionQueries {
 
   /** #72d-scale: the SAME exact percentiles via distributed sort + rank selection
     * (operators.Percentiles.exactBySort) — no per-group value buffering, the form that
-    * survives 100 TB. Shares q_percentile's quantile_cont oracle. */
-  def qPercentileSort(spark: SparkSession, dir: String): DataFrame = {
-    val li = TableIO.lineitem(spark, dir)
-    val qty = graft.operators.Percentiles.exactBySort(
-      li, Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9))
-    val price = graft.operators.Percentiles.exactBySort(
-      li, Seq("l_returnflag"), "l_extendedprice", Seq(0.99))
-    qty.groupBy(col("l_returnflag"))
+    * survives 100 TB. One sort pass: all three quantiles ride one ranked frame. */
+  def qPercentileSort(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.exactBySort(
+        TableIO.lineitem(spark, dir), Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9, 0.99))
+      .groupBy(col("l_returnflag"))
       .agg(
         round(min(when(col("q") === 0.5, col("value"))), 4).as("p50_q"),
-        round(min(when(col("q") === 0.9, col("value"))), 4).as("p90_q"))
-      .join(price.select(col("l_returnflag"), round(col("value"), 4).as("p99_price")),
-        Seq("l_returnflag"))
+        round(min(when(col("q") === 0.9, col("value"))), 4).as("p90_q"),
+        round(min(when(col("q") === 0.99, col("value"))), 4).as("p99_q"))
       .orderBy(col("l_returnflag"))
-  }
+
+  val qPercentileSortSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_q,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_q,
+      |  round(quantile_cont(l_quantity, 0.99), 4) AS p99_q
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /**
    * #39d sketch aggregates — the 100 TB shapes for distinct-count and quantiles: HLL++ and
@@ -862,7 +864,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_conv_funcs" -> qConvFuncsSql, "q_map_funcs" -> qMapFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql, "q_percentile_sort" -> qPercentileSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql, "q_percentile_sort" -> qPercentileSortSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,

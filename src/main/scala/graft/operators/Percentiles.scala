@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
  *   2. per group, compute each quantile's straddling ranks lo/hi from the group count,
  *   3. equi-join (group, rank) to fetch just those rows and interpolate.
  *
- * Cost: two shuffles of the (keys, value) projection + one tiny join — bytes-linear,
- * memory-constant. PercentileSpec proves equality with `percentile` to 1e-9 and the
- * driver oracle (`q_percentile_sort`) hash-matches DuckDB's quantile_cont.
+ * Cost: two shuffles of the (keys, value) projection + one broadcast fetch join —
+ * bytes-linear, memory-constant. Caveat: the window sort parallelizes across GROUPS, so
+ * very-low-cardinality keys (e.g. 3 flags) leave cores idle — a TIME cost, while the
+ * buffering aggregate's cost is MEMORY (OOM). Exact percentile at scale pays one or the
+ * other; `approx_percentile` (t-digest, q_approx_distinct row) remains the at-scale
+ * default when 1e-3 relative error is acceptable. PercentileSpec proves equality with
+ * `percentile` to 1e-9 and the driver oracle (`q_percentile_sort`) hash-matches DuckDB's
+ * quantile_cont.
  */
 object Percentiles {
 
@@ -35,11 +40,13 @@ object Percentiles {
     val spark = df.sparkSession
     import spark.implicits._
     val keyCols: Seq[Column] = keys.map(col)
-    val ranked = df.select(keyCols :+ col(valueCol).cast("double").as("__v"): _*)
+    val proj = df.select(keyCols :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCols: _*).orderBy(col("__v"))) - 1)
-    val counts = ranked.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val ranked = proj.withColumn("__rn", row_number().over(
+      Window.partitionBy(keyCols: _*).orderBy(col("__v"))) - 1)
+    // counts come from the RAW projection, not the windowed frame: deriving them from
+    // `ranked` would make the plan evaluate the window sort twice (once per branch)
+    val counts = proj.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
     // per (group, q): the target rank and its straddling integer ranks, exploded to one
     // row per needed rank so the fetch is a plain equi-join on (keys, rank)
     val needed = counts
@@ -50,7 +57,9 @@ object Percentiles {
       .select(keyCols ++ Seq(col("q"), col("__t"), col("__lo"),
         explode(array(col("__lo"), col("__hi"))).as("__rn")): _*)
       .distinct() // lo == hi when the target rank is integral
-    ranked.join(needed, keys :+ "__rn")
+    // needed is groups x |qs| x <=2 rows — broadcast it so the ranked rows are never
+    // re-shuffled for the fetch (drop the hint if the group count itself is huge)
+    ranked.join(broadcast(needed), keys :+ "__rn")
       .groupBy(keyCols :+ col("q"): _*)
       .agg(
         min(when(col("__rn") === col("__lo"), col("__v"))).as("__vlo"),

@@ -12,12 +12,12 @@ import graft.sources.TableIO
  * (gazelle_plugin: native-sql-engine/core/src/main/scala/org/apache/spark/sql/execution/
  * python/ColumnarArrowPythonRunner.scala:1, which ships Arrow batches to a Python worker).
  *
- * Image decode is REAL for JDK-supported formats (decodeImages: javax.imageio inside the
- * mapPartitions kernel, spec-driven with in-test PNGs). Audio/video decode stays a
- * deterministic STUB (no ffmpeg in this container), and the registered driver query uses
- * the stub throughout because the driver corpus has no real media bytes; everything
- * Spark-side — binary schema, batched partition processing, typed output schema,
- * partitioning — is identical between the two kernels.
+ * Image and audio decode are REAL for JDK-supported formats (decodeImages: javax.imageio,
+ * PNG/JPEG/GIF/BMP; decodeAudios: javax.sound.sampled, WAV/AIFF/AU — both spec-driven
+ * with in-test-generated media). Video decode stays a deterministic STUB (no ffmpeg in
+ * this container), and the registered driver query uses the stub throughout because the
+ * driver corpus has no real media bytes; everything Spark-side — binary schema, batched
+ * partition processing, typed output schema, partitioning — is identical across kernels.
  *
  * Scale notes: mapPartitions keeps decode zero-shuffle (runs inside the scan stage);
  * payloads stay off the driver; metadata-only queries never touch the binary column
@@ -103,6 +103,62 @@ object Multimodal {
       }
       MediaFeatures(docId, payload.length, w, h, 1, sum / n)
     }
+  }
+
+  /** Typed row for decoded audio features. */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      n_channels: Int,
+      n_frames: Long,
+      duration_s: Double,
+      rms: Double)
+
+  /**
+   * REAL audio decode for formats the JDK ships readers for (WAV/AIFF/AU via
+   * javax.sound.sampled): parses the container header for rate/channels/frames and
+   * streams the PCM body once for RMS loudness (16-bit signed path; other sample sizes
+   * report rms = -1 rather than guessing). Returns None for undecodable bytes.
+   */
+  private[graft] def decodeAudio(docId: Long, payload: Array[Byte]): Option[AudioFeatures] = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val dur = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0
+      val rms =
+        if (fmt.getSampleSizeInBits == 16) {
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0; var n = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                      else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              sumSq += (s / 32768.0) * (s / 32768.0); n += 1; i += 2
+            }
+            read = ais.read(buf)
+          }
+          if (n > 0) math.sqrt(sumSq / n) else 0.0
+        } else -1.0
+      Some(AudioFeatures(docId, payload.length, fmt.getSampleRate.toInt,
+        fmt.getChannels, frames, dur, rms))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => None
+    }
+  }
+
+  /** Audio decode over an arbitrary (doc_id, payload) frame — same zero-shuffle
+    * mapPartitions stage as the image kernel; undecodable payloads dropped, not fatal. */
+  def decodeAudios(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeAudio(id, bytes) })
   }
 
   /**

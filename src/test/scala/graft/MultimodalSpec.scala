@@ -42,6 +42,41 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** A real mono 16-bit PCM WAV: a sine of the given amplitude, encoded by the JDK. */
+  private def wav(rateHz: Int, seconds: Double, amplitude: Double): Array[Byte] = {
+    val n = (rateHz * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amplitude * 32767.0 * math.sin(2 * math.Pi * 440.0 * i / rateHz)).toInt
+      pcm(2 * i) = (s & 0xff).toByte           // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio kernel decodes genuine WAV bytes: rate, frames, duration, RMS") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, wav(8000, 0.5, 0.5)),   // sine at half amplitude: RMS ~ 0.5/sqrt(2)
+      (2L, wav(16000, 0.25, 0.0)), // silence: RMS ~ 0
+      (3L, "definitely not audio".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudios(media).collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L), s"corrupt payload must be dropped: ${got.keySet}")
+    assert(got(1L).sample_rate == 8000 && got(1L).n_channels == 1)
+    assert(got(1L).n_frames == 4000, s"0.5s at 8kHz: ${got(1L).n_frames}")
+    assert(math.abs(got(1L).duration_s - 0.5) < 1e-6)
+    assert(math.abs(got(1L).rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${got(1L).rms}")
+    assert(got(2L).rms < 1e-6, s"silence rms ${got(2L).rms}")
+    assert(got(2L).sample_rate == 16000 && got(2L).n_frames == 4000)
+  }
+
   test("real image kernel decodes genuine PNG bytes: true dims, luminance, corrupt-drop") {
     import spark.implicits._
     val media = Seq(
