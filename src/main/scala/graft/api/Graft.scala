@@ -177,6 +177,12 @@ object Graft {
       targetFiles: Int = 0): Unit =
     graft.sources.LayoutWriter.writeClustered(df, path, clusterCols, targetFiles)
 
+  /** Z-order (Morton) clustered write on TWO numeric columns: row-group skipping works
+    * on predicates over EITHER column (the lakehouse OPTIMIZE ZORDER analog). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      targetFiles: Int = 0): Unit =
+    graft.sources.LayoutWriter.writeZOrdered(df, path, colA, colB, targetFiles)
+
   /** Key-based upsert into a hive-partitioned parquet table; rewrites ONLY the
     * partitions the updates touch (dynamic partition overwrite). Not ACID — see
     * LayoutWriter.upsertPartitioned. */

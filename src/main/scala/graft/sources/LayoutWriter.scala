@@ -128,6 +128,51 @@ object LayoutWriter {
     s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$v"
   }
 
+  /** 16-bit Morton spread: insert a zero between consecutive bits (codegen-able bitwise
+    * algebra — no UDF). Input must already be masked to 16 bits. */
+  private def spreadBits(c: Column): Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    val m1 = 0x00FF00FFL; val m2 = 0x0F0F0F0FL; val m3 = 0x33333333L; val m4 = 0x55555555L
+    val x1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(m1)
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(m2)
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(m3)
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(m4)
+  }
+
+  /**
+   * Z-ORDER (Morton-curve) clustering on TWO numeric columns — multi-dimensional data
+   * skipping, the lakehouse OPTIMIZE ZORDER analog. Single-column range clustering makes
+   * row-group min/max selective on ONE axis; interleaving the bits of both columns'
+   * 16-bit bucket ids makes file/row-group spans narrow on BOTH, so a predicate on
+   * EITHER column skips most of the data. Bucket ids come from `width_bucket` over the
+   * observed min/max (one tiny pre-pass): linear buckets, so a heavily skewed column
+   * concentrates in few buckets and loses selectivity — quantile bucketing would fix
+   * that at the cost of an approxQuantile pass; documented, not implemented.
+   */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    targetFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{lit, max, min, shiftleft, width_bucket}
+    val n = if (targetFiles > 0) targetFiles
+            else df.sparkSession.sparkContext.defaultParallelism
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!r.anyNull, s"z-order columns $colA/$colB must have non-null extrema")
+    val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def bucket(c: String, lo: Double, hi: Double): Column =
+      // width_bucket returns 1..n+1 (upper bound lands in n+1); clamp into 0..65535
+      org.apache.spark.sql.functions.least(
+        width_bucket(col(c).cast("double"), lit(lo), lit(hi + 1e-9), lit(65536)) - 1,
+        lit(65535L))
+    val z = shiftleft(spreadBits(bucket(colA, aLo, aHi)), 1)
+      .bitwiseOR(spreadBits(bucket(colB, bLo, bHi)))
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Hive-partitioned + in-file clustered: directories prune on `partitionCol` at plan
     * time, row groups skip on `clusterCols` at read time — the two layers compose. */
   def writePartitionedClustered(df: DataFrame, path: String, partitionCol: String,

@@ -128,6 +128,52 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("z-order layout skips row groups on BOTH filter columns; 1-D clustering only on one") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val orders = TableIO.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")).cache()
+    try {
+      LayoutWriter.writeZOrdered(orders, s"$dir/z", "o_custkey", "o_totalprice", targetFiles = 16)
+      LayoutWriter.writeClustered(orders, s"$dir/one", Seq("o_custkey"), targetFiles = 16)
+
+      val total = orders.count()
+      // narrow probes in the middle of each column's range
+      val (cLo, cHi) = {
+        val r = orders.agg(min("o_custkey"), max("o_custkey")).head()
+        val span = r.getLong(1) - r.getLong(0)
+        (r.getLong(0) + span * 45 / 100, r.getLong(0) + span * 50 / 100)
+      }
+      val (pLo, pHi) = {
+        val r = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+        val span = r.getDouble(1) - r.getDouble(0)
+        (r.getDouble(0) + span * 45 / 100, r.getDouble(0) + span * 50 / 100)
+      }
+      def onCust(path: String) = spark.read.parquet(path)
+        .filter(col("o_custkey") >= cLo && col("o_custkey") <= cHi)
+      def onPrice(path: String) = spark.read.parquet(path)
+        .filter(col("o_totalprice") >= pLo && col("o_totalprice") <= pHi)
+
+      // z-order: BOTH axes skip meaningfully
+      val zCust = rowsScanned(onCust(s"$dir/z"))
+      val zPrice = rowsScanned(onPrice(s"$dir/z"))
+      assert(zCust * 2 <= total, s"z-order custkey probe read $zCust of $total")
+      assert(zPrice * 2 <= total, s"z-order price probe read $zPrice of $total")
+
+      // 1-D clustering: clustered axis skips hard, the OTHER axis reads ~everything —
+      // the gap z-ordering exists to close
+      val oneCust = rowsScanned(onCust(s"$dir/one"))
+      val onePrice = rowsScanned(onPrice(s"$dir/one"))
+      assert(oneCust * 4 <= total, s"clustered-axis probe should skip hard: $oneCust")
+      assert(onePrice >= total * 9 / 10,
+        s"unclustered-axis probe should read ~all rows, read $onePrice of $total")
+      // and on that axis, z beats 1-D by a wide margin
+      assert(zPrice * 2 <= onePrice, s"z-order should beat 1-D on the second axis: $zPrice vs $onePrice")
+    } finally {
+      orders.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("upsert partition-move deletes the emptied directory, including escaped and null names") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-upsert-move").toString
