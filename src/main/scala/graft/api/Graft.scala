@@ -116,6 +116,12 @@ object Graft {
   /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
     * by id hash — retry-stable replication for corpus mixing. `weights` maps source name
     * to its blend weight; unlisted sources get `defaultWeight`. */
+  /** Deterministic "at most k rows per key" cap (anti-domination guard: cap docs per
+    * domain/source/lang). Rides the native TopKPerKey bounded heaps — the exchange moves
+    * O(k·keys) rows, never the corpus. Input needs a doc_id column (the hash seed). */
+  def sampleKPerKey(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    Sampling.sampleKPerKey(requireCols(df, "input", "doc_id" +: keys: _*), keys, k)
+
   /** Deterministic train/val/test assignment (~5/5/90) as an added `split` column. */
   def splitAssign(df: DataFrame): DataFrame =
     Sampling.splitAssigned(requireCols(df, "input", "doc_id"))

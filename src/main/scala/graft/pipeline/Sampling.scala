@@ -119,6 +119,37 @@ object Sampling {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- capped per-key sampling ---------------------------------------------------------
+
+  /**
+   * Deterministic "at most k rows per key" sample (cap documents per domain/source/lang —
+   * the anti-domination guard every corpus blend applies): rows are ranked inside each key
+   * by the md5 of their doc_id (a deterministic shuffle, reproducible across retries) and
+   * the native bounded-heap TopKPerKey keeps the first k — map-side partial heaps shrink
+   * each partition to <= k rows per key BEFORE the shuffle, so the exchange moves
+   * O(k·keys), never the corpus.
+   */
+  def sampleKPerKey(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(!df.columns.contains("__h"), "input already carries a __h column")
+    val withH = df.withColumn("__h", md5(col("doc_id").cast("string")))
+    org.apache.spark.sql.graft.TopKPerKey(
+      withH, keys, Seq(("__h", false), ("doc_id", false)), k).drop("__h")
+  }
+
+  /** `sample_per_key`: at most 3 docs per lang, deterministic. */
+  def samplePerKey(spark: SparkSession, dir: String): DataFrame =
+    sampleKPerKey(TableIO.documents(spark, dir), Seq("lang"), 3)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val samplePerKeySql: String =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin
+
   // ---- train/val/test split ------------------------------------------------------------
 
   /**
@@ -154,11 +185,13 @@ object Sampling {
     "sample_uniform" -> (sampleUniform(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_mixture" -> (sampleMixture(_, _)),
-    "sample_split" -> (sampleSplit(_, _)))
+    "sample_split" -> (sampleSplit(_, _)),
+    "sample_per_key" -> (samplePerKey(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sample_uniform" -> sampleUniformSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
-    "sample_split" -> sampleSplitSql)
+    "sample_split" -> sampleSplitSql,
+    "sample_per_key" -> samplePerKeySql)
 }

@@ -53,6 +53,24 @@ class SamplingSpec extends AnyFunSuite {
       "(doc_id, copy_id) must be unique")
   }
 
+  test("per-key cap keeps at most k rows per key on the native TopKPerKey plan") {
+    val docs = TableIO.documents(spark, sf)
+    val capped = Sampling.sampleKPerKey(docs, Seq("source"), 2)
+    capped.collect()
+    assert(capped.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the cap must ride the native bounded-heap operator")
+    val bySource = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ <= 2), s"cap violated: $bySource")
+    assert(capped.columns.toSeq == docs.columns.toSeq, "input columns preserved")
+    // deterministic: same rows on recomputation
+    val a = Sampling.sampleKPerKey(docs, Seq("source"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleKPerKey(docs, Seq("source"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "per-key sample must be retry-reproducible")
+  }
+
   test("split assignment is total, disjoint, deterministic, and roughly proportioned") {
     val docs = TableIO.documents(spark, sf)
     val assigned = Sampling.splitAssigned(docs)
