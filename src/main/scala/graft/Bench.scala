@@ -38,8 +38,10 @@ object Bench {
     "dedup_components", "dedup_corpus", "dedup_embedding", "dedup_embedding_exact",
     "ann_bruteforce", "ann_lsh", "ann_ivf",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",
-    "q_count_distinct", "q_window_rank", "q_percentile", "q_join_large", "q_range_join",
-    "q_asof_join", "q_topk_per_key", "multimodal_decode", "sample_stratified")
+    "q_count_distinct", "q_window_rank", "q_percentile", "q_percentile_sort",
+    "q_join_large", "q_range_join",
+    "q_asof_join", "q_topk_per_key", "multimodal_decode", "sample_stratified",
+    "text_chunk", "dedup_winnow", "dedup_contamination", "sample_split", "sample_per_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
