@@ -11,21 +11,24 @@ import org.apache.spark.sql.functions._
  * memory (OpenHashMap per group): exact, but memory-proportional to the largest group —
  * the thing that OOMs at scale. This operator computes the SAME interpolated quantiles
  * (rank q·(n-1), linear interpolation between the straddling ranks — `percentile` /
- * DuckDB `quantile_cont` semantics) with no per-group buffering:
+ * DuckDB `quantile_cont` semantics) with no per-group buffering, via per-VALUE counting:
  *
- *   1. rank every row within its group (window row_number over the value sort — Spark's
- *      external sort, spills instead of OOM),
- *   2. per group, compute each quantile's straddling ranks lo/hi from the group count,
- *   3. equi-join (group, rank) to fetch just those rows and interpolate.
+ *   1. count rows per (group, value) — a map-side-combinable groupBy, the ONLY pass over
+ *      the full data, fully parallel regardless of group count;
+ *   2. cumulative-sum those counts over the value order per group (window over DISTINCT
+ *      values, not rows — |distinct values| rows, external sort spills instead of OOM),
+ *      giving each value its rank interval [start, end);
+ *   3. per group, compute each quantile's straddling ranks from the group total and
+ *      broadcast-join them against the intervals to fetch + interpolate.
  *
- * Cost: two shuffles of the (keys, value) projection + one broadcast fetch join —
- * bytes-linear, memory-constant. Caveat: the window sort parallelizes across GROUPS, so
- * very-low-cardinality keys (e.g. 3 flags) leave cores idle — a TIME cost, while the
- * buffering aggregate's cost is MEMORY (OOM). Exact percentile at scale pays one or the
- * other; `approx_percentile` (t-digest, q_approx_distinct row) remains the at-scale
- * default when 1e-3 relative error is acceptable. PercentileSpec proves equality with
- * `percentile` to 1e-9 and the driver oracle (`q_percentile_sort`) hash-matches DuckDB's
- * quantile_cont.
+ * Cost: one full-data shuffle (the combine) + a distinct-values window + a broadcast
+ * fetch — bytes-linear, memory-constant. Caveat: with very few groups AND near-unique
+ * values the distinct-value window degenerates to a few-partition sort — a TIME cost,
+ * while the buffering aggregate's cost is MEMORY (OOM); exact percentile at scale pays
+ * one or the other, and `approx_percentile` (t-digest, q_approx_distinct row) remains
+ * the at-scale default when 1e-3 relative error is acceptable. PercentileSpec proves
+ * equality with `percentile` to 1e-9 and the driver oracle (`q_percentile_sort`)
+ * hash-matches DuckDB's quantile_cont.
  */
 object Percentiles {
 
@@ -42,13 +45,16 @@ object Percentiles {
     val keyCols: Seq[Column] = keys.map(col)
     val proj = df.select(keyCols :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
-    val ranked = proj.withColumn("__rn", row_number().over(
-      Window.partitionBy(keyCols: _*).orderBy(col("__v"))) - 1)
-    // counts come from the RAW projection, not the windowed frame: deriving them from
-    // `ranked` would make the plan evaluate the window sort twice (once per branch)
-    val counts = proj.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    // the ONLY pass over the full data: map-side-combinable per-(group, value) counts
+    val vc = proj.groupBy(keyCols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    // rank interval of each distinct value: [start, end) over the per-group value order
+    val cum = vc.withColumn("__end", sum(col("__c")).over(
+        Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__start", col("__end") - col("__c"))
+    val counts = vc.groupBy(keyCols: _*).agg(sum(col("__c")).as("__n"))
     // per (group, q): the target rank and its straddling integer ranks, exploded to one
-    // row per needed rank so the fetch is a plain equi-join on (keys, rank)
+    // row per needed rank
     val needed = counts
       .crossJoin(broadcast(qs.toDF("q")))
       .withColumn("__t", col("q") * (col("__n") - 1))
@@ -57,9 +63,16 @@ object Percentiles {
       .select(keyCols ++ Seq(col("q"), col("__t"), col("__lo"),
         explode(array(col("__lo"), col("__hi"))).as("__rn")): _*)
       .distinct() // lo == hi when the target rank is integral
-    // needed is groups x |qs| x <=2 rows — broadcast it so the ranked rows are never
-    // re-shuffled for the fetch (drop the hint if the group count itself is huge)
-    ranked.join(broadcast(needed), keys :+ "__rn")
+    // needed is groups x |qs| x <=2 rows — broadcast it; each interval row matches the
+    // needed ranks it contains ([start, end) residual on the key-equi join). Keys are
+    // renamed on the needed side: both frames descend from vc, so qualified references
+    // would be self-join-ambiguous.
+    val neededR = needed.select(
+      keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col("q"), col("__t"), col("__lo"), col("__rn")): _*)
+    cum.join(broadcast(neededR),
+        keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+          col("__rn") >= col("__start") && col("__rn") < col("__end"))
       .groupBy(keyCols :+ col("q"): _*)
       .agg(
         min(when(col("__rn") === col("__lo"), col("__v"))).as("__vlo"),
