@@ -118,6 +118,89 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sort-based percentiles equal percentile() on random duplicate-heavy data") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 48611L)
+      // small value domain -> many duplicates; sizes chosen to hit integral ranks too
+      val rows = Seq.tabulate(50 + rnd.nextInt(200))(i =>
+        (rnd.nextInt(4).toString, rnd.nextInt(9).toDouble))
+        .toDF("k", "v")
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val want = rows.groupBy($"k")
+        .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("ps"))
+        .collect().flatMap(r => qs.zip(r.getSeq[Double](1)).map { case (q, p) =>
+          (r.getString(0), q) -> p }).toMap
+      val got = graft.operators.Percentiles.exactBySort(rows, Seq("k"), "v", qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet, s"seed $seed: ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (kq, v) =>
+        assert(math.abs(v - want(kq)) < 1e-9, s"seed $seed $kq: $v vs ${want(kq)}")
+      }
+    }
+  }
+
+  test("chunking covers every token with the declared overlap on random docs") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 15091L)
+      val chunkSize = 2 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(chunkSize)
+      val docs = Seq.tabulate(20) { i =>
+        (i.toLong, Seq.tabulate(1 + rnd.nextInt(30))(j => s"d${i}t$j").mkString(" "))
+      }
+      val chunks = graft.pipeline.TextAnalysis.chunk(docs.toDF("doc_id", "text"), chunkSize, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      docs.foreach { case (id, text) =>
+        val toks = text.split(' ')
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        // every chunk is the exact token slice at its stride offset
+        mine.foreach { case (_, cid, ctext) =>
+          val want = toks.slice(cid * stride, cid * stride + chunkSize).mkString(" ")
+          assert(ctext == want, s"seed $seed doc $id chunk $cid")
+        }
+        // coverage: concatenating each chunk's non-overlapping prefix rebuilds the doc
+        val rebuilt = mine.flatMap { case (_, cid, ctext) =>
+          ctext.split(' ').take(stride)
+        }
+        assert(rebuilt.toSeq == toks.toSeq, s"seed $seed doc $id: coverage broken")
+      }
+    }
+  }
+
+  test("winnowing equals a naive reference on random repetitive docs (tie cases)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 27644437L)
+      // tiny alphabet -> repeated grams INSIDE windows -> the rightmost-tie rule matters
+      val docs = Seq.tabulate(15) { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(40))(s"w${rnd.nextInt(4)}").mkString(" "))
+      }
+      val w = 4
+      val got = graft.pipeline.Dedup.winnowFingerprints(docs.toDF("doc_id", "text"), w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+      docs.foreach { case (id, text) =>
+        val toks = text.split(' ')
+        val n = toks.length - 2
+        val hs = Array.tabulate(n) { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val d = md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (0 until 6).foldLeft(0L)((h, b) => (h << 8) | (d(b) & 0xffL))
+        }
+        val want = scala.collection.mutable.Set.empty[(Int, Long)]
+        for (e <- math.min(w - 1, n - 1) until n) {
+          var best = e
+          for (j <- (e - 1) to math.max(0, e - w + 1) by -1)
+            if (hs(j) < hs(best)) best = j
+          want += ((best + 1, hs(best)))
+        }
+        assert(got.getOrElse(id, Set.empty) == want.toSet, s"seed $seed doc $id")
+      }
+    }
+  }
+
   test("minhash band-signature agreement tracks jaccard similarity") {
     import spark.implicits._
     // two doc families: near-identical pairs (high jaccard) and unrelated docs
