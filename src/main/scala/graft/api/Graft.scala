@@ -87,7 +87,6 @@ object Graft {
   def piiScrub(docs: DataFrame): DataFrame = TextAnalysis.piiScrub(docsFrame(docs))
   /** Lowercase, strip punctuation, collapse whitespace (pre-tokenization canon form). */
   def normalize(docs: DataFrame): DataFrame = TextAnalysis.normalize(docsFrame(docs))
-  /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
   /** Overlapping token-window chunks (doc_id, chunk_id, n_chunk_tokens, chunk_text) —
     * map-only, zero shuffle; the context-window prep step before tokenizer packing. */
   def chunk(docs: DataFrame, chunkSize: Int = 512, stride: Int = 384): DataFrame =
@@ -103,6 +102,7 @@ object Graft {
   def winnow(docs: DataFrame, window: Int = 4): DataFrame =
     Dedup.winnowFingerprints(docsFrame(docs), window)
 
+  /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     TextAnalysis.topBigrams(docsFrame(docs), k)
 
@@ -113,9 +113,6 @@ object Graft {
     Sampling.sampledUniform(requireCols(df, "sample input", "doc_id"))
   def sampleStratified(docs: DataFrame): DataFrame =
     Sampling.sampledStratified(requireCols(docs, "stratified sample input", "doc_id", "lang"))
-  /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
-    * by id hash — retry-stable replication for corpus mixing. `weights` maps source name
-    * to its blend weight; unlisted sources get `defaultWeight`. */
   /** Deterministic "at most k rows per key" cap (anti-domination guard: cap docs per
     * domain/source/lang). Rides the native TopKPerKey bounded heaps — the exchange moves
     * O(k·keys) rows, never the corpus. Input needs a doc_id column (the hash seed). */
@@ -126,6 +123,9 @@ object Graft {
   def splitAssign(df: DataFrame): DataFrame =
     Sampling.splitAssigned(requireCols(df, "input", "doc_id"))
 
+  /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
+    * by id hash — retry-stable replication for corpus mixing. `weights` maps source name
+    * to its blend weight; unlisted sources get `defaultWeight`. */
   def mixtureWeighted(docs: DataFrame, weights: Map[String, Double],
       defaultWeight: Double = 1.0): DataFrame =
     Sampling.mixtureWeighted(

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
  *      values, not rows — |distinct values| rows, external sort spills instead of OOM),
  *      giving each value its rank interval [start, end);
  *   3. per group, compute each quantile's straddling ranks from the group total and
- *      broadcast-join them against the intervals to fetch + interpolate.
+ *      join them against the intervals to fetch + interpolate (AQE broadcasts the
+ *      small side at runtime — no forced hint, so huge group counts stay safe).
  *
- * Cost: one full-data shuffle (the combine) + a distinct-values window + a broadcast
- * fetch — bytes-linear, memory-constant. Caveat: with very few groups AND near-unique
+ * Cost: one full-data shuffle (the combine) + a distinct-values window + a fetch
+ * join — bytes-linear, memory-constant. Caveat: with very few groups AND near-unique
  * values the distinct-value window degenerates to a few-partition sort — a TIME cost,
  * while the buffering aggregate's cost is MEMORY (OOM); exact percentile at scale pays
  * one or the other, and `approx_percentile` (t-digest, q_approx_distinct row) remains
@@ -63,15 +64,19 @@ object Percentiles {
       .select(keyCols ++ Seq(col("q"), col("__t"), col("__lo"),
         explode(array(col("__lo"), col("__hi"))).as("__rn")): _*)
       .distinct() // lo == hi when the target rank is integral
-    // needed is groups x |qs| x <=2 rows — broadcast it; each interval row matches the
-    // needed ranks it contains ([start, end) residual on the key-equi join). Keys are
-    // renamed on the needed side: both frames descend from vc, so qualified references
-    // would be self-join-ambiguous.
+    // needed is groups x |qs| x <=2 rows; each interval row matches the needed ranks it
+    // contains ([start, end) residual on the key-equi join). NO broadcast hint: for
+    // high-cardinality keys the needed frame scales with the group count and a forced
+    // broadcast would collect it to the driver — AQE picks the broadcast at runtime when
+    // the measured size is actually small. Keys are renamed on the needed side: both
+    // frames descend from vc, so qualified references would be self-join-ambiguous.
     val neededR = needed.select(
       keys.map(k => col(k).as(s"__k_$k")) ++
         Seq(col("q"), col("__t"), col("__lo"), col("__rn")): _*)
-    cum.join(broadcast(neededR),
-        keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+    // null-SAFE key equality: groupBy keeps null-keyed groups, and percentile() returns
+    // a row for them — plain === would drop them here and break the documented parity
+    cum.join(neededR,
+        keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _) &&
           col("__rn") >= col("__start") && col("__rn") < col("__end"))
       .groupBy(keyCols :+ col("q"): _*)
       .agg(

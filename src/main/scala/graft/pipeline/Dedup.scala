@@ -45,7 +45,10 @@ object Dedup {
     TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, raw) =>
         val text = if (raw == null) "" else raw // null text = no grams, like SQL nulls
-        val toks = text.split(' ')
+        // limit -1 keeps trailing empty tokens, exactly like SQL string_split — Java's
+        // default split would drop them and diverge from the DuckDB twins on
+        // trailing-whitespace documents
+        val toks = text.split(" ", -1)
         if (toks.length < 3) Iterator.empty
         else {
           val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
@@ -646,7 +649,7 @@ object Dedup {
     TableIO.fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, raw) =>
         val text = if (raw == null) "" else raw
-        val toks = text.split(' ')
+        val toks = text.split(" ", -1) // keep trailing empties, like SQL string_split
         val n = toks.length - 2
         if (n <= 0) Iterator.empty
         else {
@@ -721,11 +724,18 @@ object Dedup {
       .withColumn("hit", lit(1))
     val dg = gramHashSets(candidates)
       .select(col("doc_id"), col("sz"), explode(col("gh")).as("h"))
-    dg.join(bg, Seq("h"), "left")
+    val scored = dg.join(bg, Seq("h"), "left")
       .groupBy(col("doc_id"), col("sz"))
       .agg(count(col("hit")).as("n_hit"))
-      .select(col("doc_id"), col("sz").as("n_grams"), col("n_hit"),
-        round(col("n_hit") / col("sz"), 4).as("containment"))
+    // EVERY candidate appears in the audit, including docs too short to shingle
+    // (n_grams 0, containment 0): in a decontamination report, absent must never be
+    // mistakable for clean — a consumer joining back to gate a release sees every doc.
+    candidates.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(0)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(round(col("n_hit") / col("sz"), 4), lit(0.0)).as("containment"))
   }
 
   /** `dedup_contamination`: every non-src1 doc scored against the src1 "benchmark". */
@@ -740,13 +750,18 @@ object Dedup {
        |bench AS (SELECT DISTINCT unnest(g.g) AS h
        |          FROM grams g JOIN documents d USING (doc_id) WHERE d.source = 'src1'),
        |cand AS (SELECT g.doc_id, unnest(g.g) AS h, len(g.g) AS sz
-       |         FROM grams g JOIN documents d USING (doc_id) WHERE d.source <> 'src1')
-       |SELECT c.doc_id, CAST(c.sz AS INT) AS n_grams,
-       |  CAST(count(b.h) AS BIGINT) AS n_hit,
-       |  round(count(b.h) * 1.0 / c.sz, 4) AS containment
-       |FROM cand c LEFT JOIN bench b USING (h)
-       |GROUP BY c.doc_id, c.sz
-       |ORDER BY c.doc_id""".stripMargin
+       |         FROM grams g JOIN documents d USING (doc_id) WHERE d.source <> 'src1'),
+       |scored AS (
+       |  SELECT c.doc_id, CAST(c.sz AS INT) AS n_grams,
+       |    CAST(count(b.h) AS BIGINT) AS n_hit,
+       |    round(count(b.h) * 1.0 / c.sz, 4) AS containment
+       |  FROM cand c LEFT JOIN bench b USING (h)
+       |  GROUP BY c.doc_id, c.sz)
+       |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_hit, 0) AS n_hit, coalesce(containment, 0.0) AS containment
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src1') d
+       |LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- registry ------------------------------------------------------------------------
 

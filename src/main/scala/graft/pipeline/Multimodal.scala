@@ -84,9 +84,13 @@ object Multimodal {
    */
   private[graft] def decodeImage(docId: Long, payload: Array[Byte]): Option[MediaFeatures] = {
     javax.imageio.ImageIO.setUseCache(false) // no executor-local tmp files
+    // NonFatal, not just IOException: JDK readers throw RuntimeExceptions on malformed
+    // payloads (CMMException on broken ICC profiles, NegativeArraySizeException /
+    // IndexOutOfBounds on corrupt dimensions) — any of those must drop the row, not
+    // fail the task and abort the job after deterministic retries.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { i =>
       val w = i.getWidth; val h = i.getHeight
       val stepX = math.max(1, w / 16); val stepY = math.max(1, h / 16)
@@ -147,7 +151,9 @@ object Multimodal {
       Some(AudioFeatures(docId, payload.length, fmt.getSampleRate.toInt,
         fmt.getChannels, frames, dur, rms))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => None
+      // NonFatal for the same reason as decodeImage: header parsers can throw
+      // RuntimeExceptions on crafted/corrupt containers
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -62,11 +62,20 @@ object LayoutWriter {
     import org.apache.spark.sql.functions.{count, first, lit}
     val existing = spark.read.parquet(path)
 
+    // Align updates to the EXISTING schema first. Two failure modes this closes: (a) a
+    // differently-typed updates frame (Long yr vs inferred Int) makes the collected
+    // partition values compare unequal driver-side, so a freshly-written partition could
+    // land in the emptied set and be deleted after the write; (b) unionByName would
+    // silently widen the union type and rewrite touched partitions with a DIFFERENT
+    // column type than the rest of the table.
+    val aligned = updates.select(existing.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
     // ONE small job over the updates batch (the broadcast-sized side by contract) yields
     // both the duplicate-key check and the partition values the updates land in. Two
     // update rows for one key would make the upsert itself plant the duplicates it exists
     // to prevent, and "last write wins" is undefined without an ordering column: fail fast.
-    val keyRows = updates.groupBy(col(key))
+    val keyRows = aligned.groupBy(col(key))
       .agg(count(lit(1)).as("cnt"), first(col(partitionCol)).as("pv")).collect()
     val dups = keyRows.filter(_.getLong(1) > 1).take(3)
     require(dups.isEmpty,
@@ -77,7 +86,7 @@ object LayoutWriter {
     // touched = partitions the updates land in PLUS partitions currently holding an
     // updated key — a key whose partition value changes must have its OLD row rewritten
     // away too, or the "upsert" leaves a stale duplicate in the untouched partition.
-    val updatedKeys = updates.select(key).distinct()
+    val updatedKeys = aligned.select(key).distinct()
     val movedFromRaw = existing.join(broadcast(updatedKeys), Seq(key), "left_semi")
       .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     val touchedRaw = (updatePartRaw ++ movedFromRaw).distinct
@@ -95,7 +104,7 @@ object LayoutWriter {
     val survivors = existing.filter(touchedPred)
       .join(broadcast(updatedKeys), Seq(key), "left_anti")
       .localCheckpoint(true)
-    val out = survivors.unionByName(updates.select(existing.columns.map(col): _*))
+    val out = survivors.unionByName(aligned)
 
     // dynamic overwrite only replaces partitions PRESENT in the written data — a touched
     // partition whose rows ALL moved away would keep its stale files. The emptied set is

@@ -38,10 +38,19 @@ object TableMaintenance {
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     if (!latest.isEmpty) {
-      val exists = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new Path(path))
-      if (exists) LayoutWriter.upsertPartitioned(spark, path, latest, key, partitionCol)
-      else latest.write.partitionBy(partitionCol).parquet(path)
+      // "table exists" = the directory holds at least one committed entry (partition dir
+      // or data file), not merely exists(): a first-batch write that crashed after
+      // creating the directory (leaving only _temporary/_SUCCESS debris) must route the
+      // retry back to table creation — upsertPartitioned would throw on a file-less path
+      // and wedge the stream. The fresh-write mode is overwrite to clear that debris.
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(path)
+      val tableExists = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (tableExists) LayoutWriter.upsertPartitioned(spark, path, latest, key, partitionCol)
+      else latest.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
   }
 

@@ -165,7 +165,8 @@ class DedupSpec extends AnyFunSuite {
     val cands = Seq(
       (1L, "the quick brown fox went somewhere else entirely today"),
       (2L, "completely unrelated words about distributed query engines"),
-      (3L, "the quick brown fox jumps over the lazy dog")
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "too short") // < 3 tokens: no grams, but the audit must still report it
     ).toDF("doc_id", "text")
     val got = Dedup.contamination(cands, bench)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
@@ -173,5 +174,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == ((7, 2L, 0.2857)), s"got ${got(1L)}")
     assert(got(2L)._2 == 0L && got(2L)._3 == 0.0, "clean doc must report zero containment")
     assert(got(3L)._3 == 1.0, "verbatim copy must report full containment")
+    assert(got(4L) == ((0, 0L, 0.0)),
+      "gram-less doc must appear in the audit (absent must never read as clean)")
   }
 }

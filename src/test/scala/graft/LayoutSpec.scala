@@ -203,6 +203,29 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("upsert tolerates differently-typed updates without deleting fresh partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert-typed").toString
+    val dir = s"$root/tbl"
+    try {
+      // table partitioned on an INT yr (what partition inference reads back); the
+      // updates batch carries yr as LONG — driver-side value comparison must not treat
+      // 2020:Int and 2020L as different partitions (that marked the freshly-written
+      // partition as emptied and deleted it right after the write)
+      Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "yr")
+        .write.partitionBy("yr").parquet(dir)
+      val updates = Seq((1L, "A", 2020L)).toDF("id", "v", "yr") // the ONLY row of yr=2020
+      LayoutWriter.upsertPartitioned(spark, dir, updates, "id", "yr")
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[Int]("yr"))).toMap
+      assert(out == Map(1L -> ("A", 2020), 2L -> ("b", 2021)), s"got $out")
+      assert(new java.io.File(s"$dir/yr=2020").exists(), "fresh partition must survive")
+      // the partition column type must not silently widen to the updates' LONG
+      assert(spark.read.parquet(dir).schema("yr").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("upsert rejects duplicate keys in the updates batch") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-upsert-dup").toString

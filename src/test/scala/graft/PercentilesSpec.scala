@@ -31,6 +31,15 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got(("b", 0.5)) == 10.0 && got(("b", 1.0)) == 10.0)
   }
 
+  test("null-keyed groups are kept, like percentile() under groupBy") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 6.0), (Some("a"), 3.0))
+      .toDF("k", "v")
+    val got = Percentiles.exactBySort(df, Seq("k"), "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 4.0), s"got $got")
+  }
+
   test("equals the buffering percentile() aggregate on real data to 1e-9") {
     val li = TableIO.lineitem(spark, sf)
     val viaAgg = li.groupBy(col("l_returnflag"))

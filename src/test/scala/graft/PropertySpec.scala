@@ -181,7 +181,7 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
       docs.foreach { case (id, text) =>
-        val toks = text.split(' ')
+        val toks = text.split(" ", -1) // mirror the kernel's string_split-exact tokenizer
         val n = toks.length - 2
         val hs = Array.tabulate(n) { i =>
           val md = java.security.MessageDigest.getInstance("MD5")
