@@ -189,6 +189,12 @@ object Graft {
       targetFiles: Int = 0): Unit =
     graft.sources.LayoutWriter.writeZOrdered(df, path, colA, colB, targetFiles)
 
+  /** Z-order with equal-mass quantile buckets — keeps its skipping power on SKEWED
+    * columns, where linear bucketing collapses the dense region into few buckets. */
+  def writeZOrderedQuantile(df: DataFrame, path: String, colA: String, colB: String,
+      targetFiles: Int = 0): Unit =
+    graft.sources.LayoutWriter.writeZOrderedQuantile(df, path, colA, colB, targetFiles)
+
   /** Key-based upsert into a hive-partitioned parquet table; rewrites ONLY the
     * partitions the updates touch (dynamic partition overwrite). Not ACID — see
     * LayoutWriter.upsertPartitioned. */

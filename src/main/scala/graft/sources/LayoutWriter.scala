@@ -155,8 +155,8 @@ object LayoutWriter {
    * 16-bit bucket ids makes file/row-group spans narrow on BOTH, so a predicate on
    * EITHER column skips most of the data. Bucket ids come from `width_bucket` over the
    * observed min/max (one tiny pre-pass): linear buckets, so a heavily skewed column
-   * concentrates in few buckets and loses selectivity — quantile bucketing would fix
-   * that at the cost of an approxQuantile pass; documented, not implemented.
+   * concentrates in few buckets and loses selectivity — use [[writeZOrderedQuantile]]
+   * for skewed columns (equal-mass buckets from approxQuantile).
    */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     targetFiles: Int = 0): Unit = {
@@ -179,6 +179,41 @@ object LayoutWriter {
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Quantile-bucketed z-order — [[writeZOrdered]] for SKEWED columns. Linear
+   * `width_bucket` ids concentrate a skewed column's mass into a few buckets, and inside
+   * those buckets the z-curve degenerates to ordering by the OTHER column — probes on the
+   * skewed axis stop skipping. Here each column's 256 bucket boundaries come from
+   * `approxQuantile` (one pre-pass per column, driver holds 2x255 doubles), so every
+   * bucket carries ~equal row mass regardless of distribution; mapping goes through
+   * ml.feature.Bucketizer (binary search per row). Nulls land in the top bucket
+   * (handleInvalid=keep) — cluster tail, never an error.
+   */
+  def writeZOrderedQuantile(df: DataFrame, path: String, colA: String, colB: String,
+                            targetFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.shiftleft
+    val n = if (targetFiles > 0) targetFiles
+            else df.sparkSession.sparkContext.defaultParallelism
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    def bucketed(dfin: DataFrame, c: String, out: String): DataFrame = {
+      val doubled = dfin.withColumn(s"${out}_d", col(c).cast("double"))
+      val cuts = doubled.stat.approxQuantile(s"${out}_d", probes, 0.001)
+      val splits = (Double.NegativeInfinity +: cuts.distinct :+ Double.PositiveInfinity)
+      new org.apache.spark.ml.feature.Bucketizer()
+        .setInputCol(s"${out}_d").setOutputCol(out)
+        .setSplits(splits).setHandleInvalid("keep")
+        .transform(doubled)
+        .drop(s"${out}_d")
+    }
+    val withZ = bucketed(bucketed(df, colA, "__ba"), colB, "__bb")
+      .withColumn("__z", shiftleft(spreadBits(col("__ba").cast("long")), 1)
+        .bitwiseOR(spreadBits(col("__bb").cast("long"))))
+    withZ.repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__ba", "__bb", "__z")
       .write.mode("overwrite").parquet(path)
   }
 

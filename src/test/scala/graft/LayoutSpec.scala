@@ -174,6 +174,42 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile z-order keeps skipping on a skewed column where linear z-order cannot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-q").toString
+    val n = 60000
+    try {
+      // deterministic heavy skew: v = exp(12 * u) with u pseudo-shuffled — under LINEAR
+      // bucketing over [1, e^12], over half the rows collapse into bucket 0, so the
+      // z-curve degenerates to the other column there and skew-axis probes stop skipping
+      val df = spark.range(n).select(
+        (col("id") * 2654435761L % n).as("a"),
+        exp(((col("id") * 1103515245L + 12345L) % n).cast("double") / n * 12.0).as("v"))
+        .cache()
+      LayoutWriter.writeZOrdered(df, s"$dir/lin", "a", "v", targetFiles = 64)
+      LayoutWriter.writeZOrderedQuantile(df, s"$dir/q", "a", "v", targetFiles = 64)
+
+      // a narrow probe INSIDE the dense region (30th-35th percentile of v): quantile
+      // buckets 77..90, which share their top TWO bucket bits — the z-curve constraint
+      // a probe needs (a range straddling the bucket-128 boundary would fix no top bit
+      // and skip nothing at file granularity, for linear and quantile alike)
+      val qs = df.stat.approxQuantile("v", Array(0.30, 0.35), 1e-4)
+      def probe(path: String) = spark.read.parquet(path)
+        .filter(col("v") >= qs(0) && col("v") <= qs(1))
+      val linRead = rowsScanned(probe(s"$dir/lin"))
+      val quantRead = rowsScanned(probe(s"$dir/q"))
+      assert(quantRead * 2 <= n, s"quantile z-order should skip: read $quantRead of $n")
+      assert(quantRead * 2 <= linRead,
+        s"quantile buckets should beat linear on the skewed axis: $quantRead vs $linRead")
+      // the OTHER (uniform) axis still skips under quantile bucketing (same top-bit
+      // placement discipline as the v probe)
+      val aRead = rowsScanned(spark.read.parquet(s"$dir/q")
+        .filter(col("a") >= n * 30 / 100 && col("a") <= n * 35 / 100))
+      assert(aRead * 2 <= n, s"uniform axis must keep skipping: $aRead of $n")
+      df.unpersist()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("upsert partition-move deletes the emptied directory, including escaped and null names") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-upsert-move").toString
