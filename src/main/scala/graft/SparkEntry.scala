@@ -22,7 +22,8 @@ object SparkEntry {
       pipeline.Sampling.all ++
       pipeline.Multimodal.all ++
       pipeline.TextRetrieval.all ++
-      pipeline.Profiling.all
+      pipeline.Profiling.all ++
+      pipeline.Packing.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       pipeline.Sampling.oracles ++
       pipeline.Multimodal.oracles ++
       pipeline.TextRetrieval.oracles ++
-      pipeline.Profiling.oracles
+      pipeline.Profiling.oracles ++
+      pipeline.Packing.oracles
 }

@@ -102,6 +102,13 @@ object Graft {
   def winnow(docs: DataFrame, window: Int = 4): DataFrame =
     Dedup.winnowFingerprints(docsFrame(docs), window)
 
+  /** Greedy sequence packing into `budget`-token bins per stream (docs stay whole,
+    * oversized docs get singleton bins) — parallel across streams, sequential within,
+    * deterministic in doc_id order. Returns (stream, doc_id, n_tokens, bin_id, bin_fill). */
+  def packGreedy(docs: DataFrame, streamCol: String, budget: Int): DataFrame =
+    graft.pipeline.Packing.packGreedy(
+      requireCols(docs, "documents", "doc_id", "text", streamCol), streamCol, budget)
+
   /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     TextAnalysis.topBigrams(docsFrame(docs), k)
