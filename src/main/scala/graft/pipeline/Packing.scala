@@ -37,8 +37,11 @@ object Packing {
     import spark.implicits._
     docs
       .select(col(streamCol).cast("string").as("stream"), col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .filter(col("n_tokens").isNotNull)
+        // the pipeline's established whitespace token count (TextAnalysis n_ws_tokens):
+        // trim + \s+ split, so irregular whitespace never charges phantom tokens against
+        // the budget. Null text packs as 0 tokens — a doc must never silently vanish
+        // from the packed corpus.
+        coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).as("n_tokens"))
       .repartition(col("stream"))
       .sortWithinPartitions(col("stream"), col("doc_id"))
       .as[(String, Long, Int)]

@@ -198,17 +198,24 @@ object LayoutWriter {
     val n = if (targetFiles > 0) targetFiles
             else df.sparkSession.sparkContext.defaultParallelism
     val probes = (1 until 256).map(_ / 256.0).toArray
-    def bucketed(dfin: DataFrame, c: String, out: String): DataFrame = {
-      val doubled = dfin.withColumn(s"${out}_d", col(c).cast("double"))
-      val cuts = doubled.stat.approxQuantile(s"${out}_d", probes, 0.001)
-      val splits = (Double.NegativeInfinity +: cuts.distinct :+ Double.PositiveInfinity)
+    // BOTH columns' cut points in ONE approxQuantile pass (the multi-column overload) —
+    // per-column calls would scan the full input twice before the write's third scan
+    val doubled = df
+      .withColumn("__ad", col(colA).cast("double"))
+      .withColumn("__bd", col(colB).cast("double"))
+    val Array(cutsA, cutsB) =
+      doubled.stat.approxQuantile(Array("__ad", "__bd"), probes, 0.001)
+    require(cutsA.nonEmpty && cutsB.nonEmpty,
+      s"z-order columns $colA/$colB need non-null numeric values (empty frame or " +
+        "all-null column has no quantiles)")
+    def bucketize(in: DataFrame, inCol: String, out: String, cuts: Array[Double]): DataFrame =
       new org.apache.spark.ml.feature.Bucketizer()
-        .setInputCol(s"${out}_d").setOutputCol(out)
-        .setSplits(splits).setHandleInvalid("keep")
-        .transform(doubled)
-        .drop(s"${out}_d")
-    }
-    val withZ = bucketed(bucketed(df, colA, "__ba"), colB, "__bb")
+        .setInputCol(inCol).setOutputCol(out)
+        .setSplits(Double.NegativeInfinity +: cuts.distinct :+ Double.PositiveInfinity)
+        .setHandleInvalid("keep")
+        .transform(in)
+    val withZ = bucketize(bucketize(doubled, "__ad", "__ba", cutsA), "__bd", "__bb", cutsB)
+      .drop("__ad", "__bd")
       .withColumn("__z", shiftleft(spreadBits(col("__ba").cast("long")), 1)
         .bitwiseOR(spreadBits(col("__bb").cast("long"))))
     withZ.repartitionByRange(n, col("__z"))

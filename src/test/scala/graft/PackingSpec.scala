@@ -16,7 +16,9 @@ class PackingSpec extends AnyFunSuite {
       (1L, doc(100), "s1"), (2L, doc(100), "s1"), (3L, doc(60), "s1"), // bin0: 100+100+60=260>256 -> 3 spills
       (4L, doc(300), "s1"),                                            // oversized: own bin
       (5L, doc(10), "s1"),
-      (6L, doc(256), "s2")                                             // exact fit
+      (6L, doc(256), "s2"),                                            // exact fit
+      (7L, null.asInstanceOf[String], "s2"),                           // null text: 0 tokens, never dropped
+      (8L, "  a   b \t c  ", "s2")                                     // irregular whitespace: 3 tokens
     ).toDF("doc_id", "text", "source")
     val got = Packing.packGreedy(docs, "source", budget = 256)
       .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(3), r.getInt(4))).toMap
@@ -25,6 +27,9 @@ class PackingSpec extends AnyFunSuite {
     assert(got(4L)._2 == 2 && got(4L)._3 == 300, "oversized doc gets a singleton bin")
     assert(got(5L)._2 == 3, "next doc does not join an overflowed bin")
     assert(got(6L) == (("s2", 0L, 256)), "streams pack independently; exact fit allowed")
+    assert(got(7L) == (("s2", 0L, 256)),
+      s"null text packs as 0 tokens (fits even a full bin), not dropped: ${got.get(7L)}")
+    assert(got(8L) == (("s2", 1L, 3)), s"whitespace runs count as separators: ${got.get(8L)}")
   }
 
   test("equals a naive per-stream reference fold on random corpora; deterministic") {
@@ -41,7 +46,7 @@ class PackingSpec extends AnyFunSuite {
       rows.groupBy(_._3).foreach { case (_, streamRows) =>
         var bin = -1L; var fill = 0
         streamRows.sortBy(_._1).foreach { case (id, text, _) =>
-          val n = text.split(' ').length
+          val n = text.trim.split("\\s+").length // mirror the kernel's tokenizer exactly
           if (bin < 0 || fill + n > budget) { bin += 1; fill = 0 }
           fill += n
           assert(got(id) == ((bin, fill)), s"seed $seed doc $id")
