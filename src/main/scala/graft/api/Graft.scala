@@ -68,6 +68,16 @@ object Graft {
   def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Similarity.topKNeighbors(vecsFrame(corpus), queryFrame(queries), k)
 
+  /** Per-vector symmetric int8 quantization (vec_id, scale, qvec) — 4x less memory/IO
+    * for corpus-scale ANN; pair with [[dequantizeInt8]] (or re-rank with the float
+    * originals when boundary exactness matters). */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    Similarity.quantizeInt8(vecsFrame(vecs))
+
+  /** Reconstruct float vectors from [[quantizeInt8]] output. */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    Similarity.dequantizeInt8(requireCols(quantized, "quantized", "vec_id", "scale", "qvec"))
+
   /** Approximate top-k via multi-table random-hyperplane LSH (recall-spec'd). */
   def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Similarity.topKNeighborsLsh(vecsFrame(corpus), queryFrame(queries), k)

@@ -310,14 +310,68 @@ object Similarity {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- int8 quantization ---------------------------------------------------------------
+
+  /**
+   * Per-vector symmetric int8 quantization: scale = max|x| / 127, q_i = round(x_i/scale)
+   * in [-127, 127] — 4x less memory/IO than float32, the standard compression for
+   * corpus-scale ANN (re-rank the int8 candidates with the float originals if exactness
+   * at the boundary matters). Map-only typed kernel (zero shuffle); the all-zero vector
+   * quantizes to scale 0 + zeros and dequantizes to itself.
+   * Returns (vec_id, scale: float, qvec: array<byte>).
+   */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var m = 0f
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+        val scale = m / 127f
+        val q = new Array[Byte](v.length)
+        if (scale > 0) {
+          i = 0
+          while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+        }
+        (id, scale, q)
+      }.toDF("vec_id", "scale", "qvec")
+  }
+
+  /** Inverse of [[quantizeInt8]]: (vec_id, embedding: array<float>) reconstruction. */
+  def dequantizeInt8(quantized: DataFrame): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    quantized.select(col("vec_id"), col("scale"), col("qvec"))
+      .as[(Long, Float, Array[Byte])]
+      .map { case (id, scale, q) =>
+        val v = new Array[Float](q.length)
+        var i = 0
+        while (i < q.length) { v(i) = q(i) * scale; i += 1 }
+        (id, v)
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** `ann_quantized`: brute-force top-k over the int8-reconstructed corpus — the memory-
+    * compressed serving path; SimilaritySpec bounds its agreement with the float path.
+    * Rows-only (quantization rounding is not portably SQL-expressible). */
+  def annQuantized(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vecs = TableIO.embeddings(spark, dir)
+    val corpus = dequantizeInt8(quantizeInt8(vecs))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    topKNeighbors(corpus, queries, k, excludeSelf = true)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
+    "ann_quantized" -> (annQuantized(_, _)),
     "q_vector_funcs" -> (qVectorFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql(10, 5),
     "q_vector_funcs" -> qVectorFuncsSql)
-    // ann_lsh: approximate by design -> rows-only + recall spec
+    // ann_lsh / ann_ivf / ann_quantized: approximate by design -> rows-only + spec
 }

@@ -56,4 +56,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n")
     }
   }
+
+  test("int8 quantization: bounded reconstruction error, high top-k agreement, zero vec") {
+    import spark.implicits._
+    val vecs = graft.sources.TableIO.embeddings(spark, sf)
+    val orig = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = Similarity.quantizeInt8(vecs)
+    val back = Similarity.dequantizeInt8(q)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    // per-element error <= scale/2 (round-to-nearest), i.e. max|x| / 254
+    val scales = q.collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    orig.foreach { case (id, v) =>
+      val r = back(id)
+      assert(r.length == v.length)
+      val bound = scales(id) / 2 + 1e-6
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - r(i)) <= bound, s"vec $id[$i]: ${v(i)} vs ${r(i)}")
+      }
+    }
+    // the all-zero vector round-trips exactly (scale 0 guard)
+    val zero = Seq((999L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val zback = Similarity.dequantizeInt8(Similarity.quantizeInt8(zero)).collect().head
+    assert(zback.getSeq[Float](1).forall(_ == 0f))
+
+    // serving-path agreement: int8 top-5 overlaps float top-5 heavily
+    val floatTop = Similarity.annBruteforce(spark, sf)
+      .collect().groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(2)).toSet }
+    val int8Top = Similarity.annQuantized(spark, sf)
+      .collect().groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(2)).toSet }
+    val overlaps = floatTop.map { case (qid, f) =>
+      (f & int8Top.getOrElse(qid, Set.empty)).size.toDouble / f.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"int8 top-k agreement with float path too low: $mean")
+  }
 }
