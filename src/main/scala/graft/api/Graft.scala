@@ -62,6 +62,12 @@ object Graft {
   def embeddingNearDupPairs(vecs: DataFrame, tau: Double = 0.45): DataFrame =
     Dedup.embeddingPairsLsh(vecsFrame(vecs), tau)
 
+  /** Segment-level exact dedup (C4/RefinedWeb line-dedup analog): every distinct k-token
+    * segment survives only at its first corpus-wide occurrence; docs are reassembled from
+    * surviving segments. Returns (doc_id, n_segs, n_kept, dedup_text) for every doc. */
+  def dedupSegments(docs: DataFrame, k: Int = 8): DataFrame =
+    Dedup.segmentDedup(docsFrame(docs), k)
+
   // ---- similarity search ---------------------------------------------------------------
 
   /** Exact top-k cosine neighbors per query (one corpus scan, bounded-heap re-rank). */
@@ -139,6 +145,11 @@ object Graft {
   /** Deterministic train/val/test assignment (~5/5/90) as an added `split` column. */
   def splitAssign(df: DataFrame): DataFrame =
     Sampling.splitAssigned(requireCols(df, "input", "doc_id"))
+
+  /** Seed-deterministic global shuffle for training export: pseudorandom (shard, pos)
+    * per row — hash repartition + per-shard local sort, never a global sort. */
+  def shuffleShards(df: DataFrame, numShards: Int = 8, seed: String = "graft"): DataFrame =
+    Sampling.shuffleAssigned(requireCols(df, "input", "doc_id"), numShards, seed)
 
   /** Deterministic source-mixture up/down-weighting: floor(w) copies + Bernoulli(frac(w))
     * by id hash — retry-stable replication for corpus mixing. `weights` maps source name

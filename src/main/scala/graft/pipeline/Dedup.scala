@@ -763,6 +763,98 @@ object Dedup {
        |LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- segment-level exact dedup (C4 / RefinedWeb line-dedup analog) -------------------
+
+  /**
+   * Split each document into consecutive non-overlapping k-token segments:
+   * (doc_id, pos, seg) with 1-based positions. The final segment may be shorter than k.
+   * Typed kernel fused with the scan — zero shuffle; null-text docs produce no segments
+   * (SQL-null semantics, mirrored by the oracle's WHERE text IS NOT NULL).
+   */
+  def segmentedDocs(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"segment length must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TableIO.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1) // keep trailing empties, like SQL string_split
+        val n = (toks.length + k - 1) / k
+        (0 until n).iterator.map { i =>
+          val from = i * k
+          (id, i + 1, toks.slice(from, math.min(from + k, toks.length)).mkString(" "))
+        }
+      }.toDF("doc_id", "pos", "seg")
+  }
+
+  /**
+   * Segment-level exact dedup — the C4 / RefinedWeb "drop duplicated lines across the
+   * corpus" pass, adapted to a corpus without newlines: every distinct k-token segment
+   * survives only at its FIRST corpus-wide occurrence (min (doc_id, pos)); each document
+   * is reassembled from its surviving segments in original order. Catches boilerplate
+   * repeated across documents that document-level dedup can never see, and intra-doc
+   * repetition as a side effect.
+   *
+   * Scale shape: the dedup DECISION shuffles only (md5, doc_id, pos) rows (~28 B each,
+   * map-side-combined min) — never segment text; the text-carrying side shuffles once
+   * keyed by (doc_id, pos) to meet the winner set and once by doc_id for reassembly,
+   * both skew-free keys. No O(n²) anywhere; fan-in per hash is the corpus duplication
+   * factor, exactly the quantity being removed.
+   *
+   * Returns (doc_id, n_segs, n_kept, dedup_text) for EVERY input doc — a fully-duplicate
+   * doc reports n_kept 0 / null text rather than vanishing, so a consumer filtering the
+   * corpus sees the drop decision explicitly.
+   */
+  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val segs = segmentedDocs(docs, k)
+    val winners = segs
+      .groupBy(md5(col("seg")).as("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val rebuilt = segs.join(winners, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg")), " ").as("dedup_text"))
+    docs.select(col("doc_id"),
+        when(col("text").isNull, lit(0))
+          .otherwise(ceil(size(split(col("text"), " ", -1)) / lit(k.toDouble)))
+          .cast("int").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"), col("dedup_text"))
+  }
+
+  /** `dedup_segments`: 8-token segment-level dedup + reassembly of every document. */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(TableIO.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[segmentDedup]] (k=8): same segmentation, same (doc_id, pos)
+    * first-occurrence winners (DuckDB groups raw segment text; Spark groups md5(seg) —
+    * identical winners absent a 128-bit collision), same space-joined reassembly. */
+  val dedupSegmentsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE text IS NOT NULL),
+      |se AS (SELECT doc_id,
+      |         unnest([{'pos': i, 'seg': array_to_string(tk[(i-1)*8+1:i*8], ' ')}
+      |                 for i in range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1)]) AS s
+      |       FROM t),
+      |s AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM se),
+      |win AS (SELECT seg, min({'d': doc_id, 'p': pos}) AS w FROM s GROUP BY seg),
+      |kept AS (SELECT s.doc_id, s.pos, s.seg
+      |         FROM s JOIN win ON s.seg = win.seg
+      |         WHERE s.doc_id = win.w.d AND s.pos = win.w.p),
+      |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+      |          string_agg(seg, ' ' ORDER BY pos) AS dedup_text
+      |        FROM kept GROUP BY doc_id),
+      |base AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+      |           ELSE CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) END AS n_segs
+      |         FROM documents)
+      |SELECT b.doc_id, b.n_segs, coalesce(a.n_kept, 0) AS n_kept, a.dedup_text
+      |FROM base b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -776,7 +868,8 @@ object Dedup {
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_contamination" -> (dedupContamination(_, _)),
-    "dedup_winnow" -> (dedupWinnow(_, _)))
+    "dedup_winnow" -> (dedupWinnow(_, _)),
+    "dedup_segments" -> (dedupSegments(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -790,5 +883,6 @@ object Dedup {
     "dedup_corpus" -> dedupCorpusSql(0.8),
     "dedup_components" -> dedupComponentsSql(0.8),
     "dedup_contamination" -> dedupContaminationSql,
-    "dedup_winnow" -> dedupWinnowSql)
+    "dedup_winnow" -> dedupWinnowSql,
+    "dedup_segments" -> dedupSegmentsSql)
 }

@@ -179,6 +179,48 @@ object Sampling {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- deterministic shuffle-shard export ----------------------------------------------
+
+  /**
+   * Deterministic global shuffle + sharding for training export — the last step before
+   * tokenization: every example gets a pseudorandom (shard, pos) so readers stream the
+   * corpus in a fixed, seed-reproducible random order. shard = first-8-hex of
+   * md5(seed:doc_id) mod numShards; in-shard order = the full md5 hex (a pseudorandom
+   * permutation key). No `rand()`: re-running the export (or recomputing a lost
+   * partition) reproduces the identical order, so a resumed training run sees the same
+   * data sequence.
+   *
+   * Scale shape: this is a hash repartition + per-shard LOCAL sort (the window partitions
+   * by shard) — never a global sort. Writing `numShards` files via
+   * `repartition(col("shard")).sortWithinPartitions(col("skey"))` streams each shard
+   * through one task; pos is only needed when readers want explicit offsets.
+   */
+  def shuffleAssigned(docs: DataFrame, numShards: Int = 8, seed: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val skey = md5(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** `sample_shuffle`: seed-deterministic 8-shard shuffle assignment of every document. */
+  def sampleShuffle(spark: SparkSession, dir: String): DataFrame =
+    shuffleAssigned(TableIO.documents(spark, dir)).orderBy(col("shard"), col("pos"))
+
+  val sampleShuffleSql: String =
+    """WITH a AS (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS skey
+      |           FROM documents),
+      |b AS (SELECT doc_id, skey,
+      |        CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+      |      FROM a)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
+      |FROM b ORDER BY shard, pos""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,12 +228,14 @@ object Sampling {
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_mixture" -> (sampleMixture(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
-    "sample_per_key" -> (samplePerKey(_, _)))
+    "sample_per_key" -> (samplePerKey(_, _)),
+    "sample_shuffle" -> (sampleShuffle(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sample_uniform" -> sampleUniformSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_split" -> sampleSplitSql,
-    "sample_per_key" -> samplePerKeySql)
+    "sample_per_key" -> samplePerKeySql,
+    "sample_shuffle" -> sampleShuffleSql)
 }

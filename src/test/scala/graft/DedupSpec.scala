@@ -177,4 +177,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((0, 0L, 0.0)),
       "gram-less doc must appear in the audit (absent must never read as clean)")
   }
+
+  test("segment dedup keeps first occurrence, drops later copies, reassembles in order") {
+    import spark.implicits._
+    // k=2 segments. doc 1: [a b][c d][a b] — intra-doc repeat of [a b] at pos 3.
+    // doc 2 repeats doc 1's [c d] then has fresh text. doc 3 is entirely doc 1's
+    // segments (fully duplicate). doc 4 is null text.
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d x y"),
+      (3L, "a b c d"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+
+    assert(got(1L) == ((3, 2, "a b c d")), s"intra-doc repeat must drop: ${got(1L)}")
+    assert(got(2L) == ((2, 1, "x y")), s"cross-doc repeat must drop: ${got(2L)}")
+    assert(got(3L) == ((2, 0, null)), s"fully-duplicate doc reports 0 kept: ${got(3L)}")
+    assert(got(4L) == ((0, 0, null)), s"null-text doc stays visible: ${got(4L)}")
+    assert(got.size == 4, "every input doc appears in the output")
+  }
 }
