@@ -129,6 +129,12 @@ object Graft {
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     TextAnalysis.topBigrams(docsFrame(docs), k)
 
+  /** CCNet-style corpus-LM quality score: unigram cross-entropy of each doc against the
+    * corpus itself (doc_id, n_tokens, xent) — low = stereotypical, high = rare-token
+    * soup. Vocabulary-sized shuffle; scoring join broadcasts when the vocab fits. */
+  def perplexityScores(docs: DataFrame): DataFrame =
+    TextAnalysis.perplexityScores(docsFrame(docs))
+
   // ---- deterministic sampling ----------------------------------------------------------
 
   /** Hash-threshold uniform sample — reproducible across retries and repartitionings. */

@@ -345,6 +345,56 @@ object TextAnalysis {
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin
 
+  // ---- corpus-LM cross-entropy scoring -------------------------------------------------
+
+  /**
+   * CCNet-style language-model quality scoring with the heavy ML stripped to its
+   * data-engine core: train a unigram LM on the corpus itself (token relative
+   * frequencies) and score every document by its mean negative log-likelihood
+   * xent = ln(N) − mean(ln c(tok)) — low = stereotypical text, high = rare-token soup;
+   * CCNet buckets documents by exactly this kind of score (head/middle/tail) to gate
+   * training data.
+   *
+   * Scale shape: the LM "training" is one map-side-combined groupBy (shuffle rows =
+   * vocabulary, Heaps-law sublinear in corpus size); scoring joins tokens to the
+   * vocabulary counts — a dimension-sized join Spark broadcasts when it fits, and the
+   * corpus total rides a 1-row broadcast. Every doc stays in the report (left join):
+   * token-less docs score null, never silently vanish.
+   */
+  def perplexityScores(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("n_total"))
+    val scored = toks.join(counts, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), avg(log(col("c"))).as("mean_ln_c"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        round(log(col("n_total")) - col("mean_ln_c"), 4).as("xent"))
+  }
+
+  /** `text_perplexity`: corpus-unigram-LM cross-entropy of every document. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityScores(TableIO.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val textPerplexitySql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |              FROM documents WHERE text IS NOT NULL),
+      |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM counts),
+      |scored AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |             avg(ln(c.c)) AS mean_ln_c
+      |           FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+      |  round(ln(total.n_total) - s.mean_ln_c, 4) AS xent
+      |FROM documents d
+      |LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |CROSS JOIN total
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- context-window chunking ---------------------------------------------------------
 
   /**
@@ -391,7 +441,8 @@ object TextAnalysis {
     "text_quality_filter" -> (textQualityFilter(_, _)),
     "text_pii" -> (textPii(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
-    "text_topgrams" -> (textTopgrams(_, _)))
+    "text_topgrams" -> (textTopgrams(_, _)),
+    "text_perplexity" -> (textPerplexity(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
@@ -403,5 +454,6 @@ object TextAnalysis {
     "text_quality_filter" -> textQualityFilterSql(0.5),
     "text_pii" -> textPiiSql,
     "text_normalize" -> textNormalizeSql,
-    "text_topgrams" -> textTopgramsSql)
+    "text_topgrams" -> textTopgramsSql,
+    "text_perplexity" -> textPerplexitySql)
 }

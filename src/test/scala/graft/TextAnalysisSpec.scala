@@ -76,6 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
   }
 
+  test("perplexity: common-token docs score lower than rare-token docs; all docs visible") {
+    import spark.implicits._
+    // "the cat" tokens are frequent (appear in 3 docs); doc 4's tokens are hapaxes.
+    val docs = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the cat sat"),
+      (3L, "the cat ran"),
+      (4L, "zyx wvu tsr"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+
+    assert(got.size == 5, "every doc appears, including the null-text one")
+    assert(got(5L) == ((0, None)), "token-less doc reports 0 tokens / null score")
+    assert(got(1L)._2.get < got(4L)._2.get,
+      s"frequent-token doc must score below hapax doc: ${got(1L)} vs ${got(4L)}")
+    // doc 4: every token count 1, N = 13 tokens -> xent = ln(13) exactly
+    assert(math.abs(got(4L)._2.get - math.log(13)) < 1e-3, s"hapax doc xent: ${got(4L)}")
+  }
+
   test("topBigrams counts corpus-wide with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
