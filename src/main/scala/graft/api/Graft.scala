@@ -68,6 +68,11 @@ object Graft {
   def dedupSegments(docs: DataFrame, k: Int = 8): DataFrame =
     Dedup.segmentDedup(docsFrame(docs), k)
 
+  /** Maximal verbatim duplicated token spans (Lee et al. ACL'22 substring dedup at
+    * granularity L): (doc_id, span_start, span_end, n_grams), 1-based inclusive. */
+  def duplicateSpans(docs: DataFrame, spanLen: Int = 15): DataFrame =
+    Dedup.duplicateSpans(docsFrame(docs), spanLen)
+
   // ---- similarity search ---------------------------------------------------------------
 
   /** Exact top-k cosine neighbors per query (one corpus scan, bounded-heap re-rank). */

@@ -855,6 +855,101 @@ object Dedup {
       |FROM base b LEFT JOIN agg a USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---- exact duplicate-span detection (Lee et al. substring dedup) ---------------------
+
+  /**
+   * Exact duplicate-span detection — the operator behind Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better" (ACL'22): find every maximal token span
+   * that appears (verbatim) more than once anywhere in the corpus, including within one
+   * document. Lee et al. build a corpus suffix array; graft gets the same spans
+   * distributed: every L-token gram is hashed with position, grams whose hash occurs
+   * >= 2 times corpus-wide are hits, and per-doc gaps-and-islands merging (hits whose
+   * windows overlap or touch, i.e. gap <= L) reconstructs the maximal spans a suffix
+   * array would report at granularity L.
+   *
+   * Scale shape: gram hashing is a per-doc typed kernel fused with the scan; the
+   * duplicate-hash filter is one map-side-combined count shuffling (48-bit hash) rows;
+   * the island merge windows partition by doc_id — a per-doc local sort, never global.
+   * Hashes are the first 48 bits of md5(gram) so the DuckDB twin reconstructs the
+   * identical hit set.
+   */
+  def duplicateSpanGrams(docs: DataFrame, spanLen: Int = 15): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TableIO.fanOut(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1) // keep trailing empties, like SQL string_split
+        val n = toks.length - spanLen + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (0 until n).iterator.map { i =>
+            val g = toks.slice(i, i + spanLen).mkString(" ")
+            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L // first 12 hex chars of md5 = first 6 bytes, big-endian
+            var b = 0
+            while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            md.reset()
+            (id, i + 1, h) // 1-based gram position
+          }
+        }
+      }.toDF("doc_id", "pos", "h")
+  }
+
+  /** Maximal duplicated spans per doc: (doc_id, span_start, span_end, n_grams) with
+    * 1-based inclusive token bounds. See [[duplicateSpanGrams]] for the hit definition. */
+  def duplicateSpans(docs: DataFrame, spanLen: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = duplicateSpanGrams(docs, spanLen)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val hits = grams.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > spanLen, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(cum))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(spanLen - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** `dedup_spans`: maximal 15-token duplicated spans across the corpus. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicateSpans(TableIO.documents(spark, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** DuckDB twin of [[duplicateSpans]] (L=15): same 48-bit md5 gram hashes, same
+    * >= 2 occurrence rule, same gap > L island break. */
+  val dedupSpansSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE text IS NOT NULL),
+      |ge AS (SELECT doc_id,
+      |         unnest([{'pos': i,
+      |                  'h': CAST('0x' || substr(md5(array_to_string(tk[i:i+14], ' ')), 1, 12) AS BIGINT)}
+      |                 for i in range(1, len(tk) - 13)]) AS g
+      |       FROM t WHERE len(tk) >= 15),
+      |g AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM ge),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      |brk AS (SELECT doc_id, pos,
+      |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+      |               THEN 1 ELSE 0 END AS b
+      |        FROM hits),
+      |isl AS (SELECT doc_id, pos,
+      |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |        FROM brk)
+      |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |  CAST(max(pos) + 14 AS INT) AS span_end, CAST(count(*) AS INT) AS n_grams
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -869,7 +964,8 @@ object Dedup {
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_contamination" -> (dedupContamination(_, _)),
     "dedup_winnow" -> (dedupWinnow(_, _)),
-    "dedup_segments" -> (dedupSegments(_, _)))
+    "dedup_segments" -> (dedupSegments(_, _)),
+    "dedup_spans" -> (dedupSpans(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -884,5 +980,6 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql(0.8),
     "dedup_contamination" -> dedupContaminationSql,
     "dedup_winnow" -> dedupWinnowSql,
-    "dedup_segments" -> dedupSegmentsSql)
+    "dedup_segments" -> dedupSegmentsSql,
+    "dedup_spans" -> dedupSpansSql)
 }

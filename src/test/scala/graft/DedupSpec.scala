@@ -198,4 +198,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((0, 0, null)), s"null-text doc stays visible: ${got(4L)}")
     assert(got.size == 4, "every input doc appears in the output")
   }
+
+  test("duplicate spans: maximal shared runs found with exact bounds, no false positives") {
+    import spark.implicits._
+    val shared = (1 to 9).map("s" + _).mkString(" ")   // 9-token run shared by docs 1+2
+    val shared2 = (1 to 5).map("t" + _).mkString(" ")  // 5-token run shared by docs 1+3
+    val docs = Seq(
+      // doc 1: [a1..a5][s1..s9][b1..b20][t1..t5] — two islands, gap > L
+      (1L, ((1 to 5).map("a" + _) ++ Seq(shared) ++ (1 to 20).map("b" + _) ++ Seq(shared2)).mkString(" ")),
+      (2L, ((1 to 5).map("c" + _).mkString(" ")) + " " + shared),
+      (3L, shared2 + " " + (1 to 7).map("d" + _).mkString(" ")),
+      (4L, (1 to 30).map("u" + _).mkString(" ")) // fully unique: no spans
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.duplicateSpans(docs, spanLen = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+
+    // doc 1: s-run occupies tokens 6..14 (5 grams merge), t-run tokens 35..39 (1 gram)
+    assert(spans(1L) == Seq((6, 14, 5), (35, 39, 1)), s"doc1: ${spans.get(1L)}")
+    // doc 2: s-run at tokens 6..14
+    assert(spans(2L) == Seq((6, 14, 5)), s"doc2: ${spans.get(2L)}")
+    // doc 3: t-run at tokens 1..5
+    assert(spans(3L) == Seq((1, 5, 1)), s"doc3: ${spans.get(3L)}")
+    assert(!spans.contains(4L), "unique doc must produce no spans")
+  }
+
+  test("duplicate spans: within-doc verbatim repetition is flagged") {
+    import spark.implicits._
+    val run = (1 to 6).map("r" + _).mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + (1 to 10).map("x" + _).mkString(" ") + " " + run)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, spanLen = 5).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).sorted.toSeq
+    // both occurrences of the 6-token run surface: tokens 1..6 and 17..22
+    assert(spans == Seq((1, 6), (17, 22)), s"got $spans")
+  }
 }
