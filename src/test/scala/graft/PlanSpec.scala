@@ -150,4 +150,27 @@ class PlanSpec extends AnyFunSuite {
       s"HOF query must not fall back to a UDF runner:\n$plan")
     assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
   }
+
+  test("round-4 corpus operators keep scale-safe plans (no cartesian, partial aggs)") {
+    val plans = Seq(
+      "dedup_segments" -> executedPlan(graft.pipeline.Dedup.dedupSegments(spark, sf)),
+      "dedup_spans" -> executedPlan(graft.pipeline.Dedup.dedupSpans(spark, sf)),
+      "text_perplexity" -> executedPlan(graft.pipeline.TextAnalysis.textPerplexity(spark, sf)),
+      "sample_shuffle" -> executedPlan(graft.pipeline.Sampling.sampleShuffle(spark, sf)))
+    for ((name, plan) <- plans) {
+      assert(!plan.contains("CartesianProduct"), s"$name must not cross join:\n$plan")
+      // the only BNL allowed is a 1-row broadcast (perplexity's corpus total)
+      if (name != "text_perplexity")
+        assert(!plan.contains("BroadcastNestedLoop"), s"$name must not BNL join:\n$plan")
+      // sample_shuffle is window-only (no aggregation anywhere in its plan)
+      if (name != "sample_shuffle")
+        assert(plan.contains("partial"), s"$name aggregates must map-side combine:\n$plan")
+    }
+    // the dup-hash filter and the winner min both partial-aggregate before their exchange,
+    // so the corpus-wide shuffles carry combined (hash -> agg) rows, not raw gram rows
+    assert(plans.head._2.contains("partial_min"),
+      "segment winners must combine map-side before the hash exchange")
+    assert(plans(1)._2.contains("partial_count"),
+      "span dup-filter must combine map-side before the hash exchange")
+  }
 }
