@@ -97,6 +97,12 @@ object Graft {
   def topKNeighborsIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Similarity.topKNeighborsIvf(vecsFrame(corpus), queryFrame(queries), k)
 
+  /** Reciprocal-rank fusion of any (query_id, neighbor_id, rank) rankings — the standard
+    * hybrid-retrieval combiner (no score calibration needed between lists). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 5): DataFrame =
+    Similarity.rrfFuse(
+      rankings.map(requireCols(_, "ranking", "query_id", "neighbor_id", "rank")), k, topK)
+
   // ---- text analysis -------------------------------------------------------------------
 
   def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCounts(docsFrame(docs))

@@ -310,6 +310,79 @@ object Similarity {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- reciprocal-rank fusion ----------------------------------------------------------
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard hybrid-retrieval
+   * combiner: each input ranking contributes 1/(k + rank) per (query, candidate), the
+   * fused score is the sum, and candidates ranked by more lists float up. Inputs are any
+   * (query_id, neighbor_id, rank) frames (dense/semantic/lexical rankings alike); RRF
+   * needs no score calibration between them, which is why it is the default fusion in
+   * production hybrid search.
+   *
+   * Scale shape: a union of already-top-k'd rankings is <= Σk_i rows per query, so the
+   * fuse groupBy and the final rank window shuffle bounded candidate sets, never a
+   * corpus-sized frame.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = unioned.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(lit(1.0) / (lit(k) + col("rank"))).as("rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf6"), col("n_lists"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  /** `ann_rrf`: hybrid fusion of the cosine top-10 and L2 top-10 rankings of the driver
+    * queries — one broadcast join scores both metrics in a single corpus scan. */
+  def annRrf(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, topK: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.l2Distance
+    val e = TableIO.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
+      .withColumn("l2", l2Distance(col("qe"), col("ce")))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("l2").asc, col("neighbor_id"))
+    val cosR = scored.withColumn("rank", row_number().over(wc)).filter(col("rank") <= k)
+    val l2R = scored.withColumn("rank", row_number().over(wl)).filter(col("rank") <= k)
+    rrfFuse(Seq(cosR, l2R), 60, topK)
+  }
+
+  val annRrfSql: String =
+    """WITH s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.embedding, c.embedding) AS cos,
+      |    list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS l2
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |cr AS (SELECT query_id, neighbor_id, row_number() OVER
+      |         (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+      |lr AS (SELECT query_id, neighbor_id, row_number() OVER
+      |         (PARTITION BY query_id ORDER BY l2 ASC, neighbor_id) AS rank FROM s),
+      |u AS (SELECT * FROM cr WHERE rank <= 10
+      |      UNION ALL SELECT * FROM lr WHERE rank <= 10),
+      |f AS (SELECT query_id, neighbor_id,
+      |        sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf,
+      |        CAST(count(*) AS INT) AS n_lists
+      |      FROM u GROUP BY query_id, neighbor_id)
+      |SELECT query_id, fused_rank, neighbor_id, round(rrf, 6) AS rrf6, n_lists FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fused_rank
+      |  FROM f) t
+      |WHERE fused_rank <= 5
+      |ORDER BY query_id, fused_rank""".stripMargin
+
   // ---- int8 quantization ---------------------------------------------------------------
 
   /**
@@ -368,10 +441,12 @@ object Similarity {
     "ann_lsh" -> (annLsh(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
     "ann_quantized" -> (annQuantized(_, _)),
+    "ann_rrf" -> (annRrf(_, _)),
     "q_vector_funcs" -> (qVectorFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql(10, 5),
+    "ann_rrf" -> annRrfSql,
     "q_vector_funcs" -> qVectorFuncsSql)
     // ann_lsh / ann_ivf / ann_quantized: approximate by design -> rows-only + spec
 }

@@ -57,6 +57,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rrf fusion: multi-list candidates float up, scores are exact, ties deterministic") {
+    import spark.implicits._
+    val listA = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val listB = Seq((1L, 102L, 1), (1L, 103L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(listA, listB), k = 60, topK = 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+
+    // 102 is in both lists (ranks 2+1) and must fuse above either single-list candidate
+    assert(got.map(_._2).toSeq == Seq(102L, 101L, 103L), s"fused order: ${got.toSeq}")
+    assert(got.map(_._4).toSeq == Seq(2, 1, 1), "n_lists must count contributing rankings")
+    val exp102 = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(got.head._3) == exp102, s"rrf(102) = ${got.head._3}")
+    // equal-rrf singles (rank 1/61 vs 1/62): 101 (rank 2 in A -> 1/62) vs 103 (rank 2 in B
+    // -> 1/62) tie exactly; neighbor_id breaks it -> 101 before 103
+    assert(got(1)._2 == 101L && got(2)._2 == 103L)
+  }
+
   test("int8 quantization: bounded reconstruction error, high top-k agreement, zero vec") {
     import spark.implicits._
     val vecs = graft.sources.TableIO.embeddings(spark, sf)
