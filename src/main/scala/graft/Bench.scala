@@ -41,7 +41,9 @@ object Bench {
     "q_count_distinct", "q_window_rank", "q_percentile", "q_percentile_sort",
     "q_join_large", "q_range_join",
     "q_asof_join", "q_topk_per_key", "multimodal_decode", "sample_stratified",
-    "text_chunk", "dedup_winnow", "dedup_contamination", "sample_split", "sample_per_key")
+    "text_chunk", "dedup_winnow", "dedup_contamination", "sample_split", "sample_per_key",
+    "dedup_segments", "dedup_spans", "text_perplexity", "sample_shuffle",
+    "ann_quantized", "ann_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -201,6 +201,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup equals a sequential first-occurrence reference on random corpora") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 48611L)
+      val k = 2 + rnd.nextInt(4)
+      // tiny alphabet -> guaranteed cross-doc and intra-doc duplicate segments
+      val words = Vector("aa", "bb", "cc", "dd")
+      val docs = Seq.tabulate(15) { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(25))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      // reference: walk docs in (doc_id, pos) order, keep first occurrence of each segment
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.map { case (id, text) =>
+        val segs = text.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(seen.add)
+        id -> ((segs.size, kept.size, if (kept.isEmpty) null else kept.mkString(" ")))
+      }.toMap
+      val got = graft.pipeline.Dedup.segmentDedup(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got == want, s"seed $seed k=$k")
+      // invariant: total kept segments == distinct segments in the corpus
+      assert(got.values.map(_._2).sum == seen.size, s"seed $seed: kept != distinct")
+    }
+  }
+
+  test("duplicate spans equal a naive occurrence-count + island-merge reference") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val L = 3 + rnd.nextInt(3)
+      val words = Vector("p", "q", "r", "s", "t")
+      val docs = Seq.tabulate(12) { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      // naive: count every L-gram string corpus-wide, hits are grams with count >= 2,
+      // islands merge hits whose positions are within L of the previous hit
+      val gramsAll = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        (0 to toks.length - L).map(i => (id, i + 1, toks.slice(i, i + L).mkString(" ")))
+      }
+      val counts = gramsAll.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = gramsAll.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).view.mapValues { hs =>
+          val ps = hs.map(_._2).sorted
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+          for (p <- ps) spans.lastOption match {
+            case Some((st, en, n)) if p - (en - L + 1) <= L =>
+              spans(spans.length - 1) = (st, p + L - 1, n + 1)
+            case _ => spans += ((p, p + L - 1, 1))
+          }
+          spans.toSeq
+        }.toMap
+      val got = graft.pipeline.Dedup.duplicateSpans(docs.toDF("doc_id", "text"), L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+      assert(got == want.filter(_._2.nonEmpty), s"seed $seed L=$L")
+    }
+  }
+
   test("minhash band-signature agreement tracks jaccard similarity") {
     import spark.implicits._
     // two doc families: near-identical pairs (high jaccard) and unrelated docs
