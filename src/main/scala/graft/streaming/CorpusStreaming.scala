@@ -143,4 +143,68 @@ object CorpusStreaming {
         ()
       }
       .start()
+
+  /**
+   * Incremental SEGMENT-level gate — the streaming counterpart of
+   * [[graft.pipeline.Dedup.segmentDedup]]: per micro-batch, drop every k-token segment
+   * already admitted by ANY earlier batch (or earlier in this batch, by (doc_id, pos)
+   * order) and reassemble each document from its surviving segments. This is how a
+   * continuous pipeline keeps C4-style line dedup exact across arrivals without
+   * reprocessing the corpus.
+   *
+   * State is ONE xxhash64 per distinct admitted segment — 8 bytes a row, append-only
+   * parquet, compactable by [[compactIndex]]'s sibling discipline (the index here has a
+   * single `h` column, so a plain rewrite-sorted-by-h suffices). Same retry doctrine as
+   * [[admitBatch]]: output persists BEFORE the index grows, so a foreachBatch retry can
+   * re-emit rows but never loses segments, and the decision frame is pinned
+   * (localCheckpoint) before the append so the returned plan cannot lazily re-read the
+   * index it just grew.
+   *
+   * Returns (doc_id, n_segs, n_kept, dedup_text) for every batch doc — fully-duplicate
+   * docs stay visible with n_kept 0.
+   */
+  def admitSegmentsBatch(batch: DataFrame, indexDir: String, k: Int = 8,
+      updateIndex: Boolean = true, persist: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = batch.sparkSession
+    val segs = Dedup.segmentedDocs(batch, k).withColumn("h", xxhash64(col("seg"))).cache()
+    val fresh = (
+      if (fs(spark, indexDir).exists(new Path(indexDir)))
+        segs.join(spark.read.parquet(indexDir), Seq("h"), "left_anti")
+      else segs).cache()
+    val winners = fresh.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val rebuilt = fresh.join(winners, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg")), " ").as("dedup_text"))
+    val out = batch.select(col("doc_id"),
+        when(col("text").isNull, lit(0))
+          .otherwise(ceil(size(split(col("text"), " ", -1)) / lit(k.toDouble)))
+          .cast("int").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"), col("dedup_text"))
+      .localCheckpoint()
+    persist(out)
+    if (updateIndex)
+      fresh.select(col("h")).distinct().write.mode("append").parquet(indexDir)
+    segs.unpersist()
+    fresh.unpersist()
+    out
+  }
+
+  /** Wire the segment gate onto a stream (same output-before-index retry contract). */
+  def segmentIngest(docsStream: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitSegmentsBatch(batch, indexDir, k,
+          persist = _.write.mode("append").parquet(outDir))
+        ()
+      }
+      .start()
 }

@@ -86,4 +86,40 @@ class CorpusStreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(4L), s"got $admitted")
   }
+
+  test("segment gate dedups across batches, within batches, and over a live stream") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft_seg_b").toString + "/index"
+    // k=2 segments. batch 1: doc 1 = [a b][c d], doc 2 = [c d][e f] (within-batch
+    // repeat of [c d] -> doc 1 pos 2 wins)
+    val b1 = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val got1 = CorpusStreaming.admitSegmentsBatch(b1, indexDir, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got1(1L) == ((2, 2, "a b c d")) && got1(2L) == ((2, 1, "e f")), s"got $got1")
+    assert(spark.read.parquet(indexDir).count() == 3, "index = 3 distinct segments")
+
+    // batch 2: doc 3 reuses [a b] and [e f] across batches, brings fresh [x y];
+    // doc 4 is entirely admitted segments -> visible with n_kept 0
+    val b2 = Seq((3L, "a b x y e f"), (4L, "c d a b")).toDF("doc_id", "text")
+    val got2 = CorpusStreaming.admitSegmentsBatch(b2, indexDir, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got2(3L) == ((3, 1, "x y")) && got2(4L) == ((2, 0, null)), s"got $got2")
+    assert(spark.read.parquet(indexDir).count() == 4, "index grew by [x y] only")
+
+    // same contract through the streaming wiring
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_seg_s").toString
+    val stream = MemoryStream[Doc]
+    val q = CorpusStreaming.segmentIngest(stream.toDF(), s"$dir/index", s"$dir/out",
+      s"$dir/ckpt", k = 2)
+    try {
+      stream.addData(Doc(1L, "a b c d"))
+      q.processAllAvailable()
+      stream.addData(Doc(2L, "c d n o")) // [c d] admitted in batch 1 -> dropped
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(out == Map(1L -> "a b c d", 2L -> "n o"), s"got $out")
+    } finally q.stop()
+  }
 }
