@@ -178,4 +178,39 @@ class GraftApiSpec extends AnyFunSuite {
     val inRange = Graft.rangeJoin(points, intervals, "x", "lo", "hi", binWidth = 8.0)
     assert(inRange.select("pid").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("round-4 curation facade methods run on user frames") {
+    import spark.implicits._
+    // segment dedup: doc 4 is an exact dup of doc 1 -> all its segments drop
+    val segs = Graft.dedupSegments(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(segs(1L) == 4 && segs(4L) == 0, s"got $segs") // 13 tokens -> 4 segments
+
+    // duplicate spans: docs 1+4 share their full 13-token text; doc 2 (the near-dup)
+    // shares exactly its first 12 tokens with them
+    val spans = Graft.duplicateSpans(docs, spanLen = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSet == Set((1L, 1, 13), (2L, 1, 12), (4L, 1, 13)), s"got ${spans.toSeq}")
+
+    // shuffle shards: a permutation; deterministic; requireCols rejects a bad frame
+    val sh = Graft.shuffleShards(docs, numShards = 2).collect()
+    assert(sh.length == 5 && sh.map(_.getLong(0)).distinct.length == 5)
+    intercept[IllegalArgumentException] { Graft.shuffleShards(docs.drop("doc_id")) }
+
+    // perplexity: repeated-phrase docs score below the unique-vocab doc
+    val ppl = Graft.perplexityScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(1L) < ppl(3L), s"got $ppl")
+
+    // rrf fusion on hand-built rankings
+    val fused = Graft.rrfFuse(Seq(
+      Seq((1L, 10L, 1)).toDF("query_id", "neighbor_id", "rank"),
+      Seq((1L, 10L, 2), (1L, 11L, 1)).toDF("query_id", "neighbor_id", "rank")))
+    assert(fused.collect().head.getLong(2) == 10L, "two-list candidate ranks first")
+
+    // int8 round-trip on a user vector frame
+    val vecs = Seq((7L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val back = Graft.dequantizeInt8(Graft.quantizeInt8(vecs)).collect().head.getSeq[Float](1)
+    assert(back.zip(Seq(0.5f, -1.0f, 0.25f)).forall { case (a, b) => math.abs(a - b) < 0.005f })
+  }
 }
