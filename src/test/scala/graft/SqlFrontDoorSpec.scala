@@ -227,6 +227,97 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     sameResult(sql, operators.RelationalOps.qUnpivot(spark, sf))
   }
 
+  test("round-4 curation operators as SQL text equal their DataFrame plans") {
+    TableIO.registerAll(spark, sf)
+
+    val shuffleSql = spark.sql(
+      """WITH a AS (SELECT doc_id, md5(concat('graft:', CAST(doc_id AS STRING))) AS skey
+        |           FROM documents),
+        |b AS (SELECT doc_id, skey,
+        |        CAST(CAST(conv(substring(skey, 1, 8), 16, 10) AS BIGINT) % 8 AS INT) AS shard
+        |      FROM a)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
+        |FROM b ORDER BY shard, pos""".stripMargin)
+    sameResult(shuffleSql, pipeline.Sampling.sampleShuffle(spark, sf))
+
+    val perplexitySql = spark.sql(
+      """WITH toks AS (SELECT doc_id, explode(split(trim(text), '\\s+')) AS tok
+        |              FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM counts),
+        |scored AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |             avg(ln(c.c)) AS mean_ln_c
+        |           FROM toks t JOIN counts c ON t.tok = c.tok GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |  round(ln(total.n_total) - s.mean_ln_c, 4) AS xent
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |CROSS JOIN total ORDER BY d.doc_id""".stripMargin)
+    sameResult(perplexitySql, pipeline.TextAnalysis.textPerplexity(spark, sf))
+
+    val spansSql = spark.sql(
+      """WITH t AS (SELECT doc_id, split(text, ' ', -1) AS tk FROM documents
+        |           WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, tk FROM t WHERE size(tk) >= 15),
+        |g AS (SELECT doc_id, pos,
+        |        CAST(conv(substring(md5(concat_ws(' ', slice(tk, pos, 15))), 1, 12), 16, 10)
+        |             AS BIGINT) AS h
+        |      FROM f LATERAL VIEW explode(sequence(1, size(tk) - 14)) sq AS pos),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.h = dup.h),
+        |brk AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM brk)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 14 AS INT) AS span_end, CAST(count(*) AS INT) AS n_grams
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)
+    sameResult(spansSql, pipeline.Dedup.dedupSpans(spark, sf))
+
+    val segmentsSql = spark.sql(
+      """WITH t AS (SELECT doc_id, split(text, ' ', -1) AS tk FROM documents
+        |           WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, pos, concat_ws(' ', slice(tk, (pos - 1) * 8 + 1, 8)) AS seg
+        |      FROM t LATERAL VIEW explode(sequence(1, CAST(ceil(size(tk) / 8.0) AS INT))) sq AS pos),
+        |win AS (SELECT md5(seg) AS h, min(struct(doc_id, pos)) AS w FROM s GROUP BY md5(seg)),
+        |kept AS (SELECT s.doc_id, s.pos, s.seg FROM s JOIN win
+        |         ON md5(s.seg) = win.h AND s.doc_id = win.w.doc_id AND s.pos = win.w.pos),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |          concat_ws(' ', transform(array_sort(collect_list(struct(pos, seg))),
+        |                                   x -> x.seg)) AS dedup_text
+        |        FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+        |           ELSE CAST(ceil(size(split(text, ' ', -1)) / 8.0) AS INT) END AS n_segs
+        |         FROM documents)
+        |SELECT b.doc_id, b.n_segs, coalesce(a.n_kept, 0) AS n_kept, a.dedup_text
+        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id ORDER BY b.doc_id""".stripMargin)
+    sameResult(segmentsSql, pipeline.Dedup.dedupSegments(spark, sf))
+
+    val rrfSql = spark.sql(
+      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |             cosine_similarity(q.embedding, c.embedding) AS cos,
+        |             l2_distance(q.embedding, c.embedding) AS l2
+        |           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |           WHERE q.vec_id < 10),
+        |cr AS (SELECT query_id, neighbor_id, row_number() OVER
+        |         (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+        |lr AS (SELECT query_id, neighbor_id, row_number() OVER
+        |         (PARTITION BY query_id ORDER BY l2 ASC, neighbor_id) AS rank FROM s),
+        |u AS (SELECT query_id, neighbor_id, rank FROM cr WHERE rank <= 10
+        |      UNION ALL SELECT query_id, neighbor_id, rank FROM lr WHERE rank <= 10),
+        |f AS (SELECT query_id, neighbor_id, sum(1.0D / (60 + rank)) AS rrf,
+        |        CAST(count(*) AS INT) AS n_lists
+        |      FROM u GROUP BY query_id, neighbor_id)
+        |SELECT query_id, fused_rank, neighbor_id, round(rrf, 6) AS rrf6, n_lists FROM (
+        |  SELECT f.*, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fused_rank FROM f)
+        |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)
+    sameResult(rrfSql, pipeline.Similarity.annRrf(spark, sf))
+  }
+
   test("native vector expressions are callable from SQL over a real table") {
     TableIO.registerAll(spark, sf)
     val sql = spark.sql(
