@@ -146,6 +146,11 @@ object Graft {
   def perplexityScores(docs: DataFrame): DataFrame =
     TextAnalysis.perplexityScores(docsFrame(docs))
 
+  /** Top-k vocabulary with cumulative corpus coverage (rank, tok, cnt, cum_cov) — the
+    * Zipf report a tokenizer-vocab decision truncates. */
+  def vocabCoverage(docs: DataFrame, k: Int = 30): DataFrame =
+    TextAnalysis.vocabCoverage(docsFrame(docs), k)
+
   // ---- deterministic sampling ----------------------------------------------------------
 
   /** Hash-threshold uniform sample — reproducible across retries and repartitionings. */

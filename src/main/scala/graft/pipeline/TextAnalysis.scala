@@ -345,6 +345,49 @@ object TextAnalysis {
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin
 
+  // ---- vocabulary induction ------------------------------------------------------------
+
+  /**
+   * Top-K vocabulary with cumulative corpus coverage — the report a tokenizer-vocab
+   * decision runs on: tokens by frequency plus what fraction of all corpus tokens the
+   * vocabulary prefix up to each rank covers (the Zipf curve a BPE/unigram trainer
+   * truncates). Scale shape: ONE map-side-combined token count (vocabulary-sized
+   * shuffle), top-K via TakeOrdered (never a global sort), and the cumulative window
+   * runs over the K survivors only — the single-partition window touches K rows, not
+   * the vocabulary.
+   */
+  def vocabCoverage(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(col("text").isNotNull)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .withColumn("cum_cov", round(sum(col("cnt")).over(w) / col("n_total"), 6))
+      .select(col("rank"), col("tok"), col("cnt"), col("cum_cov"))
+      .orderBy(col("rank"))
+  }
+
+  /** `text_vocab`: top-30 corpus vocabulary with cumulative coverage. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(TableIO.documents(spark, dir), 30)
+
+  val textVocabSql: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |              FROM documents WHERE text IS NOT NULL),
+      |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM counts),
+      |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 30)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank, tok, cnt,
+      |  round(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING)
+      |        / total.n_total, 6) AS cum_cov
+      |FROM top CROSS JOIN total
+      |ORDER BY rank""".stripMargin
+
   // ---- corpus-LM cross-entropy scoring -------------------------------------------------
 
   /**
@@ -442,7 +485,8 @@ object TextAnalysis {
     "text_pii" -> (textPii(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_topgrams" -> (textTopgrams(_, _)),
-    "text_perplexity" -> (textPerplexity(_, _)))
+    "text_perplexity" -> (textPerplexity(_, _)),
+    "text_vocab" -> (textVocab(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
@@ -455,5 +499,6 @@ object TextAnalysis {
     "text_pii" -> textPiiSql,
     "text_normalize" -> textNormalizeSql,
     "text_topgrams" -> textTopgramsSql,
-    "text_perplexity" -> textPerplexitySql)
+    "text_perplexity" -> textPerplexitySql,
+    "text_vocab" -> textVocabSql)
 }

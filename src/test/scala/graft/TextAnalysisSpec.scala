@@ -97,6 +97,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got(4L)._2.get - math.log(13)) < 1e-3, s"hapax doc xent: ${got(4L)}")
   }
 
+  test("vocabCoverage ranks by frequency with monotone cumulative coverage") {
+    import spark.implicits._
+    // 10 tokens total: a x4, b x3, c x2, d x1
+    val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 2L)))
+    assert(got.map(_._4).toSeq == Seq(0.4, 0.7, 0.9), s"coverage: ${got.toSeq}")
+  }
+
   test("topBigrams counts corpus-wide with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
