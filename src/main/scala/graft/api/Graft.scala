@@ -73,6 +73,12 @@ object Graft {
   def duplicateSpans(docs: DataFrame, spanLen: Int = 15): DataFrame =
     Dedup.duplicateSpans(docsFrame(docs), spanLen)
 
+  /** Remove the listed token spans from docs (the removal half of substring dedup) —
+    * overlaps merge; a doc cut to nothing keeps an empty string. */
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame =
+    Dedup.cutSpans(docsFrame(docs),
+      requireCols(spans, "spans", "doc_id", "span_start", "span_end"))
+
   // ---- similarity search ---------------------------------------------------------------
 
   /** Exact top-k cosine neighbors per query (one corpus scan, bounded-heap re-rank). */

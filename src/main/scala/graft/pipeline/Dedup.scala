@@ -950,6 +950,41 @@ object Dedup {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /**
+   * Cut token ranges out of documents — the removal half of substring dedup: feed it the
+   * spans you decided to drop (e.g. [[duplicateSpans]] filtered to non-first occurrences
+   * under your keep policy) and every listed [span_start, span_end] 1-based inclusive
+   * token range is deleted; surviving tokens rejoin with single spaces. Overlapping spans
+   * merge naturally (token-mask union). Docs with no spans pass through untouched; a doc
+   * cut to nothing keeps an empty string rather than vanishing. One (doc_id)-keyed join —
+   * text shuffles once; the cut itself is a per-doc kernel.
+   */
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("_1"), col("span_end").as("_2"))).as("sp"))
+    docs.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("sp"))
+      .as[(Long, String, Seq[(Int, Int)])]
+      .map { case (id, text, ranges) =>
+        if (text == null || ranges == null || ranges.isEmpty) (id, text)
+        else {
+          val toks = text.split(" ", -1)
+          val drop = new Array[Boolean](toks.length)
+          ranges.foreach { case (s, e) =>
+            var i = math.max(0, s - 1)
+            val end = math.min(toks.length, e)
+            while (i < end) { drop(i) = true; i += 1 }
+          }
+          val keep = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          var i = 0
+          while (i < toks.length) { if (!drop(i)) keep += toks(i); i += 1 }
+          (id, keep.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+  }
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -224,6 +224,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!spans.contains(4L), "unique doc must produce no spans")
   }
 
+  test("cutSpans removes listed ranges, merges overlaps, keeps cut-empty docs visible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, "u1 u2 u3"),
+      (3L, "v1 v2")
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2, 4), (1L, 3, 6), // overlapping -> tokens 2..6 drop
+      (3L, 1, 2)              // whole doc
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.cutSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "t1 t7 t8", s"got ${got(1L)}")
+    assert(got(2L) == "u1 u2 u3", "span-less doc passes through untouched")
+    assert(got(3L) == "", "fully-cut doc keeps an empty string, not a vanished row")
+
+    // composition: detect duplicated spans, keep the min-doc occurrence, cut the rest
+    val dupDocs = Seq(
+      (10L, "a b c d e x1 x2"),
+      (11L, "y1 a b c d e y2")
+    ).toDF("doc_id", "text")
+    val found = Dedup.duplicateSpans(dupDocs, spanLen = 5)
+    val losers = found.withColumn("keeper",
+        org.apache.spark.sql.functions.min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("n_grams"))))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val cut = Dedup.cutSpans(dupDocs, losers).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(10L) == "a b c d e x1 x2", "first occurrence kept intact")
+    assert(cut(11L) == "y1 y2", s"later copy cut: ${cut(11L)}")
+  }
+
   test("duplicate spans: within-doc verbatim repetition is flagged") {
     import spark.implicits._
     val run = (1 to 6).map("r" + _).mkString(" ")

@@ -64,6 +64,15 @@ class RobustnessSpec extends AnyFunSuite {
     val emptyDocs = TableIO.documents(spark, sf).filter(col("doc_id") < 0)
     assert(graft.pipeline.Dedup.gramHashSets(emptyDocs).count() == 0)
     assert(graft.pipeline.Dedup.simhashes(emptyDocs).count() == 0)
+    // round-4 curation operators on empty corpora
+    assert(graft.pipeline.Dedup.segmentDedup(emptyDocs).count() == 0)
+    assert(graft.pipeline.Dedup.duplicateSpans(emptyDocs).count() == 0)
+    assert(graft.pipeline.TextAnalysis.perplexityScores(emptyDocs).count() == 0)
+    assert(graft.pipeline.TextAnalysis.vocabCoverage(emptyDocs, 10).count() == 0)
+    assert(graft.pipeline.Sampling.shuffleAssigned(emptyDocs).count() == 0)
+    val emptyVecs = TableIO.embeddings(spark, sf).filter(col("vec_id") < 0)
+    assert(graft.pipeline.Similarity.dequantizeInt8(
+      graft.pipeline.Similarity.quantizeInt8(emptyVecs)).count() == 0)
   }
 
   test("typed text kernels are null-safe (library inputs may carry null text)") {
