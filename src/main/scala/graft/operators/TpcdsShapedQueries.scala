@@ -338,6 +338,47 @@ object TpcdsShapedQueries {
       |  round(sum(CASE WHEN l_quantity < 25 THEN l_extendedprice ELSE 0 END), 2) AS rev_low_half
       |FROM lineitem""".stripMargin
 
+  /**
+   * DS shape 10 (q67 family): rank-within-category over a ROLLUP lattice — revenue by
+   * (n_name, yr) WITH ROLLUP, every lattice row ranked within its n_name partition
+   * (the yr-subtotal outranks its details by construction; grouping-id is the
+   * deterministic tie-break), top 3 kept. Expand feeds the window and the rank<=k
+   * filter rides RankLimitRule's native pre-limit — q67's plan shape end-to-end.
+   */
+  def qDsRollupTopn(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+    val c = TableIO.customer(spark, dir)
+    val n = TableIO.nation(spark, dir)
+    val lattice = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("yr"))
+      .agg(sum(col("o_totalprice")).as("rev"), grouping_id().as("gid"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev").desc, col("gid"), col("yr"))
+    lattice.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("rnk").cast("int").as("rnk"),
+        coalesce(col("yr"), lit(-1)).cast("int").as("yr"),
+        col("gid").cast("int").as("gid"),
+        round(col("rev"), 2).as("rev2"))
+      .orderBy(col("nation"), col("rnk"), col("gid"))
+  }
+
+  val qDsRollupTopnSql: String =
+    """WITH lattice AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr, sum(o_totalprice) AS rev,
+      |    CAST(GROUPING(n_name, yr) AS INT) AS gid
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY ROLLUP (n_name, yr))
+      |SELECT nation, rnk, yr, gid, rev2 FROM (
+      |  SELECT coalesce(n_name, '(all)') AS nation,
+      |    CAST(rank() OVER (PARTITION BY n_name ORDER BY rev DESC, gid, yr) AS INT) AS rnk,
+      |    coalesce(yr, -1) AS yr, gid, round(rev, 2) AS rev2
+      |  FROM lattice) t
+      |WHERE rnk <= 3 ORDER BY nation, rnk, gid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_snowflake" -> (qDsSnowflake(_, _)),
     "q_ds_yoy" -> (qDsYoy(_, _)),
@@ -347,7 +388,8 @@ object TpcdsShapedQueries {
     "q_ds_above_avg" -> (qDsAboveAvg(_, _)),
     "q_ds_cross_channel" -> (qDsCrossChannel(_, _)),
     "q_ds_exists_chain" -> (qDsExistsChain(_, _)),
-    "q_ds_multi_band" -> (qDsMultiBand(_, _)))
+    "q_ds_multi_band" -> (qDsMultiBand(_, _)),
+    "q_ds_rollup_topn" -> (qDsRollupTopn(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_ds_snowflake" -> qDsSnowflakeSql,
@@ -358,5 +400,6 @@ object TpcdsShapedQueries {
     "q_ds_above_avg" -> qDsAboveAvgSql,
     "q_ds_cross_channel" -> qDsCrossChannelSql,
     "q_ds_exists_chain" -> qDsExistsChainSql,
-    "q_ds_multi_band" -> qDsMultiBandSql)
+    "q_ds_multi_band" -> qDsMultiBandSql,
+    "q_ds_rollup_topn" -> qDsRollupTopnSql)
 }

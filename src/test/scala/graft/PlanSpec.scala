@@ -108,6 +108,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected RankLimitRule to route rank<=3 through TopKPerKeyExec:\n$plan")
   }
 
+  test("q_ds_rollup_topn ranks the rollup lattice through the native pre-limit") {
+    val plan = executedPlan(operators.TpcdsShapedQueries.qDsRollupTopn(spark, sf))
+    assert(plan.contains("Expand"), s"rollup must lower to Expand:\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"rank<=3 over the lattice must ride RankLimitRule:\n$plan")
+  }
+
   // customer/part carry NO broadcast hint (they are SF-proportional: a forced hint would
   // OOM the driver at 100 TB). These tests prove the size-based strategy still picks BHJ
   // for them at test SF — scale-safe by construction, fast where it matters today.
