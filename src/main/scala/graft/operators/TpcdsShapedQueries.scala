@@ -379,6 +379,45 @@ object TpcdsShapedQueries {
       |  FROM lattice) t
       |WHERE rnk <= 3 ORDER BY nation, rnk, gid""".stripMargin
 
+  /**
+   * DS shape 11 (q51 family): two per-channel cumulative series FULL-OUTER joined on
+   * their common axis, keeping the rows where one channel's running total overtakes the
+   * other. Cumulative windows partition by YEAR (per-partition local sort — the
+   * scale-safe form of q51's per-item partitioning, never one global window partition);
+   * the USING full outer join coalesces the axis on both engines; months missing a
+   * channel surface a null cumulative that three-valued logic drops from the overtake
+   * filter on both engines identically.
+   */
+  def qDsCumulative(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    def series(flag: String, out: String): DataFrame = {
+      val monthly = li.filter(col("l_returnflag") === flag)
+        .groupBy(trunc(col("l_shipdate"), "month").as("mon"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val w = Window.partitionBy(year(col("mon"))).orderBy(col("mon"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.select(col("mon"), round(sum(col("rev")).over(w), 2).as(out))
+    }
+    series("A", "cum_a").join(series("R", "cum_r"), Seq("mon"), "full_outer")
+      .filter(col("cum_r") > col("cum_a"))
+      .select(col("mon").cast("date").as("mon"), col("cum_a"), col("cum_r"))
+      .orderBy(col("mon"))
+  }
+
+  val qDsCumulativeSql: String =
+    """WITH am AS (SELECT date_trunc('month', l_shipdate) AS mon, sum(l_extendedprice) AS rev
+      |            FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      |ac AS (SELECT mon, round(sum(rev) OVER (PARTITION BY date_trunc('year', mon)
+      |                 ORDER BY mon ROWS UNBOUNDED PRECEDING), 2) AS cum_a FROM am),
+      |rm AS (SELECT date_trunc('month', l_shipdate) AS mon, sum(l_extendedprice) AS rev
+      |            FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      |rc AS (SELECT mon, round(sum(rev) OVER (PARTITION BY date_trunc('year', mon)
+      |                 ORDER BY mon ROWS UNBOUNDED PRECEDING), 2) AS cum_r FROM rm)
+      |SELECT CAST(mon AS DATE) AS mon, cum_a, cum_r
+      |FROM ac FULL OUTER JOIN rc USING (mon)
+      |WHERE cum_r > cum_a
+      |ORDER BY mon""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_snowflake" -> (qDsSnowflake(_, _)),
     "q_ds_yoy" -> (qDsYoy(_, _)),
@@ -389,7 +428,8 @@ object TpcdsShapedQueries {
     "q_ds_cross_channel" -> (qDsCrossChannel(_, _)),
     "q_ds_exists_chain" -> (qDsExistsChain(_, _)),
     "q_ds_multi_band" -> (qDsMultiBand(_, _)),
-    "q_ds_rollup_topn" -> (qDsRollupTopn(_, _)))
+    "q_ds_rollup_topn" -> (qDsRollupTopn(_, _)),
+    "q_ds_cumulative" -> (qDsCumulative(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_ds_snowflake" -> qDsSnowflakeSql,
@@ -401,5 +441,6 @@ object TpcdsShapedQueries {
     "q_ds_cross_channel" -> qDsCrossChannelSql,
     "q_ds_exists_chain" -> qDsExistsChainSql,
     "q_ds_multi_band" -> qDsMultiBandSql,
-    "q_ds_rollup_topn" -> qDsRollupTopnSql)
+    "q_ds_rollup_topn" -> qDsRollupTopnSql,
+    "q_ds_cumulative" -> qDsCumulativeSql)
 }
