@@ -625,6 +625,18 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** First 48 bits of md5(s) as a Long — the ONE gram-hash convention every DuckDB twin
+    * reconstructs via `CAST('0x' || substr(md5(g), 1, 12) AS BIGINT)`; shared by the
+    * winnow and duplicate-span kernels so the bit layout can never drift between them. */
+  private[graft] def md5Hash48(s: String, md: java.security.MessageDigest): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.reset()
+    var h = 0L
+    var b = 0
+    while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h
+  }
+
   // ---- winnowing fingerprints ----------------------------------------------------------
 
   /**
@@ -657,13 +669,7 @@ object Dedup {
           val hs = new Array[Long](n)
           var i = 0
           while (i < n) {
-            val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var h = 0L // first 12 hex chars of md5 = first 6 bytes, big-endian
-            var b = 0
-            while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-            hs(i) = h
-            md.reset()
+            hs(i) = md5Hash48(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), md)
             i += 1
           }
           // trailing window ending at e; scanning e-to-start with STRICT < keeps the
@@ -805,10 +811,19 @@ object Dedup {
    * doc reports n_kept 0 / null text rather than vanishing, so a consumer filtering the
    * corpus sees the drop decision explicitly.
    */
-  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
-    val segs = segmentedDocs(docs, k)
-    val winners = segs
-      .groupBy(md5(col("seg")).as("h"))
+  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame =
+    reassembleSegments(docs, segmentedDocs(docs, k).withColumn("h", md5(col("seg"))), k)
+
+  /**
+   * First-occurrence winner selection + reassembly over a hashed segment frame
+   * (doc_id, pos, seg, h) — the one implementation of segment-dedup semantics, shared by
+   * the batch path ([[segmentDedup]], md5-hashed for the DuckDB oracle) and the
+   * streaming gate (CorpusStreaming.admitSegmentsBatch, xxhash64 against its index).
+   * Every `docs` row stays visible (n_segs from its text; fully-dropped docs report
+   * n_kept 0 / null text).
+   */
+  private[graft] def reassembleSegments(docs: DataFrame, segs: DataFrame, k: Int): DataFrame = {
+    val winners = segs.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
     val rebuilt = segs.join(winners, Seq("doc_id", "pos"))
@@ -886,13 +901,7 @@ object Dedup {
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
           (0 until n).iterator.map { i =>
-            val g = toks.slice(i, i + spanLen).mkString(" ")
-            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var h = 0L // first 12 hex chars of md5 = first 6 bytes, big-endian
-            var b = 0
-            while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-            md.reset()
-            (id, i + 1, h) // 1-based gram position
+            (id, i + 1, md5Hash48(toks.slice(i, i + spanLen).mkString(" "), md)) // 1-based
           }
         }
       }.toDF("doc_id", "pos", "h")

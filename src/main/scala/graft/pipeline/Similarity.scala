@@ -398,16 +398,19 @@ object Similarity {
     import spark.implicits._
     vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) =>
-        var m = 0f
-        var i = 0
-        while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
-        val scale = m / 127f
-        val q = new Array[Byte](v.length)
-        if (scale > 0) {
-          i = 0
-          while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+        if (v == null) (id, 0f, null: Array[Byte]) // null in, null out (library inputs)
+        else {
+          var m = 0f
+          var i = 0
+          while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+          val scale = m / 127f
+          val q = new Array[Byte](v.length)
+          if (scale > 0) {
+            i = 0
+            while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+          }
+          (id, scale, q)
         }
-        (id, scale, q)
       }.toDF("vec_id", "scale", "qvec")
   }
 
@@ -418,10 +421,13 @@ object Similarity {
     quantized.select(col("vec_id"), col("scale"), col("qvec"))
       .as[(Long, Float, Array[Byte])]
       .map { case (id, scale, q) =>
-        val v = new Array[Float](q.length)
-        var i = 0
-        while (i < q.length) { v(i) = q(i) * scale; i += 1 }
-        (id, v)
+        if (q == null) (id, null: Array[Float]) // round-trips quantizeInt8's null rows
+        else {
+          val v = new Array[Float](q.length)
+          var i = 0
+          while (i < q.length) { v(i) = q(i) * scale; i += 1 }
+          (id, v)
+        }
       }.toDF("vec_id", "embedding")
   }
 

@@ -152,57 +152,47 @@ object CorpusStreaming {
    * continuous pipeline keeps C4-style line dedup exact across arrivals without
    * reprocessing the corpus.
    *
-   * State is ONE xxhash64 per distinct admitted segment — 8 bytes a row, append-only
-   * parquet, compactable by [[compactIndex]]'s sibling discipline (the index here has a
-   * single `h` column, so a plain rewrite-sorted-by-h suffices). Same retry doctrine as
-   * [[admitBatch]]: output persists BEFORE the index grows, so a foreachBatch retry can
-   * re-emit rows but never loses segments, and the decision frame is pinned
-   * (localCheckpoint) before the append so the returned plan cannot lazily re-read the
-   * index it just grew.
+   * State is one (xxhash64, batch_id) row per distinct admitted segment, append-only
+   * parquet. REPLAY SAFETY: index rows are tagged with the writing batch id and the
+   * anti-join EXCLUDES rows the current batch id wrote, so a foreachBatch retry after a
+   * crash between the index append and the checkpoint commit re-derives the IDENTICAL
+   * decision and re-emits the same output rows — at-least-once duplicates, never the
+   * contradictory all-dropped rows an untagged index would produce. The decision frame
+   * is still pinned (localCheckpoint) before the append so the returned plan cannot
+   * lazily re-read the index it just grew, and output persists before the index grows.
    *
    * Returns (doc_id, n_segs, n_kept, dedup_text) for every batch doc — fully-duplicate
-   * docs stay visible with n_kept 0.
+   * docs stay visible with n_kept 0. `batchId` < 0 (the standalone default) disables the
+   * self-exclusion: sequential batch callers have no replay to guard against.
    */
   def admitSegmentsBatch(batch: DataFrame, indexDir: String, k: Int = 8,
-      updateIndex: Boolean = true, persist: DataFrame => Unit = _ => ()): DataFrame = {
+      batchId: Long = -1L, updateIndex: Boolean = true,
+      persist: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val segs = Dedup.segmentedDocs(batch, k).withColumn("h", xxhash64(col("seg"))).cache()
+    val segs = Dedup.segmentedDocs(batch, k).withColumn("h", xxhash64(col("seg")))
     val fresh = (
-      if (fs(spark, indexDir).exists(new Path(indexDir)))
-        segs.join(spark.read.parquet(indexDir), Seq("h"), "left_anti")
-      else segs).cache()
-    val winners = fresh.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
-    val rebuilt = fresh.join(winners, Seq("doc_id", "pos"))
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).cast("int").as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-            s => s.getField("seg")), " ").as("dedup_text"))
-    val out = batch.select(col("doc_id"),
-        when(col("text").isNull, lit(0))
-          .otherwise(ceil(size(split(col("text"), " ", -1)) / lit(k.toDouble)))
-          .cast("int").as("n_segs"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segs"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"), col("dedup_text"))
-      .localCheckpoint()
+      if (fs(spark, indexDir).exists(new Path(indexDir))) {
+        val idx0 = spark.read.parquet(indexDir)
+        val idx = if (batchId >= 0) idx0.filter(col("batch_id") =!= batchId) else idx0
+        segs.join(idx.select(col("h")), Seq("h"), "left_anti")
+      } else segs).cache()
+    val out = Dedup.reassembleSegments(batch, fresh, k).localCheckpoint()
     persist(out)
     if (updateIndex)
-      fresh.select(col("h")).distinct().write.mode("append").parquet(indexDir)
-    segs.unpersist()
+      fresh.select(col("h")).distinct()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(indexDir)
     fresh.unpersist()
     out
   }
 
-  /** Wire the segment gate onto a stream (same output-before-index retry contract). */
+  /** Wire the segment gate onto a stream (output-before-index, batch-id replay guard). */
   def segmentIngest(docsStream: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitSegmentsBatch(batch, indexDir, k,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitSegmentsBatch(batch, indexDir, k, batchId,
           persist = _.write.mode("append").parquet(outDir))
         ()
       }

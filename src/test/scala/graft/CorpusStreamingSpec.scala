@@ -106,6 +106,22 @@ class CorpusStreamingSpec extends AnyFunSuite {
     assert(got2(3L) == ((3, 1, "x y")) && got2(4L) == ((2, 0, null)), s"got $got2")
     assert(spark.read.parquet(indexDir).count() == 4, "index grew by [x y] only")
 
+    // replay safety: re-running a batch with ITS OWN batchId (a foreachBatch retry after
+    // the index append) must re-derive the identical decision, not drop everything
+    val rDir = Files.createTempDirectory("graft_seg_r").toString + "/index"
+    val rb = Seq((7L, "p q r s")).toDF("doc_id", "text")
+    val first = CorpusStreaming.admitSegmentsBatch(rb, rDir, k = 2, batchId = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSeq
+    val retry = CorpusStreaming.admitSegmentsBatch(rb, rDir, k = 2, batchId = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSeq
+    assert(retry == first && first == Seq((7L, 2, "p q r s")),
+      s"retry must reproduce the decision: $first vs $retry")
+    // but the NEXT batch still dedups against batch 5's segments
+    val next = CorpusStreaming.admitSegmentsBatch(
+        Seq((8L, "p q z z")).toDF("doc_id", "text"), rDir, k = 2, batchId = 6L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).head
+    assert(next == ((8L, 1, "z z")), s"got $next")
+
     // same contract through the streaming wiring
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_seg_s").toString

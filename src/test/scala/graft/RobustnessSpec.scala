@@ -73,6 +73,14 @@ class RobustnessSpec extends AnyFunSuite {
     val emptyVecs = TableIO.embeddings(spark, sf).filter(col("vec_id") < 0)
     assert(graft.pipeline.Similarity.dequantizeInt8(
       graft.pipeline.Similarity.quantizeInt8(emptyVecs)).count() == 0)
+    // null embeddings round-trip as null rows (library inputs may carry nulls)
+    import spark.implicits._
+    val withNull = Seq((1L, Array(1f, -2f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val back = graft.pipeline.Similarity.dequantizeInt8(
+        graft.pipeline.Similarity.quantizeInt8(withNull))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(back(1L).nonEmpty && back(2L).isEmpty, s"got $back")
   }
 
   test("typed text kernels are null-safe (library inputs may carry null text)") {
