@@ -212,5 +212,15 @@ class GraftApiSpec extends AnyFunSuite {
     val vecs = Seq((7L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
     val back = Graft.dequantizeInt8(Graft.quantizeInt8(vecs)).collect().head.getSeq[Float](1)
     assert(back.zip(Seq(0.5f, -1.0f, 0.25f)).forall { case (a, b) => math.abs(a - b) < 0.005f })
+
+    // cutSpans on a user spans frame; unlisted docs pass through
+    val spanFrame = Seq((4L, 1, 13)).toDF("doc_id", "span_start", "span_end")
+    val trimmed = Graft.cutSpans(docs, spanFrame)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trimmed(4L) == "" && trimmed(1L).nonEmpty, s"got ${trimmed(4L)}")
+
+    // vocabulary coverage is monotone and ends at the top-k share
+    val vocab = Graft.vocabCoverage(docs, k = 5).collect().map(_.getDouble(3))
+    assert(vocab.length == 5 && vocab.sameElements(vocab.sorted), s"got ${vocab.toSeq}")
   }
 }
