@@ -95,6 +95,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full per-query detail persists to a local file (stdout stays bounded — see Scaladoc):
+    // the emitted line caps detail at the headline set, which left 86 of 154 queries
+    // invisible inside other_sec; a regression in any of them now shows up in a file diff.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val allQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,""" +
+      s""""queries":$allQs,"sf":"$sfDir"}"""
+    try {
+      val pw = new java.io.PrintWriter(fullPath, "UTF-8")
+      try pw.println(fullJson) finally pw.close()
+    } catch { case _: Throwable => () } // detail file is best-effort; the stdout line is the contract
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
       s""""other_sec":${ms(otherSec)},"queries":$qs,"sf":"$sfDir"}"""

@@ -362,7 +362,9 @@ object TpcdsShapedQueries {
         coalesce(col("yr"), lit(-1)).cast("int").as("yr"),
         col("gid").cast("int").as("gid"),
         round(col("rev"), 2).as("rev2"))
-      .orderBy(col("nation"), col("rnk"), col("gid"))
+      // yr completes the total order: equal-revenue detail years within a nation tie on
+      // (rnk, gid) and would otherwise hash-compare in engine-dependent order.
+      .orderBy(col("nation"), col("rnk"), col("gid"), col("yr"))
   }
 
   val qDsRollupTopnSql: String =
@@ -377,7 +379,7 @@ object TpcdsShapedQueries {
       |    CAST(rank() OVER (PARTITION BY n_name ORDER BY rev DESC, gid, yr) AS INT) AS rnk,
       |    coalesce(yr, -1) AS yr, gid, round(rev, 2) AS rev2
       |  FROM lattice) t
-      |WHERE rnk <= 3 ORDER BY nation, rnk, gid""".stripMargin
+      |WHERE rnk <= 3 ORDER BY nation, rnk, gid, yr""".stripMargin
 
   /**
    * DS shape 11 (q51 family): two per-channel cumulative series FULL-OUTER joined on
@@ -418,6 +420,51 @@ object TpcdsShapedQueries {
       |WHERE cum_r > cum_a
       |ORDER BY mon""".stripMargin
 
+  /**
+   * DS shape 12 (q95 family): reachability over a SELF-JOINED fact — orders whose
+   * lineitems "reach" at least two distinct suppliers (lineitem⋈lineitem on orderkey
+   * with supplier inequality, consumed as a LEFT SEMI — the probe stops at the first
+   * witness, never materializing the quadratic pair set), intersected with the
+   * returned-order set restricted to those same multi-supplier orders, then a
+   * distinct-count aggregate over a date-windowed orders scan. All joins are equi-joins
+   * on orderkey (the inequality rides the join condition, not a BNL) — the plan spec
+   * asserts no nested-loop/cartesian appears.
+   */
+  def qDsReachability(spark: SparkSession, dir: String): DataFrame = {
+    val l = TableIO.lineitem(spark, dir)
+    val o = TableIO.orders(spark, dir)
+    val l2 = l.select(col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
+    val multiSupp = l.select(col("l_orderkey"), col("l_suppkey"))
+      .join(l2, col("l_orderkey") === col("r_orderkey") &&
+        col("l_suppkey") =!= col("r_suppkey"), "leftsemi")
+      .select(col("l_orderkey")).distinct()
+    val returned = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ret_orderkey")).distinct()
+      .join(multiSupp, col("ret_orderkey") === col("l_orderkey"), "leftsemi")
+    o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(multiSupp, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .join(returned, col("o_orderkey") === col("ret_orderkey"), "leftsemi")
+      .agg(count_distinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val qDsReachabilitySql: String =
+    """WITH multi AS (
+      |  SELECT DISTINCT l1.l_orderkey FROM lineitem l1
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)),
+      |ret AS (
+      |  SELECT DISTINCT l.l_orderkey FROM lineitem l
+      |  WHERE l.l_returnflag = 'R'
+      |    AND l.l_orderkey IN (SELECT l_orderkey FROM multi))
+      |SELECT count(DISTINCT o_orderkey) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND o_orderkey IN (SELECT l_orderkey FROM multi)
+      |  AND o_orderkey IN (SELECT l_orderkey FROM ret)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_snowflake" -> (qDsSnowflake(_, _)),
     "q_ds_yoy" -> (qDsYoy(_, _)),
@@ -429,7 +476,8 @@ object TpcdsShapedQueries {
     "q_ds_exists_chain" -> (qDsExistsChain(_, _)),
     "q_ds_multi_band" -> (qDsMultiBand(_, _)),
     "q_ds_rollup_topn" -> (qDsRollupTopn(_, _)),
-    "q_ds_cumulative" -> (qDsCumulative(_, _)))
+    "q_ds_cumulative" -> (qDsCumulative(_, _)),
+    "q_ds_reachability" -> (qDsReachability(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_ds_snowflake" -> qDsSnowflakeSql,
@@ -442,5 +490,6 @@ object TpcdsShapedQueries {
     "q_ds_exists_chain" -> qDsExistsChainSql,
     "q_ds_multi_band" -> qDsMultiBandSql,
     "q_ds_rollup_topn" -> qDsRollupTopnSql,
-    "q_ds_cumulative" -> qDsCumulativeSql)
+    "q_ds_cumulative" -> qDsCumulativeSql,
+    "q_ds_reachability" -> qDsReachabilitySql)
 }

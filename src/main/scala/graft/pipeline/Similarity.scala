@@ -362,7 +362,7 @@ object Similarity {
   val annRrfSql: String =
     """WITH s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    list_cosine_similarity(q.embedding, c.embedding) AS cos,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
       |    list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS l2
       |  FROM embeddings q, embeddings c
       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),

@@ -363,10 +363,17 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).cast("double").as("n_total"))
     val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    // Partition the K-row windows by n_total — a constant-valued ATTRIBUTE (every row
+    // carries the same total, and being non-foldable it survives the optimizer's
+    // constant-partition elimination), so WindowExec sees a real partition spec instead
+    // of logging its global-window "No Partition Defined" warning on every bench run
+    // (which nearly crowded the driver's bounded JSON tail capture). Same plan cost:
+    // the empty spec also funneled the K survivors through one partition.
+    val w = Window.partitionBy(col("n_total")).orderBy(col("cnt").desc, col("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("n_total")).orderBy(col("cnt").desc, col("tok"))))
       .withColumn("cum_cov", round(sum(col("cnt")).over(w) / col("n_total"), 6))
       .select(col("rank"), col("tok"), col("cnt"), col("cum_cov"))
       .orderBy(col("rank"))

@@ -58,6 +58,54 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded streams: per-shard parity, bins never span shards, ids dense per stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val budget = 100
+    val shardDocs = 64L
+    // one dominant stream (larger than several shards) + two small ones, ids interleaved
+    val rows = Seq.tabulate(500) { i =>
+      val stream = if (i % 10 < 8) "big" else s"small${i % 2}"
+      (i.toLong, doc(1 + rnd.nextInt(40)), stream)
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val got = Packing.packGreedy(df, "source", budget, shardDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    val byId = got.map(r => r._2 -> r).toMap
+    // (a) parity with a naive fold run independently per (stream, shard), stitched by
+    //     cumulative bin counts — the declared semantics
+    rows.groupBy(_._3).foreach { case (stream, streamRows) =>
+      var offset = 0L
+      streamRows.groupBy(t => t._1 / shardDocs).toSeq.sortBy(_._1).foreach { case (_, shardRows) =>
+        var bin = -1L; var fill = 0
+        shardRows.sortBy(_._1).foreach { case (id, text, _) =>
+          val n = text.trim.split("\\s+").length
+          if (bin < 0 || fill + n > budget) { bin += 1; fill = 0 }
+          fill += n
+          assert(byId(id) == ((stream, id, n, offset + bin, fill)), s"doc $id")
+        }
+        offset += bin + 1
+      }
+    }
+    // (b) bins never span shards; (c) bin ids dense per stream starting at 0
+    got.groupBy(r => (r._1, r._4)).foreach { case ((s, b), binRows) =>
+      val shards = binRows.map(_._2 / shardDocs).distinct
+      assert(shards.size == 1, s"bin ($s,$b) spans shards $shards")
+      assert(binRows.map(_._3).sum <= budget || binRows.size == 1, s"bin ($s,$b) over budget")
+    }
+    got.groupBy(_._1).foreach { case (s, streamRows) =>
+      val bins = streamRows.map(_._4).distinct.sorted.toSeq
+      assert(bins == (0L until bins.size).toSeq,
+        s"stream $s bins not dense: ${bins.mkString(",")}")
+    }
+    // (d) the dominant stream really was cut across multiple independent units
+    assert(got.filter(_._1 == "big").map(_._2 / shardDocs).distinct.size > 3)
+    // (e) determinism
+    val again = Packing.packGreedy(df, "source", budget, shardDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(again.sortBy(_._2).sameElements(got.sortBy(_._2)))
+  }
+
   test("bin utilization is high on a realistic corpus slice") {
     val packed = Packing.packGreedyQuery(spark, SparkTestBase.sf)
     val perBin = packed.groupBy("stream", "bin_id")

@@ -180,4 +180,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plans(1)._2.contains("partial_count"),
       "span dup-filter must combine map-side before the hash exchange")
   }
+
+  test("q_ds_reachability: self-join semi probes are equi-joins, never nested-loop") {
+    val plan = executedPlan(
+      graft.operators.TpcdsShapedQueries.qDsReachability(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"supplier-inequality must ride the equi-join condition, not a BNL:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("LeftSemi"), s"reachability probes must be semi joins:\n$plan")
+  }
 }
