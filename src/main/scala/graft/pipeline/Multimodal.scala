@@ -14,9 +14,11 @@ import graft.sources.TableIO
  *
  * Image and audio decode are REAL for JDK-supported formats (decodeImages: javax.imageio,
  * PNG/JPEG/GIF/BMP; decodeAudios: javax.sound.sampled, WAV/AIFF/AU — both spec-driven
- * with in-test-generated media). Video decode stays a deterministic STUB (no ffmpeg in
- * this container), and the registered driver query uses the stub throughout because the
- * driver corpus has no real media bytes; everything Spark-side — binary schema, batched
+ * with in-test-generated media). Video CONTAINER metadata is REAL too (decodeVideoMetas:
+ * MP4 box walk + Matroska EBML walk for duration/dims/track-count — the fields curation
+ * filters on); video FRAME decode stays a deterministic STUB (no codec in this
+ * container). The registered driver query uses the stub throughout because the driver
+ * corpus has no real media bytes; everything Spark-side — binary schema, batched
  * partition processing, typed output schema, partitioning — is identical across kernels.
  *
  * Scale notes: mapPartitions keeps decode zero-shuffle (runs inside the scan stage);
@@ -180,6 +182,137 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** Typed row for video container metadata. */
+  case class VideoFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      container: String,
+      width: Int,
+      height: Int,
+      duration_s: Double,
+      n_tracks: Int)
+
+  /**
+   * REAL video CONTAINER parsing — no codec needed: walks MP4 (ISO BMFF) boxes for
+   * mvhd timescale/duration and tkhd 16.16 fixed-point dims, or a Matroska/WebM EBML
+   * tree for Info duration and Video PixelWidth/Height. Frame DECODE would need a
+   * codec this container lacks (the declared stub), but duration/dims/track-count —
+   * what a curation pipeline filters on — come from the real bytes. Returns None for
+   * anything that is not a recognizable MP4/MKV container.
+   */
+  private[graft] def decodeVideoMeta(docId: Long, payload: Array[Byte]): Option[VideoFeatures] =
+    try {
+      if (payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
+          payload(6) == 'y' && payload(7) == 'p') parseMp4(docId, payload)
+      else if (payload.length >= 4 && (payload(0) & 0xff) == 0x1a &&
+          (payload(1) & 0xff) == 0x45 && (payload(2) & 0xff) == 0xdf &&
+          (payload(3) & 0xff) == 0xa3) parseMkv(docId, payload)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt container drops the row
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u64(b: Array[Byte], o: Int): Long = (u32(b, o) << 32) | u32(b, o + 4)
+
+  private def parseMp4(docId: Long, b: Array[Byte]): Option[VideoFeatures] = {
+    var timescale = 0L; var duration = 0L
+    var width = 0; var height = 0; var nTracks = 0
+    // walk the box tree; only recurse into containers whose children we need
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(b, off)
+        val typ = new String(b, off + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (size0 == 1 && off + 16 <= end) (u64(b, off + 8), 16) else (size0, 8)
+        if (size < hdr || off + size > end) return // malformed: stop, keep what we have
+        val p = off + hdr
+        typ match {
+          case "moov" | "trak" | "mdia" => walk(p, off + size.toInt)
+          case "mvhd" =>
+            val v = b(p) & 0xff
+            if (v == 1) { timescale = u32(b, p + 20); duration = u64(b, p + 24) }
+            else { timescale = u32(b, p + 12); duration = u32(b, p + 16) }
+          case "tkhd" =>
+            nTracks += 1
+            val v = b(p) & 0xff
+            val dimOff = p + (if (v == 1) 88 else 76)
+            // 16.16 fixed point; audio tracks carry 0x0 dims — keep the largest track
+            val w = (u32(b, dimOff) >> 16).toInt
+            val h = (u32(b, dimOff + 4) >> 16).toInt
+            if (w > width) { width = w; height = h }
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0 && nTracks == 0) None
+    else Some(VideoFeatures(docId, b.length, "mp4", width, height,
+      if (timescale > 0) duration.toDouble / timescale else 0.0, nTracks))
+  }
+
+  private def parseMkv(docId: Long, b: Array[Byte]): Option[VideoFeatures] = {
+    var tsScale = 1000000L // Matroska default: 1 ms in nanoseconds
+    var durTicks = 0.0
+    var width = 0; var height = 0; var nTracks = 0
+    // EBML vint: leading-zero count of the first byte gives total length; the ID keeps
+    // its marker bit, the SIZE clears it
+    def vint(off: Int, keepMarker: Boolean): (Long, Int) = {
+      val first = b(off) & 0xff
+      val len = 8 - (32 - Integer.numberOfLeadingZeros(first))
+      require(len >= 0 && len <= 7 && off + len < b.length, "bad vint")
+      var v = if (keepMarker) first.toLong else (first & ((1 << (7 - len)) - 1)).toLong
+      var i = 1
+      while (i <= len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      (v, len + 1)
+    }
+    def readFloat(off: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(u32(b, off).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(u64(b, off))
+      else 0.0
+    def readUint(off: Int, len: Int): Long =
+      (0 until len).foldLeft(0L)((acc, i) => (acc << 8) | (b(off + i) & 0xffL))
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        val (id, idLen) = vint(off, keepMarker = true)
+        val (sz, szLen) = vint(off + idLen, keepMarker = false)
+        val p = off + idLen + szLen
+        if (sz < 0 || p + sz > end) return
+        id match {
+          case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL | 0xE0L => // Segment/Info/Tracks/TrackEntry/Video
+            if (id == 0xAEL) nTracks += 1
+            walk(p, p + sz.toInt)
+          case 0x2AD7B1L => tsScale = readUint(p, sz.toInt)
+          case 0x4489L => durTicks = readFloat(p, sz.toInt)
+          case 0xB0L => width = readUint(p, sz.toInt).toInt
+          case 0xBAL => height = readUint(p, sz.toInt).toInt
+          case _ => ()
+        }
+        off = p + sz.toInt
+      }
+    }
+    // skip the EBML header element, then walk from the Segment on
+    val (_, hIdLen) = vint(0, keepMarker = true)
+    val (hSz, hSzLen) = vint(hIdLen, keepMarker = false)
+    walk(hIdLen + hSzLen + hSz.toInt, b.length)
+    if (nTracks == 0 && durTicks == 0.0) None
+    else Some(VideoFeatures(docId, b.length, "mkv", width, height,
+      durTicks * tsScale / 1e9, nTracks))
+  }
+
+  /** Video container metadata over an arbitrary (doc_id, payload) frame — the same
+    * zero-shuffle mapPartitions stage as the image/audio kernels; non-video payloads
+    * are dropped, not fatal. */
+  def decodeVideoMetas(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeVideoMeta(id, bytes) })
   }
 
   /**

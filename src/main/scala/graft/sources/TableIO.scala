@@ -51,6 +51,12 @@ object TableIO {
       df.createOrReplaceTempView(n)
     }
 
+  /** Read Arrow-IPC (`.arrow` / Feather v2) files — the reference's namesake
+    * arrow-data-source format. One file per task; schema from the file footer.
+    * See org.apache.spark.sql.graft.ArrowIpc for the mechanism. */
+  def readArrow(spark: SparkSession, path: String): DataFrame =
+    org.apache.spark.sql.graft.ArrowIpc.read(spark, path)
+
   /**
    * Fan a narrow scan out to all cores before CPU-heavy per-row compute (regex scoring,
    * shingling, hashing). A small table arrives as ONE parquet split and would pin

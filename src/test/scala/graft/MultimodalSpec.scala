@@ -100,4 +100,64 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = Multimodal.decodeImages(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"image decode should be shuffle-free:\n$plan")
   }
+
+  // ---- minimal real video containers, built byte-by-byte in-test ----
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** Spec-shaped MP4: ftyp + moov(mvhd v0 + video trak + audio trak) + mdat. */
+  private def mp4(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+    val mvhd = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ new Array[Byte](80) // rate..next_track_ID
+    def tkhd(tw: Int, th: Int) = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+      be32(tw.toLong << 16) ++ be32(th.toLong << 16) // 16.16 fixed-point dims at offset 76
+    val moov = mp4Box("moov", mp4Box("mvhd", mvhd) ++
+      mp4Box("trak", mp4Box("tkhd", tkhd(w, h))) ++
+      mp4Box("trak", mp4Box("tkhd", tkhd(0, 0)))) // audio track: zero dims
+    mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(512)) ++ moov ++
+      mp4Box("mdat", Array.fill[Byte](64)(0x55))
+  }
+
+  /** Spec-shaped Matroska: EBML header + Segment(Info(scale, duration) + Tracks). */
+  private def mkv(durationTicks: Float, w: Int, h: Int): Array[Byte] = {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 0x7f); id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val info = el(Array[Byte](0x15, 0x49, 0xa9.toByte, 0x66), // Info
+      el(Array[Byte](0x2a, 0xd7.toByte, 0xb1.toByte), Array[Byte](0x0f, 0x42, 0x40)) ++ // 1e6 ns
+      el(Array[Byte](0x44, 0x89.toByte), be32(java.lang.Float.floatToIntBits(durationTicks) & 0xffffffffL)))
+    val video = el(Array[Byte](0xe0.toByte),
+      el(Array[Byte](0xb0.toByte), Array[Byte](((w >> 8) & 0xff).toByte, (w & 0xff).toByte)) ++
+      el(Array[Byte](0xba.toByte), Array[Byte](((h >> 8) & 0xff).toByte, (h & 0xff).toByte)))
+    val tracks = el(Array[Byte](0x16, 0x54, 0xae.toByte, 0x6b), el(Array[Byte](0xae.toByte), video))
+    Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte, 0x80.toByte) ++ // empty EBML header
+      el(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67), info ++ tracks)  // Segment
+  }
+
+  test("real video kernel parses MP4 boxes and Matroska EBML: dims, duration, tracks") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, mp4(timescale = 1000, duration = 5000, w = 640, h = 360)),
+      (2L, mkv(durationTicks = 7500f, w = 1920, h = 1080)),
+      (3L, "not a video container".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeVideoMetas(media).collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L), s"non-video payload must be dropped: ${got.keySet}")
+    assert(got(1L).container == "mp4" && got(1L).width == 640 && got(1L).height == 360)
+    assert(math.abs(got(1L).duration_s - 5.0) < 1e-9, s"mvhd 5000/1000: ${got(1L).duration_s}")
+    assert(got(1L).n_tracks == 2, "video + zero-dim audio track both counted")
+    assert(got(2L).container == "mkv" && got(2L).width == 1920 && got(2L).height == 1080)
+    assert(math.abs(got(2L).duration_s - 7.5) < 1e-6, s"7500 ms: ${got(2L).duration_s}")
+    assert(got(2L).n_tracks == 1)
+    // truncated/corrupt containers drop, never throw
+    val cut = mp4(1000, 5000, 640, 360).take(40)
+    assert(Multimodal.decodeVideoMeta(9L, cut).forall(_.n_tracks == 0))
+    val plan = Multimodal.decodeVideoMetas(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"video metadata should be shuffle-free:\n$plan")
+  }
 }

@@ -80,6 +80,25 @@ aplan = ap._jdf.queryExecution().executedPlan().toString()
 assert "FlatMapGroupsInPandas" in aplan, aplan
 ap.coalesce(1).write.mode("overwrite").parquet(out + "_grouped")
 
+# pandas UDF over a Window (WindowInPandasExec) — the reference support matrix's
+# pandas-window row: a grouped-agg pandas_udf evaluated over a bounded running frame
+from pyspark.sql.window import Window
+
+@pandas_udf("double")
+def pd_mean(v: pd.Series) -> float:
+    return float(v.mean())
+
+w = (Window.partitionBy("source").orderBy("doc_id")
+     .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+win = (docs.select(col("source"), col("doc_id"), n_ws_tokens(col("text")).alias("n"))
+       .withColumn("running_avg", pd_mean("n").over(w))
+       .select("source", "doc_id", "running_avg"))
+wplan = win._jdf.queryExecution().executedPlan().toString()
+# Spark 4.x names the operator ArrowWindowPython (3.x called it WindowInPandas)
+assert ("ArrowWindowPython" in wplan) or ("WindowInPandas" in wplan), \
+    "expected the pandas window operator, got:\n" + wplan
+win.coalesce(1).write.mode("overwrite").parquet(out + "_win")
+
 spark.stop()
 print("BRIDGE_OK")
 """
@@ -122,6 +141,23 @@ print("BRIDGE_OK")
       .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_ws_tokens").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(grouped == jvmGrouped, s"grouped bridge mismatch: $grouped vs $jvmGrouped")
+
+    // pandas window UDF (WindowInPandasExec, asserted in-script) vs the JVM avg().over()
+    // on the identical running frame — FP tolerance, the two engines sum in different order
+    val winPy = spark.read.parquet(outDir + "_win")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val winJvm = TextAnalysis.textTokens(spark, sf)
+      .join(graft.sources.TableIO.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .withColumn("running_avg",
+        org.apache.spark.sql.functions.avg("n_ws_tokens").over(wSpec))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("running_avg")).toMap
+    assert(winPy.size == winJvm.size && winPy.nonEmpty)
+    winJvm.foreach { case (id, v) =>
+      assert(math.abs(winPy(id) - v) < 1e-9, s"window bridge mismatch at doc $id: ${winPy(id)} vs $v")
+    }
     Files.deleteIfExists(scriptPath)
   }
 }

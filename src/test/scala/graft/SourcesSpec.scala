@@ -59,6 +59,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("arrow-ipc write/read round-trip vs the parquet twin (the namesake source)") {
+    val dir = Files.createTempDirectory("graft_arrow").toString
+    // embeddings exercises array<float>; documents exercises strings + ints; multiple
+    // partitions exercise the one-file-per-task layout
+    val src = TableIO.embeddings(spark, sf).repartition(3)
+    org.apache.spark.sql.graft.ArrowIpc.write(src, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 3, s"one .arrow file per partition: ${files.length}")
+    val back = TableIO.readArrow(spark, dir)
+    assert(back.schema == src.schema,
+      s"footer schema must map back losslessly: ${back.schema} vs ${src.schema}")
+    assert(back.count() == src.count())
+    // content equality via the established vec_id -> rounded-embedding digest
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("vec_id", "round(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4) AS s")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(digest(back) == digest(src), "arrow round-trip must preserve values")
+
+    // read parallelizes per file, not per byte-range: 3 files -> 3 partitions
+    assert(back.rdd.getNumPartitions == 3)
+
+    // string/int table twin: exact row equality against the parquet original
+    val docDir = Files.createTempDirectory("graft_arrow_docs").toString
+    val docs = TableIO.documents(spark, sf).select("doc_id", "text", "source", "n_chars")
+    org.apache.spark.sql.graft.ArrowIpc.write(docs.repartition(2), docDir)
+    val docsBack = TableIO.readArrow(spark, docDir)
+    assert(docsBack.exceptAll(docs).isEmpty && docs.exceptAll(docsBack).isEmpty,
+      "documents arrow round-trip must be exact")
+  }
+
   test("events timestamps normalize to usable timestamp type") {
     val df = TableIO.events(spark, sf)
     assert(df.schema("ts").dataType.typeName == "timestamp")
