@@ -43,7 +43,8 @@ object Bench {
     "q_asof_join", "q_topk_per_key", "multimodal_decode", "sample_stratified",
     "text_chunk", "dedup_winnow", "dedup_contamination", "sample_split", "sample_per_key",
     "dedup_segments", "dedup_spans", "text_perplexity", "sample_shuffle",
-    "ann_quantized", "ann_rrf", "q_ds_rollup_topn", "q_ds_cumulative")
+    "ann_quantized", "ann_rrf", "q_ds_rollup_topn", "q_ds_cumulative",
+    "q_ds_reachability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

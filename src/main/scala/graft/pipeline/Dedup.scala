@@ -459,7 +459,9 @@ object Dedup {
    */
   def embeddingPairsLsh(vecs: DataFrame, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
-    val buckets = Similarity.lshBuckets(vecs)
+    // corpus-size-adaptive geometry: bounded bucket occupancy keeps the per-bucket
+    // quadratic term constant as n grows (see Similarity.lshParams)
+    val buckets = Similarity.lshBuckets(vecs, vecs.count())
     val candidates = buckets.select(col("vec_id").as("a_id"), col("bucket"))
       .join(buckets.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))

@@ -75,31 +75,83 @@ object Similarity {
   // ---- LSH path -------------------------------------------------------------------------
 
   private val Dim = 64
-  private val BitsPerTable = 4
-  private val NumTables = 14
+  private val BitsPerTable = 4   // floor: the sf-test regime (n <= ~2k) keeps 16 buckets/table
+  private val MaxBits = 16
+  private val NumTables = 14     // floor table count, grows with bits to hold recall
+  private val MaxTables = 62
+  private val TargetOccupancy = 32L
 
   /**
-   * Deterministic random hyperplanes (seeded): NumTables independent tables of
-   * BitsPerTable planes each. Collision probability per table for angle theta is
-   * (1 - theta/pi)^bits; union over L tables lifts recall to 1-(1-p)^L. For larger
-   * corpora raise BitsPerTable (bucket occupancy ~ n / 2^bits per table).
+   * Deterministic random hyperplanes (seeded), pre-generated at the MAX geometry; each
+   * run uses the first `tables x bits` of them so parameter choice never changes the
+   * planes themselves. Collision probability per table for angle theta is
+   * (1 - theta/pi)^bits; union over L tables lifts recall to 1-(1-p)^L.
    */
   private lazy val hyperplanes: Seq[Seq[Seq[Float]]] = {
     val rnd = new scala.util.Random(8123402L)
-    Seq.fill(NumTables, BitsPerTable)(Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+    Seq.fill(MaxTables, MaxBits)(Seq.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /**
+   * Corpus-size-adaptive LSH geometry — THE scale knob. Fixed bits are a scale bug
+   * (measured: the 10x sf1 rehearsal drove bucket occupancy 10x and the per-bucket
+   * quadratic candidate set to ~the full cross join — 19x wall time for 10x data).
+   * bits = ceil(log2(n / TargetOccupancy)) bounds expected occupancy at ~32 regardless
+   * of corpus size, making the candidate count O(n * occupancy * L) — linear in n.
+   * Tables grow with bits (+6 per extra bit, capped) because per-table collision for a
+   * true pair falls as bits rise; at the dedup-relevant cos >= 0.9 the union recall
+   * stays ~1.0 through the whole range (0.852^bits per table). At the sf-test sizes
+   * (n <= 2k of the recall specs' corpora) the geometry floors to the original
+   * (4 bits, 14 tables) — the measured recall numbers stand.
+   */
+  private[graft] def lshParams(n: Long): (Int, Int) = {
+    val q = math.max(1L, (n + TargetOccupancy - 1) / TargetOccupancy)
+    val ceilLog2 = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    val bits = math.min(MaxBits, math.max(BitsPerTable, ceilLog2)).toInt
+    val tables = math.min(MaxTables, NumTables + 6 * (bits - BitsPerTable))
+    (bits, tables)
   }
 
   /** (vec_id, bucket) — one row per hash table; bucket encodes (table, signature).
-    * (No fanOut here: measured at sf0.1 the hyperplane dot products are too cheap for an
-    * extra exchange to pay for itself — the join/distinct downstream dominates.) */
-  def lshBuckets(df: DataFrame): DataFrame = {
-    val buckets = hyperplanes.zipWithIndex.map { case (planes, t) =>
-      val sig = planes.zipWithIndex.map { case (h, i) =>
-        when(dotProduct(col("embedding"), typedLit(h)) > 0.0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      sig + lit(t << BitsPerTable)
-    }
-    df.select(col("vec_id"), explode(array(buckets: _*)).as("bucket"))
+    * `corpusN` is the CORPUS cardinality (queries must pass the same value as their
+    * corpus so both sides hash into identical buckets).
+    *
+    * ONE typed kernel computes every table's signature in a tight float loop over a
+    * task-local plane matrix — at the adaptive geometry's upper range that is
+    * tables*bits (up to ~500) dot products per row, which as Catalyst `when(dot > 0)`
+    * column expressions blew past codegen's practical width and fell to per-expression
+    * interpreted evaluation (measured 2x the whole query's budget at sf1); the kernel
+    * form is a few hundred branch-free FMA loops per row. */
+  def lshBuckets(df: DataFrame, corpusN: Long): DataFrame = {
+    val (bits, tables) = lshParams(corpusN)
+    // flat (tables*bits) x Dim matrix, serialized once per task with the closure (~128 KB max)
+    val planes: Array[Array[Float]] =
+      hyperplanes.take(tables).flatMap(_.take(bits).map(_.toArray)).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val out = new Array[(Long, Int)](tables)
+          var t = 0
+          while (t < tables) {
+            var sig = 0
+            var b = 0
+            while (b < bits) {
+              val p = planes(t * bits + b)
+              var s = 0.0f
+              var j = 0
+              while (j < emb.length) { s += emb(j) * p(j); j += 1 }
+              if (s > 0f) sig |= 1 << b
+              b += 1
+            }
+            out(t) = (id, sig | (t << bits))
+            t += 1
+          }
+          out
+        }
+      }
+      .toDF("vec_id", "bucket")
   }
 
   /**
@@ -110,9 +162,11 @@ object Similarity {
    */
   def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val qb = lshBuckets(queries.select(col("query_id").as("vec_id"), col("embedding")))
+    // one metadata-cheap count sizes the geometry; queries hash with the corpus's params
+    val n = corpus.count()
+    val qb = lshBuckets(queries.select(col("query_id").as("vec_id"), col("embedding")), n)
       .select(col("vec_id").as("query_id"), col("bucket"))
-    val cb = lshBuckets(corpus).select(col("vec_id").as("neighbor_id"), col("bucket"))
+    val cb = lshBuckets(corpus, n).select(col("vec_id").as("neighbor_id"), col("bucket"))
     val candidates = qb.join(cb, Seq("bucket"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id")).distinct()
