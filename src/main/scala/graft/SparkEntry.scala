@@ -23,7 +23,8 @@ object SparkEntry {
       pipeline.Multimodal.all ++
       pipeline.TextRetrieval.all ++
       pipeline.Profiling.all ++
-      pipeline.Packing.all
+      pipeline.Packing.all ++
+      pipeline.BpeTrainer.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       pipeline.Multimodal.oracles ++
       pipeline.TextRetrieval.oracles ++
       pipeline.Profiling.oracles ++
-      pipeline.Packing.oracles
+      pipeline.Packing.oracles ++
+      pipeline.BpeTrainer.oracles
 }

@@ -136,11 +136,21 @@ object Graft {
     Dedup.winnowFingerprints(docsFrame(docs), window)
 
   /** Greedy sequence packing into `budget`-token bins per stream (docs stay whole,
-    * oversized docs get singleton bins) — parallel across streams, sequential within,
-    * deterministic in doc_id order. Returns (stream, doc_id, n_tokens, bin_id, bin_fill). */
-  def packGreedy(docs: DataFrame, streamCol: String, budget: Int): DataFrame =
+    * oversized docs get singleton bins) — deterministic in doc_id order; streams shard
+    * into `shardDocs`-doc units packed independently and stitched to stream-dense bin
+    * ids, so no whole stream must fit one partition.
+    * Returns (stream, doc_id, n_tokens, bin_id, bin_fill). */
+  def packGreedy(docs: DataFrame, streamCol: String, budget: Int,
+      shardDocs: Long = 1L << 20): DataFrame =
     graft.pipeline.Packing.packGreedy(
-      requireCols(docs, "documents", "doc_id", "text", streamCol), streamCol, budget)
+      requireCols(docs, "documents", "doc_id", "text", streamCol), streamCol, budget,
+      shardDocs)
+
+  /** BPE merge-rule training (Sennrich et al. ACL'16): distributed word counting, then
+    * the classic merge loop over the bounded top-`vocabCap` word table (deterministic
+    * lexicographic tie-break). Returns (rank, left, right, merged, support). */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 100, vocabCap: Int = 10000): DataFrame =
+    graft.pipeline.BpeTrainer.bpeTrain(docsFrame(docs), numMerges, vocabCap)
 
   /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
@@ -257,4 +267,34 @@ object Graft {
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       updates: DataFrame, key: String, partitionCol: String): Unit =
     graft.sources.LayoutWriter.upsertPartitioned(spark, path, updates, key, partitionCol)
+
+  // ---- multimodal + arrow-ipc ------------------------------------------------------------
+
+  /** Real image decode (javax.imageio: PNG/JPEG/GIF/BMP) over (doc_id, payload) —
+    * zero-shuffle; undecodable payloads dropped, not fatal. */
+  def decodeImages(media: DataFrame): DataFrame =
+    graft.pipeline.Multimodal.decodeImages(
+      requireCols(media, "media", "doc_id", "payload")).toDF()
+
+  /** Real audio decode (javax.sound.sampled: WAV/AIFF/AU) — rate/channels/frames/
+    * duration/RMS; zero-shuffle, corrupt-drop. */
+  def decodeAudios(media: DataFrame): DataFrame =
+    graft.pipeline.Multimodal.decodeAudios(
+      requireCols(media, "media", "doc_id", "payload")).toDF()
+
+  /** Real video CONTAINER metadata (MP4 box walk + Matroska EBML walk) —
+    * container/width/height/duration_s/n_tracks from the raw bytes, no codec;
+    * zero-shuffle, non-video payloads dropped. */
+  def decodeVideoMetas(media: DataFrame): DataFrame =
+    graft.pipeline.Multimodal.decodeVideoMetas(
+      requireCols(media, "media", "doc_id", "payload")).toDF()
+
+  /** Read Arrow-IPC (`.arrow` / Feather v2) files: one file per task, schema from the
+    * file footer. The reference's namesake source format. */
+  def readArrow(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.TableIO.readArrow(spark, path)
+
+  /** Write a frame as Arrow-IPC, one `.arrow` file per partition, executor-side. */
+  def writeArrow(df: DataFrame, path: String): Unit =
+    org.apache.spark.sql.graft.ArrowIpc.write(df, path)
 }

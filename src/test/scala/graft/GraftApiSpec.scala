@@ -223,4 +223,36 @@ class GraftApiSpec extends AnyFunSuite {
     val vocab = Graft.vocabCoverage(docs, k = 5).collect().map(_.getDouble(3))
     assert(vocab.length == 5 && vocab.sameElements(vocab.sorted), s"got ${vocab.toSeq}")
   }
+
+  test("round-5 facade: sharded packGreedy, media kernels, arrow round-trip") {
+    import spark.implicits._
+    // sharded packing exposed at the facade: 3 docs of one stream, 2-doc shards ->
+    // doc 3 starts a fresh bin even though it would fit bin 0
+    val p = Graft.packGreedy(
+      Seq((0L, "a b", "s"), (1L, "c d", "s"), (2L, "e", "s")).toDF("doc_id", "text", "source"),
+      "source", budget = 100, shardDocs = 2L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(p == Map(0L -> 0L, 1L -> 0L, 2L -> 1L), s"got $p")
+
+    // media kernels accept arbitrary frames; junk payloads drop, never throw
+    val junk = Seq((1L, "junk bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Graft.decodeImages(junk).count() == 0)
+    assert(Graft.decodeAudios(junk).count() == 0)
+    assert(Graft.decodeVideoMetas(junk).count() == 0)
+    intercept[IllegalArgumentException] { Graft.decodeImages(junk.drop("payload")) }
+
+    // BPE training via the facade: the shared-prefix pair dominates
+    val bpe = Graft.bpeTrain(
+      Seq((1L, "see see seen"), (2L, "set")).toDF("doc_id", "text"), numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(bpe.head == (("s", "e", 4L)), s"got ${bpe.head}") // 's e' in all 4 words
+
+    // arrow write/read round-trip through the facade
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_arrow").toString
+    val frame = Seq((1L, "x", 1.5), (2L, "y", -0.5)).toDF("id", "s", "v")
+    Graft.writeArrow(frame, dir)
+    val back = Graft.readArrow(spark, dir)
+    assert(back.schema == frame.schema)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }

@@ -119,4 +119,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)),
       s"expected count-desc then lexicographic ties, got $got")
   }
+
+  test("BPE trainer learns the planted dominant pair first; matches the reference replay") {
+    import spark.implicits._
+    import graft.pipeline.BpeTrainer
+    // Sennrich's textbook shape: 'er' is the most frequent adjacent char pair
+    // (newer x3 + wider x2 = support 5)
+    val docs = Seq(
+      (1L, "newer newer newer wider"),
+      (2L, "wider low")
+    ).toDF("doc_id", "text")
+    val rules = BpeTrainer.bpeTrain(docs, numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rules.head == ((1, "e", "r", "er", 5L)), s"got ${rules.head}")
+    assert(rules.map(_._1).toSeq == (1 to rules.length), "ranks dense from 1")
+
+    // full parity with the in-memory reference on the same word-count table
+    val wordCounts = Seq("newer" -> 3L, "wider" -> 2L, "low" -> 1L)
+      .sortBy { case (w, c) => (-c, w) }
+    val ref = BpeTrainer.mergeLoop(wordCounts, 6)
+    assert(rules.toSeq == ref, s"spark path diverged from reference:\n$ref\nvs\n${rules.toSeq}")
+
+    // determinism across runs
+    val again = BpeTrainer.bpeTrain(docs, numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(again.sameElements(rules))
+
+    // vocabCap bounds what the loop sees: cap 1 -> only "newer"'s pairs exist
+    val capped = BpeTrainer.bpeTrain(docs, numMerges = 2, vocabCap = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(capped.head == (("e", "r", 3L)), s"got ${capped.head}")
+
+    // merges exhaust gracefully below numMerges (short corpus, many merges requested)
+    val tiny = BpeTrainer.bpeTrain(Seq((1L, "ab")).toDF("doc_id", "text"), numMerges = 50)
+    assert(tiny.count() == 1, "one possible merge in a 2-char corpus")
+  }
 }

@@ -39,14 +39,25 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # optional 3rd arg: comma-separated query names to skip (e.g. the pair-exhaustive
+    # O(n^2) oracles, which are infeasible in DuckDB at rehearsal scale BY CONSTRUCTION
+    # — avoiding that n^2 is what the engine's LSH/prefix-filter forms are for)
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    import time
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP {name} (declared infeasible-oracle at this sf)", flush=True)
+            continue
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            t0 = time.time()
             got = pq.read_table(spark_path)
             want = con.execute(oracles[name]).fetch_arrow_table()
+            if time.time() - t0 > 10:
+                print(f"  [{name}: oracle took {time.time()-t0:.0f}s]", flush=True)
             gc, gr = table_rows(got)
             wc, wr = table_rows(want)
             if gc != wc:
@@ -57,9 +68,9 @@ def main():
                 print(f"  spark: {gr[diff] if diff < len(gr) else '<none>'}")
                 print(f"  duck : {wr[diff] if diff < len(wr) else '<none>'}")
                 n_fail += 1; continue
-            print(f"PASS {name} ({len(gr)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(gr)} rows)", flush=True); n_pass += 1
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
