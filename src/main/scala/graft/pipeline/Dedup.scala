@@ -301,7 +301,7 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------------------
 
-  private val SimhashBlocks = 8
+
 
   /**
    * (doc_id, simhash) — 64-bit SimHash over token hashes (term-frequency weighted, the
@@ -391,16 +391,32 @@ object Dedup {
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /**
-   * SimHash near-dup pairs with hamming distance <= maxHamming, candidates from 8-bit block
-   * bands. The default maxHamming=7 stays inside the pigeonhole guarantee (8 equal blocks
-   * find every pair with < 8 differing bits), so banding loses nothing; strong near-dups
-   * land well under. Hash-seeded — not SQL-expressible, so driver check is rows-only;
-   * DedupSpec asserts recall against the exact-jaccard pairs.
+   * SimHash near-dup pairs with hamming distance <= maxHamming, candidates from block
+   * bands. The block structure DERIVES from maxHamming: B = maxHamming+1 blocks is the
+   * minimum satisfying the pigeonhole guarantee (a pair differing in <= maxHamming bits
+   * has at least one equal block), and the fewest blocks means the WIDEST blocks —
+   * 64/B bits each, i.e. 2^(64/B) bucket values, the most candidate-pruning granularity
+   * the guarantee permits. maxHamming=7 keeps the historical 8x8-bit layout; a caller
+   * at maxHamming=3 gets 4 blocks of 16 bits (65536-value keys — occupancy 256x lower
+   * at the same corpus size). This granularity CAP is intrinsic to exact pigeonhole
+   * banding: candidates scale as O(B * n^2 / 2^(64/B)), so the exact form is sized for
+   * per-shard corpora (~1M docs/shard at d=7; see SURVEY §4) — corpus-wide near-dup at
+   * 100 TB routes through minhash-LSH / embedding-LSH, whose geometry adapts to n.
+   * Hash-seeded — not SQL-expressible, so driver check is rows-only; DedupSpec asserts
+   * recall against the exact-jaccard pairs.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64), got $maxHamming")
     val sh = simhashes(docs)
-    val blocks = (0 until SimhashBlocks).map { k =>
-      struct(lit(k).as("blk"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("bv"))
+    val nBlocks = maxHamming + 1
+    // widths sum to 64: the first (64 % B) blocks take the extra bit
+    val base = 64 / nBlocks
+    val widths = Seq.tabulate(nBlocks)(k => if (k < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blocks = (0 until nBlocks).map { k =>
+      val mask = if (widths(k) == 64) -1L else (1L << widths(k)) - 1L
+      struct(lit(k).as("blk"),
+        shiftright(col("simhash"), offsets(k)).bitwiseAND(lit(mask)).as("bv"))
     }
     val banded = sh.select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.bv").as("bv"))

@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${strong.size} strong pairs")
   }
 
+  test("simhash block structure derives from maxHamming without losing the guarantee") {
+    // tighter threshold -> fewer, wider blocks (d=3: 4 x 16-bit). The pigeonhole
+    // guarantee makes banding lossless within d, so the d=3 result must EQUAL the d=7
+    // result filtered to hamming <= 3 — on the real corpus, different block layouts
+    // and all.
+    val at7 = Dedup.dedupSimhash(spark, sf, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val at3 = Dedup.dedupSimhash(spark, sf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(at3 == at7.filter(_._3 <= 3),
+      s"4x16-bit banding must find exactly the hamming<=3 subset: ${at3.size} vs ${at7.count(_._3 <= 3)}")
+    // d=0 degenerates to one 64-bit block: exact-signature duplicates only
+    val at0 = Dedup.dedupSimhash(spark, sf, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(at0 == at7.filter(_._3 == 0), "single-block layout finds exact-hash pairs")
+  }
+
   test("LSH-bucketed embedding near-dup recalls the exact cross-join pairs") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf, tau = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
