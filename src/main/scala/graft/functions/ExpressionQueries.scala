@@ -592,17 +592,24 @@ object ExpressionQueries {
       .agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
-        // extreme prices are unique per group in this dataset, so the argmin is deterministic
-        min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order"),
-        max_by(col("l_orderkey"), col("l_extendedprice")).as("priciest_order"))
+        // the ordering key is the (price, orderkey) PAIR: argmin/argmax over a value with
+        // ties is engine-arbitrary (the sf1 rehearsal's replicated corpus hit exactly
+        // that — identical extreme prices in every replica), and min_by over a struct
+        // makes the winner total-ordered on both engines
+        min_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"))).as("cheapest_order"),
+        max_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"))).as("priciest_order"))
       .orderBy(col("l_returnflag"))
 
+  // DuckDB 1.0's arg_min rejects struct ordering keys; lexicographic struct MIN/MAX with
+  // field extraction is the same total order
   val qAggStats2Sql: String =
     """SELECT l_returnflag,
       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
       |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
-      |  arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
-      |  arg_max(l_orderkey, l_extendedprice) AS priciest_order
+      |  min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS cheapest_order,
+      |  max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS priciest_order
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /**
