@@ -14,6 +14,8 @@ object SparkEntry {
     operators.TpchQueries.all ++
       operators.TpcdsShapedQueries.all ++
       operators.RelationalOps.all ++
+      operators.MergeOps.all ++
+      operators.GraphOps.all ++
       functions.ExpressionQueries.all ++
       operators.EventsQueries.all ++
       pipeline.Dedup.all ++
@@ -24,7 +26,9 @@ object SparkEntry {
       pipeline.TextRetrieval.all ++
       pipeline.Profiling.all ++
       pipeline.Packing.all ++
-      pipeline.BpeTrainer.all
+      pipeline.BpeTrainer.all ++
+      pipeline.SemanticDedup.all ++
+      pipeline.HeavyHitters.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
@@ -32,6 +36,8 @@ object SparkEntry {
     operators.TpchQueries.oracles ++
       operators.TpcdsShapedQueries.oracles ++
       operators.RelationalOps.oracles ++
+      operators.MergeOps.oracles ++
+      operators.GraphOps.oracles ++
       functions.ExpressionQueries.oracles ++
       operators.EventsQueries.oracles ++
       pipeline.Dedup.oracles ++
@@ -42,5 +48,7 @@ object SparkEntry {
       pipeline.TextRetrieval.oracles ++
       pipeline.Profiling.oracles ++
       pipeline.Packing.oracles ++
-      pipeline.BpeTrainer.oracles
+      pipeline.BpeTrainer.oracles ++
+      pipeline.SemanticDedup.oracles ++
+      pipeline.HeavyHitters.oracles
 }

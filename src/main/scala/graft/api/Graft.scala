@@ -62,6 +62,12 @@ object Graft {
   def embeddingNearDupPairs(vecs: DataFrame, tau: Double = 0.45): DataFrame =
     Dedup.embeddingPairsLsh(vecsFrame(vecs), tau)
 
+  /** SemDeDup semantic dedup: k-means-cluster the embedding space, keep-min-id within
+    * each cluster at cosine >= tau. Returns (vec_id, cluster, keep 0/1) for every
+    * vector; per-cluster work is bounded by cluster size — scale by raising k. */
+  def semanticDedup(vecs: DataFrame, k: Int = 16, tau: Double = 0.45): DataFrame =
+    graft.pipeline.SemanticDedup.semanticDedup(vecsFrame(vecs), k, tau)
+
   /** Segment-level exact dedup (C4/RefinedWeb line-dedup analog): every distinct k-token
     * segment survives only at its first corpus-wide occurrence; docs are reassembled from
     * surviving segments. Returns (doc_id, n_segs, n_kept, dedup_text) for every doc. */
@@ -146,11 +152,23 @@ object Graft {
       requireCols(docs, "documents", "doc_id", "text", streamCol), streamCol, budget,
       shardDocs)
 
+  /** Tokenize docs with a trained merge table (broadcast rules, map-only kernel with a
+    * per-partition word memo): (doc_id, n_tokens, n_unique) per document. */
+  def bpeEncode(docs: DataFrame, rules: DataFrame): DataFrame =
+    graft.pipeline.BpeTrainer.bpeEncode(docsFrame(docs), rules)
+
   /** BPE merge-rule training (Sennrich et al. ACL'16): distributed word counting, then
     * the classic merge loop over the bounded top-`vocabCap` word table (deterministic
     * lexicographic tie-break). Returns (rank, left, right, merged, support). */
   def bpeTrain(docs: DataFrame, numMerges: Int = 100, vocabCap: Int = 10000): DataFrame =
     graft.pipeline.BpeTrainer.bpeTrain(docsFrame(docs), numMerges, vocabCap)
+
+  /** Approximate heavy hitters (SpaceSaving): top-k values of `itemCol` with
+    * (est, err) bounds; per-task state capped at `capacity` counters at any scale. */
+  def approxTopK(df: DataFrame, itemCol: String, k: Int = 20,
+      capacity: Int = 4096): DataFrame =
+    graft.pipeline.HeavyHitters.approxTopK(
+      requireCols(df, "items", itemCol).select(col(itemCol)), k, capacity)
 
   /** Corpus-wide top-k bigrams by count (map-side-combined; TakeOrdered final). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =

@@ -97,10 +97,85 @@ object BpeTrainer {
   def textBpe(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(TableIO.documents(spark, dir), numMerges = 40)
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe" -> (textBpe(_, _)))
+  /** Classic BPE application to one word: repeatedly merge the LOWEST-rank rule present
+    * (all its occurrences at once) until no rule applies — the exact inverse traversal
+    * of [[mergeLoop]]'s construction order, and what HF-tokenizers/sentencepiece do at
+    * encode time. Shared by the distributed kernel and the spec's reference replay. */
+  private[graft] def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length &&
+              ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue) == bestRank) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
 
-  // rows-only by declared design: iterative argmax is not SQL-expressible;
-  // TextAnalysisSpec replays the in-memory reference against the Spark path
+  /**
+   * Tokenize `docs` with a trained merge-rule table: (doc_id, n_tokens, n_unique) per
+   * document. The rule table is BOUNDED (numMerges rows) so it collects and broadcasts
+   * like the IVF centroids; encoding is then a map-only typed kernel with a per-partition
+   * word -> tokens memo (natural-language word frequency is Zipfian, so the memo turns
+   * per-word work amortized-O(1) across a partition). No shuffle at all — the 100 TB
+   * plan is scan + project.
+   */
+  def bpeEncode(docs: DataFrame, rules: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = rules.select(col("rank"), col("left"), col("right"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L)
+          else {
+            val words = text.trim.split("\\s+").filter(_.nonEmpty)
+            var n = 0L
+            val uniq = scala.collection.mutable.HashSet.empty[String]
+            words.foreach { w =>
+              val toks = memo.getOrElseUpdate(w, encodeWord(w, bc.value))
+              n += toks.length
+              uniq ++= toks
+            }
+            (id, n, uniq.size.toLong)
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "n_unique")
+  }
+
+  /** `text_bpe_encode`: train 40 merges on the corpus, then tokenize every document
+    * with them. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TableIO.documents(spark, dir)
+    bpeEncode(docs, bpeTrain(docs, numMerges = 40)).orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (textBpe(_, _)),
+    "text_bpe_encode" -> (textBpeEncode(_, _)))
+
+  // rows-only by declared design: iterative argmax state (training) and rank-priority
+  // rewriting (encoding) are not SQL-expressible; TextAnalysisSpec replays an in-memory
+  // reference implementation against both Spark paths
   val oracles: Map[String, String] = Map.empty
 }

@@ -254,5 +254,14 @@ class GraftApiSpec extends AnyFunSuite {
     val back = Graft.readArrow(spark, dir)
     assert(back.schema == frame.schema)
     assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // semantic dedup on a user frame: the exact copy (higher id, same cluster) drops
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)), (3L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sem = Graft.semanticDedup(vecs, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(sem == Map(1L -> 1, 2L -> 1, 3L -> 0), s"got $sem")
+    intercept[IllegalArgumentException] { Graft.semanticDedup(vecs.drop("embedding")) }
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  /** In-memory power-iteration reference: same fixed-iteration, symmetric-graph rule. */
+  private def referencePr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = out.size.toDouble
+    var pr = out.keys.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val contribs = edges.groupBy(_._2).view.mapValues { in =>
+        in.map { case (s, _) => pr(s) / out(s).size }.sum
+      }.toMap
+      pr = out.keys.map(id => id -> (0.15 / n + 0.85 * contribs.getOrElse(id, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the in-memory power iteration on a hand graph") {
+    import spark.implicits._
+    // path 1-2-3 plus pendant 4 on 2 (symmetric): 2 is the hub
+    val undirected = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+    val sym = undirected ++ undirected.map(_.swap)
+    val got = GraphOps.pageRank(sym.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referencePr(sym, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, pr) =>
+      assert(math.abs(pr - want(id)) < 1e-12, s"node $id: $pr vs ${want(id)}")
+    }
+    assert(got(2L) > got(1L) && got(2L) > got(3L) && got(2L) > got(4L), "hub must rank highest")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass is conserved on a symmetric graph")
+  }
+
+  test("q_pagerank returns a full top-50 with a total deterministic order") {
+    val rows = GraphOps.qPagerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 50)
+    // non-increasing by score; ties strictly increasing by partkey
+    rows.sliding(2).foreach { case Array((k1, p1), (k2, p2)) =>
+      assert(p1 > p2 || (p1 == p2 && k1 < k2), s"order violated at ($k1,$p1) ($k2,$p2)")
+    }
+    val again = GraphOps.qPagerank(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.sameElements(again), "fixed-iteration pagerank must be deterministic")
+  }
+}

@@ -154,4 +154,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     val tiny = BpeTrainer.bpeTrain(Seq((1L, "ab")).toDF("doc_id", "text"), numMerges = 50)
     assert(tiny.count() == 1, "one possible merge in a 2-char corpus")
   }
+
+  test("BPE encoder reproduces training segmentation and handles unseen words") {
+    import spark.implicits._
+    import graft.pipeline.BpeTrainer
+    val docs = Seq(
+      (1L, "newer newer newer wider"),
+      (2L, "wider low")
+    ).toDF("doc_id", "text")
+    val rules = BpeTrainer.bpeTrain(docs, numMerges = 6)
+    val ranks = rules.collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+
+    // encoding a training word yields the training loop's final segmentation for it:
+    // replay mergeLoop on the training table and read off each word's end state
+    var seqs = Seq("newer" -> 3L, "wider" -> 2L, "low" -> 1L)
+      .map { case (w, c) => (w, w.map(_.toString).toArray, c) }
+    BpeTrainer.mergeLoop(Seq("newer" -> 3L, "wider" -> 2L, "low" -> 1L), 6)
+      .foreach { case (_, l, r, m, _) =>
+        seqs = seqs.map { case (w, s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += m; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          (w, out.toArray, c)
+        }
+      }
+    seqs.foreach { case (w, expected, _) =>
+      val got = BpeTrainer.encodeWord(w, ranks)
+      assert(got.sameElements(expected), s"$w: ${got.toSeq} vs ${expected.toSeq}")
+    }
+
+    // unseen word: known merges apply, the rest stays as characters — never throws
+    assert(BpeTrainer.encodeWord("lower", ranks).nonEmpty)
+    assert(BpeTrainer.encodeWord("xyz", Map.empty).toSeq == Seq("x", "y", "z"))
+
+    // distributed kernel: n_tokens is the sum of per-word encoded lengths
+    val enc = BpeTrainer.bpeEncode(docs, rules).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lenOf = seqs.map { case (w, s, _) => w -> s.length }.toMap
+    assert(enc(1L)._1 == 3 * lenOf("newer") + lenOf("wider"), s"got ${enc(1L)}")
+    assert(enc(2L)._1 == lenOf("wider") + lenOf("low"))
+    // null/empty docs stay visible with zero counts
+    val nulls = BpeTrainer.bpeEncode(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), rules).collect()
+    assert(nulls.head.getLong(1) == 0L && nulls.head.getLong(2) == 0L)
+  }
 }
