@@ -21,21 +21,33 @@ import graft.sources.TableIO
 object GraphOps {
 
   /**
-   * Fixed-iteration damped PageRank over a symmetric (src, dst) edge list.
-   * Returns (id, pr) for every node with at least one edge. Symmetry means every node
-   * has both in- and out-degree, so no dangling-mass redistribution term is needed.
+   * Fixed-iteration damped PageRank over a symmetric (src, dst) edge list. Multi-edges
+   * are deduplicated internally (the adjacency build is set-valued), so callers may pass
+   * a raw pair list. Returns (id, pr) for every node with at least one edge. Symmetry
+   * means every node has both in- and out-degree, so no dangling-mass redistribution
+   * term is needed.
    */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = deg.count()
-    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    // Adjacency-set build: ONE shuffle (groupBy src) dedups multi-edges, computes the
+    // out-degree, and leaves the frame hash-partitioned on src all at once — the
+    // explode back to (src, dst, w=1/deg) is map-only and keeps that partitioning for
+    // the cached per-iteration frame. (The GraphX representation: per-vertex adjacency;
+    // per-group memory is one node's neighbor set, the same bound GraphX carries.)
+    val ew = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), explode(col("dsts")).as("dst"),
+        (lit(1.0) / size(col("dsts"))).as("w"))
+      .cache()
+    // Node count off the CACHED frame (first action, so it also populates the cache);
+    // counting via `deg` would re-run the whole edge lineage a second time.
+    val n = ew.select(col("src")).distinct().count()
+    var ranks = ew.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
     var it = 0
     while (it < iterations) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .select(col("dst").as("id"), (col("pr") * col("w")).as("c"))
       val next = contribs.groupBy(col("id"))
         .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
         .localCheckpoint()
@@ -43,7 +55,7 @@ object GraphOps {
       ranks = next
       it += 1
     }
-    e.unpersist()
+    ew.unpersist()
     ranks
   }
 
@@ -53,14 +65,16 @@ object GraphOps {
    * order (pr6 desc, then partkey).
    */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // Co-purchase pairs WITHOUT a fact-fact self-join: one groupBy(order) shuffle of the
+    // scan (vs shuffling both join sides), then the per-order part set expands to ordered
+    // pairs map-side (orders hold a handful of parts, so the blow-up is local and tiny).
     val li = TableIO.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.alias("a")
-    val b = li.alias("b")
-    val edges = a.join(b,
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val edges = perOrder
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
     pageRank(edges, iterations = 3)
       .select(col("id").as("l_partkey"), round(col("pr"), 6).as("pr6"))
       .orderBy(col("pr6").desc, col("l_partkey"))
