@@ -91,9 +91,72 @@ object MergeOps {
       |) u
       |ORDER BY c_custkey, is_current""".stripMargin
 
+  /**
+   * Incremental aggregate maintenance (delta-refresh of a materialized `groupBy` view —
+   * the Delta/Iceberg/Materialize "incremental MV" shape): a maintained state
+   * (key, cnt, total) absorbs a CDC batch (key, op ∈ {+1,-1}, value) WITHOUT rescanning
+   * the base table. At 100 TB this is the difference between touching the delta
+   * (megabytes) and recomputing the view (the full corpus).
+   *
+   * Plan shape: union state with the op-signed delta, ONE map-side-combined groupBy on
+   * the key; groups whose count reaches zero drop out of the view. Totals must be exact
+   * types (decimal/long) so that incremental and recomputed states are bit-identical —
+   * that equivalence is exactly what the q_incremental_agg oracle checks (the oracle is
+   * the full recompute).
+   *
+   * Retractions must correspond to previously-applied inserts (standard CDC contract;
+   * same as Flink's retract streams).
+   */
+  def incrementalAgg(state: DataFrame, delta: DataFrame, key: String,
+      cntCol: String, totalCol: String, opCol: String, valCol: String): DataFrame = {
+    val signed = delta.select(col(key),
+      col(opCol).cast("long").as(cntCol),
+      (col(opCol) * col(valCol)).as(totalCol))
+    state.select(col(key), col(cntCol), col(totalCol))
+      .unionByName(signed)
+      .groupBy(col(key))
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(totalCol)).as(totalCol))
+      .filter(col(cntCol) > 0)
+  }
+
+  /**
+   * `q_incremental_agg`: sliding-window view maintenance over orders. The maintained
+   * view is per-customer (order count, total spend) for orders before 2000; one delta
+   * batch retracts everything before 1996 (TTL expiry) and inserts everything from 2000
+   * on. The DuckDB oracle recomputes the surviving window [1996, ∞) from scratch —
+   * hash-equality proves the incremental path IS the recompute (decimal-exact, so no
+   * fp-order slack is needed).
+   */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir).select(col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val state = o.filter(col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+    val retract = o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .select(col("o_custkey"), lit(-1).as("op"), col("v"))
+    val insert = o.filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select(col("o_custkey"), lit(1).as("op"), col("v"))
+    incrementalAgg(state, retract.unionByName(insert),
+        "o_custkey", "cnt", "total", "op", "v")
+      .select(col("o_custkey"), col("cnt"),
+        col("total").cast("decimal(18,2)").cast("string").as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qIncrementalAggSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_merge_scd2" -> (qMergeScd2(_, _)))
+    "q_merge_scd2" -> (qMergeScd2(_, _)),
+    "q_incremental_agg" -> (qIncrementalAgg(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_merge_scd2" -> qMergeScd2Sql)
+    "q_merge_scd2" -> qMergeScd2Sql,
+    "q_incremental_agg" -> qIncrementalAggSql)
 }

@@ -45,4 +45,38 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"),
       s"expected RankLimitRule to rewrite the rn=1 window:\n$plan")
   }
+
+  test("incrementalAgg: absorbs inserts/retracts; empty groups vanish; new keys appear") {
+    import spark.implicits._
+    val state = Seq((1L, 2L, 30L), (2L, 1L, 5L)).toDF("k", "cnt", "total")
+    val delta = Seq(
+      (1L, 1, 12L),   // insert into existing group
+      (2L, -1, 5L),   // retract group 2's only row -> group drops
+      (3L, 1, 7L),    // brand-new key
+      (3L, 1, 9L)).toDF("k", "op", "v")
+    val got = MergeOps.incrementalAgg(state, delta, "k", "cnt", "total", "op", "v")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 42L), (3L, 2L, 16L)))
+  }
+
+  test("incrementalAgg equals full recompute on a randomized CDC history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // base rows, then a delta that retracts a subset of base and inserts fresh rows
+    val base = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+    val retracted = base.filter(_._1 % 3 == 0)
+    val inserted = Seq.tabulate(80)(i => (1000L + i, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+    val baseDf = base.toDF("id", "k", "v")
+    val state = baseDf.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count("*").as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("total"))
+    val delta = (retracted.map(r => (r._2, -1, r._3)) ++ inserted.map(r => (r._2, 1, r._3)))
+      .toDF("k", "op", "v")
+    val got = MergeOps.incrementalAgg(state, delta, "k", "cnt", "total", "op", "v")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val surviving = base.filterNot(_._1 % 3 == 0) ++ inserted
+    val want = surviving.groupBy(_._2).map { case (k, rows) =>
+      (k, rows.size.toLong, rows.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
 }
