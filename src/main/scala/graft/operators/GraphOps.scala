@@ -64,17 +64,24 @@ object GraphOps {
    * order, both directions). Scores rounded to 6 decimals for a total cross-engine
    * order (pr6 desc, then partkey).
    */
-  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // Co-purchase pairs WITHOUT a fact-fact self-join: one groupBy(order) shuffle of the
-    // scan (vs shuffling both join sides), then the per-order part set expands to ordered
-    // pairs map-side (orders hold a handful of parts, so the blow-up is local and tiny).
+  /**
+   * Co-purchase edge list (parts sharing an order, both directions) WITHOUT a fact-fact
+   * self-join: one groupBy(order) shuffle of the scan (vs shuffling both join sides),
+   * then the per-order part set expands to ordered pairs map-side (orders hold a handful
+   * of parts, so the blow-up is local and tiny). May contain multi-edges; consumers
+   * dedup as needed.
+   */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = TableIO.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val perOrder = li.groupBy(col("l_orderkey"))
+    li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-    val edges = perOrder
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
+  }
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
     pageRank(edges, iterations = 3)
       .select(col("id").as("l_partkey"), round(col("pr"), 6).as("pr6"))
       .orderBy(col("pr6").desc, col("l_partkey"))
@@ -113,9 +120,82 @@ object GraphOps {
       |ORDER BY pr6 DESC, l_partkey
       |LIMIT 50""".stripMargin
 
+  /**
+   * Multi-source BFS: minimum hop distance from any seed, bounded at `maxHops`.
+   * Same iterative discipline as pageRank/connectedComponents: edges cached and
+   * pre-partitioned on the join key, per round ONE join + distinct + anti-join (all
+   * shuffles on the node id), localCheckpoint keeps the plan O(1) in rounds, the driver
+   * loops over ROUNDS (with an early exit when the frontier drains), never rows.
+   * The frontier-based formulation ships only NEWLY reached nodes each round — at
+   * 100 TB the per-round work decays with the frontier instead of rescanning the
+   * visited set.
+   *
+   * `edges`: directed (src, dst), multi-edges fine; `seeds`: (id). Returns (id, hop).
+   */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    var visited = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select(col("id"))
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val next = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(h).as("hop")).localCheckpoint()
+      drained = next.isEmpty
+      if (!drained) {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select(col("id"))
+      }
+      h += 1
+    }
+    e.unpersist()
+    visited
+  }
+
+  /**
+   * `q_bfs`: hop distance from the partkey%97==0 seed parts over the co-purchase graph,
+   * bounded at 2 hops. Pure integer arithmetic — the DuckDB oracle unrolls the two
+   * frontier steps as CTEs and must hash-match exactly.
+   */
+  def qBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val seeds = edges.select(col("src").as("id"))
+      .filter(col("id") % 97 === 0).distinct()
+    bfs(edges, seeds, maxHops = 2)
+      .select(col("id").as("l_partkey"), col("hop"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val qBfsSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), seeds AS (
+      |  SELECT DISTINCT src AS id FROM edges WHERE src % 97 = 0
+      |), h1 AS (
+      |  SELECT DISTINCT e.dst AS id FROM edges e JOIN seeds s ON e.src = s.id
+      |  WHERE e.dst NOT IN (SELECT id FROM seeds)
+      |), h2 AS (
+      |  SELECT DISTINCT e.dst AS id FROM edges e JOIN h1 f ON e.src = f.id
+      |  WHERE e.dst NOT IN (SELECT id FROM seeds UNION ALL SELECT id FROM h1)
+      |)
+      |SELECT id AS l_partkey, hop FROM (
+      |  SELECT id, 0 AS hop FROM seeds
+      |  UNION ALL SELECT id, 1 FROM h1
+      |  UNION ALL SELECT id, 2 FROM h2
+      |) u
+      |ORDER BY l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPagerank(_, _)))
+    "q_pagerank" -> (qPagerank(_, _)),
+    "q_bfs" -> (qBfs(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> qPagerankSql)
+    "q_pagerank" -> qPagerankSql,
+    "q_bfs" -> qBfsSql)
 }

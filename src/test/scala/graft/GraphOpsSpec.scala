@@ -49,4 +49,33 @@ class GraphOpsSpec extends AnyFunSuite {
     val again = GraphOps.qPagerank(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.sameElements(again), "fixed-iteration pagerank must be deterministic")
   }
+
+  test("bfs assigns minimum hop distances and respects the hop bound") {
+    import spark.implicits._
+    // chain 1->2->3->4->5 with a shortcut 1->4; seed at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.bfs(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 is reached in 1 hop via the shortcut, 5 in 2; the plain chain would say 3 and 4
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfs drains early on a short graph and dedups multi-edges and seed ids") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 1L).toDF("id")
+    val got = GraphOps.bfs(edges, seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("disconnected nodes never appear; multi-seed takes the nearest seed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = GraphOps.bfs(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 11L -> 1, 3L -> 2))
+  }
 }
