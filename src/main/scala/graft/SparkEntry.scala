@@ -28,7 +28,8 @@ object SparkEntry {
       pipeline.Packing.all ++
       pipeline.BpeTrainer.all ++
       pipeline.SemanticDedup.all ++
-      pipeline.HeavyHitters.all
+      pipeline.HeavyHitters.all ++
+      pipeline.Linkage.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same parquet
     * tables. Omitted keys get the driver's weaker rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
       pipeline.Packing.oracles ++
       pipeline.BpeTrainer.oracles ++
       pipeline.SemanticDedup.oracles ++
-      pipeline.HeavyHitters.oracles
+      pipeline.HeavyHitters.oracles ++
+      pipeline.Linkage.oracles
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
-import graft.pipeline.{Dedup, Profiling, Sampling, Similarity, TextAnalysis, TextRetrieval}
+import graft.pipeline.{Dedup, Linkage, Profiling, Sampling, Similarity, TextAnalysis, TextRetrieval}
 
 /**
  * The user-facing library surface — every data-curation operator on ARBITRARY DataFrames,
@@ -238,6 +238,35 @@ object Graft {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       discriminator: org.apache.spark.sql.Column, salts: Int = 16): DataFrame =
     SkewJoin.saltedInner(probe, build, key, discriminator, salts)
+
+  /** Fixed-iteration damped PageRank over a symmetric (src, dst) edge list; one
+    * shuffle per iteration, O(1) plan size in iterations. */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame =
+    graft.operators.GraphOps.pageRank(
+      requireCols(edges, "edges", "src", "dst"), iterations, damping)
+
+  /** Multi-source BFS: minimum hops from any seed (id column), bounded at maxHops;
+    * frontier-based, early exit when the frontier drains. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    graft.operators.GraphOps.bfs(
+      requireCols(edges, "edges", "src", "dst"), requireCols(seeds, "seeds", "id"), maxHops)
+
+  /** Incremental aggregate-view maintenance: state (key,cnt,total) absorbs a CDC batch
+    * (key, op∈{+1,-1}, value) in one shuffle, without rescanning the base table. */
+  def incrementalAgg(state: DataFrame, delta: DataFrame, key: String = "k",
+      cntCol: String = "cnt", totalCol: String = "total",
+      opCol: String = "op", valCol: String = "v"): DataFrame =
+    graft.operators.MergeOps.incrementalAgg(
+      requireCols(state, "state", key, cntCol, totalCol),
+      requireCols(delta, "delta", key, opCol, valCol),
+      key, cntCol, totalCol, opCol, valCol)
+
+  /** Record linkage: best clean match per dirty record by blocked Jaro-Winkler
+    * comparison (native codegen expression; candidates only within equal `block`). */
+  def linkRecords(clean: DataFrame, dirty: DataFrame, threshold: Double = 0.8): DataFrame =
+    Linkage.linkRecords(
+      requireCols(clean, "clean", "id", "name", "block"),
+      requireCols(dirty, "dirty", "id", "name", "block"), threshold)
 
   /** BM25 ranked retrieval: (doc_id, n_hits, score) for every document matching >= 1
     * query term. Rank cuts belong to the caller (compose with topKPerKey). */

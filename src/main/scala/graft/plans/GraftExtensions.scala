@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, L2Distance, RankLimitRule,
-  SortedIntersectSize, TopKPerKeyStrategy}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, JaroWinkler, L2Distance,
+  RankLimitRule, SortedIntersectSize, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       FunctionRegistryBase.expressionInfo[SortedIntersectSize]("sorted_intersect_size", None),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      FunctionRegistryBase.expressionInfo[JaroWinkler]("jaro_winkler", None),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
   }
 }

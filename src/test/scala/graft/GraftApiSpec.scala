@@ -264,4 +264,13 @@ class GraftApiSpec extends AnyFunSuite {
     assert(sem == Map(1L -> 1, 2L -> 1, 3L -> 0), s"got $sem")
     intercept[IllegalArgumentException] { Graft.semanticDedup(vecs.drop("embedding")) }
   }
+
+  test("linkRecords facade: blocked fuzzy linkage on user frames, schema-guarded") {
+    import spark.implicits._
+    val clean = Seq((1L, "acme corp", "c"), (2L, "apex corp", "c")).toDF("id", "name", "block")
+    val dirty = Seq((9L, "acme c0rp", "c")).toDF("id", "name", "block")
+    val got = Graft.linkRecords(clean, dirty).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1L)
+    intercept[IllegalArgumentException] { Graft.linkRecords(clean.drop("block"), dirty) }
+  }
 }
