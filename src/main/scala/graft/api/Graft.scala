@@ -182,6 +182,12 @@ object Graft {
 
   /** Top-k vocabulary with cumulative corpus coverage (rank, tok, cnt, cum_cov) — the
     * Zipf report a tokenizer-vocab decision truncates. */
+  /** DSIR importance scores: mean per-token ln(p_target/p_corpus) under add-one
+    * unigram LMs; `isTarget` marks the rows defining the target distribution.
+    * Compose with a rank cut (e.g. topKPerKey / orderBy.limit) to select. */
+  def dsirScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column): DataFrame =
+    TextAnalysis.dsirScores(docsFrame(docs), isTarget)
+
   def vocabCoverage(docs: DataFrame, k: Int = 30): DataFrame =
     TextAnalysis.vocabCoverage(docsFrame(docs), k)
 

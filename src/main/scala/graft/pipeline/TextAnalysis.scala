@@ -445,6 +445,70 @@ object TextAnalysis {
       |CROSS JOIN total
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- DSIR importance scoring ---------------------------------------------------------
+
+  /**
+   * DSIR-style importance scoring (Xie et al. '23, "Data Selection via Importance
+   * Resampling") with the estimator reduced to its data-engine core: score every
+   * document by its mean per-token log importance ratio ln(p_target/p_corpus) under two
+   * add-one-smoothed unigram LMs — one trained on the rows matching `isTarget`
+   * (the distribution you WANT, e.g. a trusted reference corpus), one on the whole
+   * corpus. High score = looks like the target; the selection step is a rank cut the
+   * caller composes (the paper's Gumbel-noise sampling is a seeded tie-break away and
+   * deliberately left out so the result is exactly replayable).
+   *
+   * Scale shape: BOTH LMs train in ONE map-side-combined groupBy (the target count is a
+   * conditional aggregate of the same pass, not a second scan); totals ride a 1-row
+   * broadcast; scoring joins tokens to the vocabulary — dimension-sized, auto-broadcast.
+   * Same plan skeleton as perplexityScores, so everything said there about 100 TB holds.
+   */
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      sum(col("c_all")).cast("double").as("n_all"),
+      sum(col("c_tgt")).cast("double").as("n_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        avg(log((col("c_tgt") + 1) / (col("n_tgt") + col("v")))
+          - log((col("c_all") + 1) / (col("n_all") + col("v")))).as("s"))
+      .select(col("doc_id"), col("n_tokens"), round(col("s"), 4).as("dsir4"))
+  }
+
+  /** `text_dsir`: top-50 documents most resembling the English slice of the corpus. */
+  def textDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(TableIO.documents(spark, dir), col("lang") === "en")
+      .orderBy(col("dsir4").desc, col("doc_id"))
+      .limit(50)
+
+  val textDsirSql: String =
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+      |                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |              FROM documents WHERE text IS NOT NULL),
+      |counts AS (SELECT tok, count(*) AS c_all,
+      |                  sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+      |           FROM toks GROUP BY tok),
+      |totals AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+      |                  CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+      |                  CAST(count(*) AS DOUBLE) AS v
+      |           FROM counts),
+      |scored AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |                  avg(ln((c.c_tgt + 1) / (tt.n_tgt + tt.v))
+      |                      - ln((c.c_all + 1) / (tt.n_all + tt.v))) AS s
+      |           FROM toks t JOIN counts c USING (tok) CROSS JOIN totals tt
+      |           GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, round(s, 4) AS dsir4
+      |FROM scored
+      |ORDER BY dsir4 DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   // ---- context-window chunking ---------------------------------------------------------
 
   /**
@@ -493,7 +557,8 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize(_, _)),
     "text_topgrams" -> (textTopgrams(_, _)),
     "text_perplexity" -> (textPerplexity(_, _)),
-    "text_vocab" -> (textVocab(_, _)))
+    "text_vocab" -> (textVocab(_, _)),
+    "text_dsir" -> (textDsir(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
@@ -507,5 +572,6 @@ object TextAnalysis {
     "text_normalize" -> textNormalizeSql,
     "text_topgrams" -> textTopgramsSql,
     "text_perplexity" -> textPerplexitySql,
-    "text_vocab" -> textVocabSql)
+    "text_vocab" -> textVocabSql,
+    "text_dsir" -> textDsirSql)
 }

@@ -68,6 +68,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental aggregate view: CDC batches fold in, replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-incagg").toString
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    val stream = MemoryStream[(Long, Int, Long)]
+    val q = graft.streaming.TableMaintenance.incrementalAggStream(
+      stream.toDF().toDF("k", "op", "v"), view, "k", "cnt", "total", "op", "v", ckpt)
+    try {
+      def state() = graft.streaming.TableMaintenance.readAggView(spark, view).get
+        .collect().map(r => r.getAs[Long]("k") ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("total")))).toMap
+      // batch 0: inserts only
+      stream.addData((1L, 1, 10L), (1L, 1, 20L), (2L, 1, 5L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> ((2L, 30L)), 2L -> ((1L, 5L))), s"got ${state()}")
+      // batch 1: retract one of key 1's rows, retract key 2 entirely, new key 3
+      stream.addData((1L, -1, 10L), (2L, -1, 5L), (3L, 1, 7L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> ((1L, 20L)), 3L -> ((1L, 7L))), s"got ${state()}")
+      // replay protection: re-applying an already-committed batch id is a no-op
+      val replay = Seq((1L, 1, 999L)).toDF("k", "op", "v")
+      graft.streaming.TableMaintenance.applyAggDelta(
+        replay, view, "k", "cnt", "total", "op", "v", batchId = 1L)
+      assert(state() == Map(1L -> ((1L, 20L)), 3L -> ((1L, 7L))),
+        "replayed batch must not double-apply")
+      // only the latest version directory survives
+      val vs = new java.io.File(view).listFiles().map(_.getName).filter(_.startsWith("v="))
+      assert(vs.toSeq == Seq("v=1"), s"got ${vs.toSeq}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("streaming dedup drops repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -97,6 +97,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got(4L)._2.get - math.log(13)) < 1e-3, s"hapax doc xent: ${got(4L)}")
   }
 
+  test("dsir: docs resembling the target slice outrank off-target docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target docs 1-2 speak "aa bb"; doc 4 speaks the target language without being in
+    // the target; doc 5 speaks tokens the target never uses; doc 6 has no text.
+    val docs = Seq(
+      (1L, "aa bb aa", true),
+      (2L, "bb aa bb", true),
+      (3L, "aa zz", false),
+      (4L, "aa bb", false),
+      (5L, "zz yy zz yy", false),
+      (6L, null.asInstanceOf[String], false)
+    ).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.dsirScores(docs, col("tgt")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(!got.contains(6L), "token-less docs have no tokens to score")
+    assert(got(4L)._2 > got(5L)._2, s"target-alike must outrank off-target: $got")
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(5L)._2, s"mixed doc ranks between: $got")
+    // hand check doc 5: tokens zz (c_all=3? no: zz appears in docs 3,5,5 -> c_all=3, c_tgt=0)
+    // and yy (c_all=2, c_tgt=0); N_all=14, N_tgt=6, V=4
+    val pT = (t: Long) => math.log((t + 1.0) / (6 + 4.0))
+    val pC = (c: Long) => math.log((c + 1.0) / (14 + 4.0))
+    val want5 = ((pT(0) - pC(3)) * 2 + (pT(0) - pC(2)) * 2) / 4
+    assert(math.abs(got(5L)._2 - (math.rint(want5 * 1e4) / 1e4)) < 1e-9,
+      s"doc 5 score ${got(5L)._2} vs hand-computed $want5")
+  }
+
   test("vocabCoverage ranks by frequency with monotone cumulative coverage") {
     import spark.implicits._
     // 10 tokens total: a x4, b x3, c x2, d x1
