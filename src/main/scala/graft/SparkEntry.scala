@@ -16,6 +16,7 @@ object SparkEntry {
       operators.RelationalOps.all ++
       operators.MergeOps.all ++
       operators.GraphOps.all ++
+      operators.Resample.all ++
       functions.ExpressionQueries.all ++
       operators.EventsQueries.all ++
       pipeline.Dedup.all ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.RelationalOps.oracles ++
       operators.MergeOps.oracles ++
       operators.GraphOps.oracles ++
+      operators.Resample.oracles ++
       functions.ExpressionQueries.oracles ++
       operators.EventsQueries.oracles ++
       pipeline.Dedup.oracles ++

@@ -267,6 +267,23 @@ object Graft {
       requireCols(delta, "delta", key, opCol, valCol),
       key, cntCol, totalCol, opCol, valCol)
 
+  /** Monthly resample of an irregular (key, ts, value) series: gap-free calendar grid
+    * per key, zero-filled event counts, last-observation-carried-forward values. */
+  def resampleMonthlyLocf(events: DataFrame, key: String, tsCol: String,
+      valCol: String): DataFrame =
+    graft.operators.Resample.monthlyLocf(
+      requireCols(events, "events", key, tsCol, valCol), key, tsCol, valCol)
+
+  /** Mergeable HLL sketch table at the finest dimension grain; serve any coarser
+    * rollup with mergeSketches — the base is never rescanned. */
+  def buildSketches(df: DataFrame, dims: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    Profiling.buildSketches(requireCols(df, "input", (dims :+ valueCol): _*), dims, valueCol, lgK)
+
+  def mergeSketches(sketches: DataFrame, keepDims: Seq[String]): DataFrame =
+    Profiling.mergeSketches(
+      requireCols(sketches, "sketches", (keepDims :+ "sketch"): _*), keepDims)
+
   /** Record linkage: best clean match per dirty record by blocked Jaro-Winkler
     * comparison (native codegen expression; candidates only within equal `block`). */
   def linkRecords(clean: DataFrame, dirty: DataFrame, threshold: Double = 0.8): DataFrame =

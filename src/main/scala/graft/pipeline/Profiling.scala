@@ -108,9 +108,46 @@ object Profiling {
       |  NULL, NULL, min(flag_nullable), max(flag_nullable) FROM src
       |ORDER BY "column"""".stripMargin
 
+  // ---- mergeable distinct-count sketch rollup ------------------------------------------
+
+  /**
+   * Pre-aggregated HLL sketch table (Apache DataSketches, via Spark's native
+   * `hll_sketch_agg`): one binary sketch per fine-grained dimension cell. This is the
+   * lakehouse "sketch rollup" serving pattern — at 100 TB you count distincts ONCE at
+   * the finest grain, persist the view-sized sketch table, and answer every coarser
+   * rollup by merging sketches (`mergeSketches`) without ever rescanning the base.
+   * Sketch union is associative/commutative and insensitive to row order, so serving
+   * results are deterministic for a fixed input SET.
+   */
+  def buildSketches(df: DataFrame, dims: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Serve a coarser rollup from a sketch table: merge cells, estimate distinct count. */
+  def mergeSketches(sketches: DataFrame, keepDims: Seq[String]): DataFrame =
+    sketches.groupBy(keepDims.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("ndv_est"))
+
+  /**
+   * `q_hll_rollup`: distinct customers per order-status, served by merging per-(status,
+   * year) sketches — never recounting the base. Rows-only (the DataSketches HLL binary
+   * layout has no DuckDB twin); ProfilingSpec proves the estimate against the exact
+   * count and the merge identity (union of cell sketches == whole-slice sketch).
+   */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("yr"), col("o_custkey"))
+    val cells = buildSketches(o, Seq("o_orderstatus", "yr"), "o_custkey")
+    mergeSketches(cells, Seq("o_orderstatus"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_profile" -> profileQuery _)
+    "q_profile" -> profileQuery _,
+    "q_hll_rollup" -> (qHllRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql)
+    // q_hll_rollup: sketch-based -> rows-only + merge-identity/error-bound spec
 }

@@ -83,4 +83,32 @@ class RetrievalProfilingSpec extends AnyFunSuite {
       .linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"approx mode must profile in one scan, saw $scans")
   }
+
+  test("sketch rollup: merged cell sketches == whole-slice sketch; estimate tracks exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, lit}
+    val rnd = new scala.util.Random(3)
+    // two groups x three sub-cells, overlapping values ACROSS cells (the case where
+    // summing per-cell ndv would be wrong and only sketch union serves correctly)
+    val rows = Seq.tabulate(6000) { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, i % 3, rnd.nextInt(800).toLong)
+    }
+    val df = rows.toDF("g", "cell", "v")
+    val cells = graft.pipeline.Profiling.buildSketches(df, Seq("g", "cell"), "v")
+    assert(cells.count() == 6, "one sketch row per dimension cell")
+    val served = graft.pipeline.Profiling.mergeSketches(cells, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge identity: serving from cells equals sketching the slice directly
+    val direct = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == direct, s"merged $served vs direct $direct")
+    // accuracy: within HLL tolerance of the exact distinct count
+    val exact = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).distinct.size }
+    served.foreach { case (g, est) =>
+      assert(math.abs(est.toDouble - exact(g)) / exact(g) < 0.05,
+        s"$g: est $est vs exact ${exact(g)}")
+    }
+  }
 }
