@@ -27,17 +27,23 @@ object TableIO {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /**
-   * events.ts is parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong it
-   * arrives as LongType nanos — normalize to a proper timestamp at micros precision
-   * (Spark's native timestamp resolution; DuckDB reads the same file at nanos and any
-   * oracle truncates identically).
+   * events.ts normalizes to Spark's session-timezone TIMESTAMP whatever the file
+   * carries: older driver drops wrote TIMESTAMP(NANOS) (read as LongType nanos under
+   * spark.sql.legacy.parquet.nanosAsLong), the current drop writes timezone-naive
+   * micros (read as TIMESTAMP_NTZ, which watermarks/windows reject). The session
+   * timezone is pinned to UTC (GraftSession), so the NTZ cast is value-preserving and
+   * DuckDB reading the same file naively sees identical wall-clock values.
    */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
