@@ -191,11 +191,69 @@ object GraphOps {
       |) u
       |ORDER BY l_partkey""".stripMargin
 
+  /**
+   * Exact triangle counting over an undirected edge list — the clustering/community
+   * primitive (cf. Spark GraphX `TriangleCount`). Degree-ordered orientation (the
+   * "compact-forward" algorithm): each undirected edge is directed from its
+   * lower-(degree, id) endpoint to the higher, so every triangle has exactly ONE vertex
+   * whose two out-edges reach the other two, and total wedge work is bounded by
+   * O(m^1.5) regardless of skew — a hub of degree d contributes wedges only through its
+   * (few) higher-degree neighbors, never d^2. All three steps are equi-joins (wedge
+   * build + closing-edge semi join) that AQE can size; no nested-loop anywhere.
+   *
+   * Returns one row: the global triangle count. The count is orientation-invariant, so
+   * the DuckDB oracle uses plain id-orientation and must match exactly.
+   */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // Orient u->v when (deg(u), u) < (deg(v), v): a TOTAL order, so orientation is
+    // deterministic and acyclic.
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .cache()
+    // Wedges (a->b, a->c, b != c) then require the closing edge oriented b->c: exactly
+    // one of the wedge's two (b,c) orderings matches the oriented edge set, so each
+    // triangle is counted exactly once.
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") =!= col("c"))
+    val closing = oriented.select(col("a").as("b"), col("b").as("c"))
+    wedges.join(closing, Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** `q_triangles`: global triangle count of the co-purchase graph. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    triangleCount(edges)
+  }
+
+  val qTrianglesSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS triangles
+      |FROM edges e1
+      |JOIN edges e2 ON e2.u = e1.v
+      |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank(_, _)),
-    "q_bfs" -> (qBfs(_, _)))
+    "q_bfs" -> (qBfs(_, _)),
+    "q_triangles" -> (qTriangles(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
-    "q_bfs" -> qBfsSql)
+    "q_bfs" -> qBfsSql,
+    "q_triangles" -> qTrianglesSql)
 }

@@ -787,6 +787,71 @@ object Dedup {
        |LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /**
+   * Bloom-prefiltered contamination scan — identical OUTPUT to [[contamination]], built
+   * for the 100 TB asymmetry where candidates are the corpus and the benchmark is tiny:
+   * a Bloom filter over the benchmark gram vocabulary (built with Spark's distributed
+   * `stat.bloomFilter` aggregate — executors build partials, the driver holds only the
+   * fixed-size bitset) is broadcast and applied MAP-SIDE to the candidate gram stream,
+   * so only grams that might hit the benchmark (true hits + ~fpp false positives) ever
+   * reach the shuffle of the verification join. The exact inner join afterwards kills
+   * the false positives, so no-false-negatives makes the result equal to the exact scan
+   * gram-for-gram — same oracle SQL. At a 1% fpp the verification shuffle shrinks by
+   * ~99% of the non-matching gram volume.
+   */
+  def contaminationBloom(candidates: DataFrame, benchmark: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = candidates.sparkSession
+    val bg = gramHashSets(benchmark).select(explode(col("gh")).as("h")).distinct()
+      .cache() // reused: sizing count, bloom build, verification join
+    val nb = bg.count()
+    val bloom = bg.stat.bloomFilter("h", math.max(nb, 64L), fpp)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val dg = gramHashSets(candidates)
+    val sizes = dg.select(col("doc_id"), col("sz"))
+    val pruned = dg.select(col("doc_id"), explode(col("gh")).as("h"))
+      .filter(r => bcBloom.value.mightContainLong(r.getLong(1)))
+    val hits = pruned.join(bg, Seq("h")) // exact verify: false positives drop here
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    candidates.select(col("doc_id")).distinct()
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(0)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(round(col("n_hit") / col("sz"), 4), lit(0.0)).as("containment"))
+  }
+
+  /**
+   * `dedup_contamination_bloom`: the bloom-gated audit against the src2 "benchmark" —
+   * must equal the exact n-gram containment scan (the oracle is the exact SQL).
+   */
+  def dedupContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TableIO.documents(spark, dir)
+    contaminationBloom(docs.filter(col("source") =!= "src2"), docs.filter(col("source") === "src2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupContaminationBloomSql: String =
+    s"""WITH $GramsCteSql,
+       |bench AS (SELECT DISTINCT unnest(g.g) AS h
+       |          FROM grams g JOIN documents d USING (doc_id) WHERE d.source = 'src2'),
+       |sizes AS (SELECT g.doc_id, CAST(len(g.g) AS INT) AS sz
+       |          FROM grams g JOIN documents d USING (doc_id) WHERE d.source <> 'src2'),
+       |cand AS (SELECT g.doc_id, unnest(g.g) AS h
+       |         FROM grams g JOIN documents d USING (doc_id) WHERE d.source <> 'src2'),
+       |hits AS (
+       |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand c JOIN bench b USING (h)
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, coalesce(z.sz, 0) AS n_grams,
+       |  coalesce(s.n_hit, 0) AS n_hit,
+       |  coalesce(round(s.n_hit * 1.0 / z.sz, 4), 0.0) AS containment
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src2') d
+       |LEFT JOIN sizes z ON d.doc_id = z.doc_id
+       |LEFT JOIN hits s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- segment-level exact dedup (C4 / RefinedWeb line-dedup analog) -------------------
 
   /**
@@ -1025,6 +1090,7 @@ object Dedup {
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_contamination" -> (dedupContamination(_, _)),
+    "dedup_contamination_bloom" -> (dedupContaminationBloom(_, _)),
     "dedup_winnow" -> (dedupWinnow(_, _)),
     "dedup_segments" -> (dedupSegments(_, _)),
     "dedup_spans" -> (dedupSpans(_, _)))
@@ -1041,6 +1107,7 @@ object Dedup {
     "dedup_corpus" -> dedupCorpusSql(0.8),
     "dedup_components" -> dedupComponentsSql(0.8),
     "dedup_contamination" -> dedupContaminationSql,
+    "dedup_contamination_bloom" -> dedupContaminationBloomSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_segments" -> dedupSegmentsSql,
     "dedup_spans" -> dedupSpansSql)

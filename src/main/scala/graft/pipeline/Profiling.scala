@@ -143,11 +143,81 @@ object Profiling {
       .orderBy(col("o_orderstatus"))
   }
 
+  // ---- mergeable histogram rollup with quantile serving --------------------------------
+
+  /**
+   * Equi-width histogram sketch table: exact bucket counts per fine-grained dimension
+   * cell — the quantile twin of the HLL rollup above. Unlike KLL/t-digest, fixed-bucket
+   * counts are EXACT integers, so merging (summing counts across cells) is lossless and
+   * every serving answer is deterministic and SQL-checkable; the approximation lives
+   * only in the final quantile read-out (bucket midpoint), with error bounded by the
+   * bucket width. At 100 TB: one scan builds the cell histograms (map-side-combined
+   * groupBy), the persisted sketch table is O(cells x buckets), and any coarser
+   * quantile query is answered from it without rescanning the base.
+   */
+  def buildHistograms(df: DataFrame, dims: Seq[String], valueCol: String,
+      width: Double, nBuckets: Int): DataFrame =
+    df.groupBy(dims.map(col) :+
+        least(lit(nBuckets - 1), floor(col(valueCol).cast("double") / width)).cast("int").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Serve a coarser rollup: merge bucket counts, then read the approximate median as
+   * the midpoint of the first bucket whose cumulative count crosses half the total.
+   */
+  def mergeHistograms(hist: DataFrame, keepDims: Seq[String], width: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = hist.groupBy((keepDims.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val byDim = Window.partitionBy(keepDims.map(col): _*)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(byDim.orderBy(col("bucket"))))
+      .withColumn("total", sum(col("cnt")).over(byDim))
+    cum.filter(col("cum") >= col("total") * 0.5)
+      .groupBy(keepDims.map(col): _*)
+      .agg(max(col("total")).as("n"),
+        round((min(col("bucket")) + 0.5) * width, 2).as("p50_est"))
+  }
+
+  /**
+   * `q_hist_rollup`: median order total per status, served by merging per-(status, year)
+   * histogram cells — never rescanning orders. Fully oracled: the bucket math is exact
+   * integer counting, so DuckDB reproduces it bit-for-bit.
+   */
+  def qHistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+    val cells = buildHistograms(o, Seq("status", "yr"), "o_totalprice",
+      width = 5000.0, nBuckets = 200)
+    mergeHistograms(cells, Seq("status"), width = 5000.0)
+      .orderBy(col("status"))
+  }
+
+  val qHistRollupSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS status, EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(least(199, floor(CAST(o_totalprice AS DOUBLE) / 5000.0)) AS INT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2, 3),
+      |merged AS (SELECT status, bucket, sum(cnt) AS cnt FROM cells GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT status, bucket, cnt,
+      |    sum(cnt) OVER (PARTITION BY status ORDER BY bucket) AS cum,
+      |    sum(cnt) OVER (PARTITION BY status) AS total
+      |  FROM merged)
+      |SELECT status, CAST(max(total) AS BIGINT) AS n,
+      |  round(CAST(min(bucket) + 0.5 AS DOUBLE) * 5000.0, 2) AS p50_est
+      |FROM cum WHERE cum >= total * 0.5
+      |GROUP BY status ORDER BY status""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileQuery _,
-    "q_hll_rollup" -> (qHllRollup(_, _)))
+    "q_hll_rollup" -> (qHllRollup(_, _)),
+    "q_hist_rollup" -> (qHistRollup(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_profile" -> profileSql)
+    "q_profile" -> profileSql,
+    "q_hist_rollup" -> qHistRollupSql)
     // q_hll_rollup: sketch-based -> rows-only + merge-identity/error-bound spec
 }

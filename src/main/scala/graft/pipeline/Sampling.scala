@@ -221,6 +221,88 @@ object Sampling {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
       |FROM b ORDER BY shard, pos""".stripMargin
 
+  // ---- global row ids ------------------------------------------------------------------
+
+  /**
+   * Dense global row ids 1..N in `orderCol` order — the stable example-id assignment a
+   * training export needs (shard manifests, resumable readers, joinable labels) without
+   * ever paying a single-partition global window. Scale shape: ONE range shuffle puts
+   * rows in order-partitioned form (partition i holds keys below partition i+1), a
+   * per-partition count aggregate ships `numParts` longs to the driver for the prefix
+   * offsets (O(partitions), never O(rows) — the same bookkeeping scale as Spark's own
+   * dynamic-partition-overwrite), and a map-only pass assigns offset + local position.
+   * The id assignment equals ROW_NUMBER() OVER (ORDER BY orderCol) exactly, which is
+   * what the DuckDB oracle checks.
+   */
+  def globalRowIds(df: DataFrame, orderCol: String, numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    // localCheckpoint pins one materialized partition layout so the count pass and the
+    // id pass cannot diverge (and the range shuffle runs once, not twice)
+    val parted = df.repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol).localCheckpoint()
+    val counts = parted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until numParts).map { p =>
+        val o = p -> acc; acc += counts.getOrElse(p, 0L); o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(parted.schema.fields :+
+      org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType, nullable = false))
+    parted.mapPartitions { it =>
+      val off = bc.value.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
+      var i = 0L
+      it.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (off + i)) }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** `sample_row_ids`: dense 1..N example ids over documents in doc_id order. */
+  def sampleRowIds(spark: SparkSession, dir: String): DataFrame =
+    globalRowIds(TableIO.documents(spark, dir).select(col("doc_id")), "doc_id")
+      .orderBy(col("doc_id"))
+
+  val sampleRowIdsSql: String =
+    """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rid
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- weighted sampling without replacement -------------------------------------------
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+   * each row draws u ~ Uniform(0,1) and is ranked by u^(1/weight); the k largest keys
+   * are the sample — provably equivalent to sequential weighted draws without
+   * replacement. We rank by the monotone-equivalent ln(u)/weight and derive u from the
+   * md5 of the doc id (13 hex digits = a 52-bit integer, exact in a double; +0.5 dodges
+   * ln(0) and makes u identical bit-for-bit in any engine), so the sample is
+   * reproducible across runs/retries and checkable in SQL. Keys are rounded to 9
+   * decimals with a doc_id tie-break so the order is total cross-engine. Scale shape:
+   * the key is a narrow per-row expression; top-k rides TakeOrderedAndProject (per-
+   * partition heaps, never a global sort). Zero-weight rows are excluded, matching the
+   * w -> 0 limit of the distribution.
+   */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    docs.filter(col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol),
+        round(log(u) / col(weightCol), 9).as("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** `sample_weighted`: 20 docs drawn without replacement, weighted by length. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(TableIO.documents(spark, dir), "n_chars", 20)
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, n_chars,
+      |  round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+      |           / 4503599627370496.0) / n_chars, 9) AS wkey
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY wkey DESC, doc_id LIMIT 20""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -229,7 +311,9 @@ object Sampling {
     "sample_mixture" -> (sampleMixture(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
     "sample_per_key" -> (samplePerKey(_, _)),
-    "sample_shuffle" -> (sampleShuffle(_, _)))
+    "sample_shuffle" -> (sampleShuffle(_, _)),
+    "sample_row_ids" -> (sampleRowIds(_, _)),
+    "sample_weighted" -> (sampleWeighted(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sample_uniform" -> sampleUniformSql,
@@ -237,5 +321,7 @@ object Sampling {
     "sample_mixture" -> sampleMixtureSql,
     "sample_split" -> sampleSplitSql,
     "sample_per_key" -> samplePerKeySql,
-    "sample_shuffle" -> sampleShuffleSql)
+    "sample_shuffle" -> sampleShuffleSql,
+    "sample_row_ids" -> sampleRowIdsSql,
+    "sample_weighted" -> sampleWeightedSql)
 }

@@ -509,6 +509,83 @@ object TextAnalysis {
       |ORDER BY dsir4 DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  // ---- naive-Bayes text classification -------------------------------------------------
+
+  /**
+   * Multinomial naive-Bayes classifier trained and applied IN the engine — the
+   * fastText-style quality/language gate of a curation pipeline reduced to its
+   * data-engine core: add-one-smoothed per-class token log-likelihoods plus a
+   * document-frequency prior, argmax over classes. Training labels come from `labelCol`;
+   * scoring replays every document against every class and keeps the best. Scores are
+   * rounded to 6 decimals BEFORE the argmax with a class-name tie-break, so the
+   * prediction is a total deterministic function of the corpus in any engine — the
+   * DuckDB oracle replays training AND inference and must hash-match.
+   *
+   * Scale shape: training is one map-side-combined groupBy (shuffle rows = classes x
+   * vocabulary, Heaps-law sublinear); class totals/priors/vocab ride 1-row or
+   * class-cardinality broadcasts; inference joins doc term frequencies to the
+   * vocabulary — the same dimension-sized join as perplexityScores — and the argmax is
+   * a per-doc window (partitioned, never global). Nothing driver-side, no iteration.
+   */
+  def nbScores(docs: DataFrame, labelCol: String): DataFrame = {
+    val base = docs.filter(col("text").isNotNull && col(labelCol).isNotNull)
+    val toks = base.select(col("doc_id"), col(labelCol).as("cls"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("c"))
+    val clsTot = counts.groupBy(col("cls")).agg(sum(col("c")).cast("double").as("n_cls"))
+    val vocab = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
+    val priors = base.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ll = tf.crossJoin(broadcast(clsTot)).crossJoin(broadcast(vocab))
+      .join(counts, Seq("cls", "tok"), "left")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tf") *
+        log((coalesce(col("c"), lit(0L)) + 1) / (col("n_cls") + col("v")))).as("ll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score6").desc, col("cls"))
+    ll.join(broadcast(priors), Seq("cls"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score6", round(col("ll") + log(col("n_docs") / col("n")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"), col("score6"))
+  }
+
+  /** `text_nb_lang`: language prediction for every document from the self-trained NB model. */
+  def textNbLang(spark: SparkSession, dir: String): DataFrame =
+    nbScores(TableIO.documents(spark, dir), "lang").orderBy(col("doc_id"))
+
+  val textNbLangSql: String =
+    """WITH toks AS (SELECT doc_id, lang AS cls,
+      |                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |              FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |counts AS (SELECT cls, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |cls_tot AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS n_cls FROM counts GROUP BY cls),
+      |vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM counts),
+      |priors AS (SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS n_docs
+      |           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+      |ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n
+      |          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |ll AS (
+      |  SELECT f.doc_id, ct.cls,
+      |    sum(f.tf * ln((coalesce(c.c, 0) + 1) / (ct.n_cls + vocab.v))) AS ll
+      |  FROM tf f
+      |  CROSS JOIN cls_tot ct
+      |  CROSS JOIN vocab
+      |  LEFT JOIN counts c ON c.cls = ct.cls AND c.tok = f.tok
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT s.doc_id, s.cls,
+      |    round(s.ll + ln(p.n_docs / nd.n), 6) AS score6,
+      |    row_number() OVER (PARTITION BY s.doc_id
+      |                       ORDER BY round(s.ll + ln(p.n_docs / nd.n), 6) DESC, s.cls) AS rn
+      |  FROM ll s JOIN priors p USING (cls) CROSS JOIN ndocs nd)
+      |SELECT doc_id, cls AS pred, score6 FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---- context-window chunking ---------------------------------------------------------
 
   /**
@@ -558,7 +635,8 @@ object TextAnalysis {
     "text_topgrams" -> (textTopgrams(_, _)),
     "text_perplexity" -> (textPerplexity(_, _)),
     "text_vocab" -> (textVocab(_, _)),
-    "text_dsir" -> (textDsir(_, _)))
+    "text_dsir" -> (textDsir(_, _)),
+    "text_nb_lang" -> (textNbLang(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
@@ -573,5 +651,6 @@ object TextAnalysis {
     "text_topgrams" -> textTopgramsSql,
     "text_perplexity" -> textPerplexitySql,
     "text_vocab" -> textVocabSql,
-    "text_dsir" -> textDsirSql)
+    "text_dsir" -> textDsirSql,
+    "text_nb_lang" -> textNbLangSql)
 }

@@ -195,6 +195,30 @@ class DedupSpec extends AnyFunSuite {
       "gram-less doc must appear in the audit (absent must never read as clean)")
   }
 
+  test("bloom-prefiltered contamination equals the exact scan, including edge docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "the quick brown fox went somewhere else entirely today"),
+      (2L, "completely unrelated words about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = dump(Dedup.contamination(cands, bench))
+    val bloom = dump(Dedup.contaminationBloom(cands, bench))
+    assert(bloom == exact, s"bloom path must equal exact scan: $bloom vs $exact")
+    // the corpus-scale query too (src2 benchmark): gram-for-gram equality
+    val docs = graft.sources.TableIO.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val e2 = dump(Dedup.contamination(
+      docs.filter(col("source") =!= "src2"), docs.filter(col("source") === "src2")))
+    val b2 = dump(Dedup.contaminationBloom(
+      docs.filter(col("source") =!= "src2"), docs.filter(col("source") === "src2")))
+    assert(b2 == e2, "corpus bloom audit must equal the exact audit")
+  }
+
   test("segment dedup keeps first occurrence, drops later copies, reassembles in order") {
     import spark.implicits._
     // k=2 segments. doc 1: [a b][c d][a b] — intra-doc repeat of [a b] at pos 3.

@@ -78,4 +78,33 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 11L -> 1, 3L -> 2))
   }
+
+  /** All triangles of a vertex set by brute force (reference for triangleCount). */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Long = {
+    val und = edges.flatMap { case (a, b) => Seq((a min b, a max b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    nodes.combinations(3).count { case Seq(x, y, z) =>
+      und((x, y)) && und((y, z)) && und((x, z))
+    }
+  }
+
+  test("triangleCount matches brute force on hand graphs; multi-edges and direction ignored") {
+    import spark.implicits._
+    // K4 (4 triangles) + pendant + disconnected edge, given as noisy directed multi-edges
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (10L, 11L), (1L, 2L), (2L, 1L))).toDF("src", "dst")
+    val got = GraphOps.triangleCount(edges).head().getLong(0)
+    assert(got == 4L)
+    assert(got == referenceTriangles(k4 ++ Seq((4L, 5L), (10L, 11L))))
+    // triangle-free bipartite square: zero
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(GraphOps.triangleCount(square).head().getLong(0) == 0L)
+  }
+
+  test("q_triangles is deterministic and positive on the co-purchase graph") {
+    val a = GraphOps.qTriangles(spark, sf).head().getLong(0)
+    val b = GraphOps.qTriangles(spark, sf).head().getLong(0)
+    assert(a == b && a > 0, s"got $a then $b")
+  }
 }

@@ -111,4 +111,32 @@ class RetrievalProfilingSpec extends AnyFunSuite {
         s"$g: est $est vs exact ${exact(g)}")
     }
   }
+
+  test("histogram rollup: merging cells == building at the coarse grain; p50 within a bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(9000) { i =>
+      val g = "g" + (i % 2)
+      (g, i % 3, rnd.nextDouble() * 900.0)
+    }
+    val df = rows.toDF("g", "cell", "v")
+    val width = 10.0
+    val cells = graft.pipeline.Profiling.buildHistograms(df, Seq("g", "cell"), "v", width, 100)
+    val served = graft.pipeline.Profiling.mergeHistograms(cells, Seq("g"), width)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // merge identity: serving from fine cells equals building directly at the coarse grain
+    val direct = graft.pipeline.Profiling.mergeHistograms(
+        graft.pipeline.Profiling.buildHistograms(df, Seq("g"), "v", width, 100), Seq("g"), width)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served == direct, s"merged $served vs direct $direct")
+    // the midpoint estimate is within one bucket width of the exact median
+    val exactMedian = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._3).sorted; g -> vs(vs.length / 2)
+    }
+    served.foreach { case (g, (n, p50)) =>
+      assert(n == 4500L, s"$g count $n")
+      assert(math.abs(p50 - exactMedian(g)) <= width, s"$g: p50 $p50 vs ${exactMedian(g)}")
+    }
+  }
 }

@@ -128,4 +128,30 @@ class SamplingSpec extends AnyFunSuite {
       math.max(1.0, math.abs(exact.getDouble(1)))
     assert(pErr < 0.05, s"approx_percentile within 5% of exact, got $pErr")
   }
+
+  test("globalRowIds assigns dense 1..N in key order across many partitions") {
+    import org.apache.spark.sql.functions.col
+    // ids deliberately unsorted and skewed across input partitions; numParts larger
+    // than needed leaves some range partitions empty — offsets must still be correct
+    val df = spark.range(0, 1000).select((col("id") * 2654435761L % 1000003L).as("k"))
+      .repartition(7)
+    val got = Sampling.globalRowIds(df, "k", numParts = 16)
+      .orderBy(col("rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000)
+    assert(got.map(_._2).sameElements(1L to 1000L), "rids must be dense 1..N")
+    assert(got.map(_._1).sameElements(got.map(_._1).sorted), "rid order must equal key order")
+  }
+
+  test("weightedSample is deterministic, without replacement, and weight-monotone in aggregate") {
+    val docs = graft.sources.TableIO.documents(spark, sf)
+    val s1 = Sampling.weightedSample(docs, "n_chars", 20).collect()
+    val s2 = Sampling.weightedSample(docs, "n_chars", 20).collect()
+    assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0))), "must be reproducible")
+    assert(s1.map(_.getLong(0)).distinct.length == 20, "without replacement: all distinct")
+    // length-weighted draws should skew long: sample mean length > corpus mean length
+    import org.apache.spark.sql.functions.{avg, col}
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean, s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
 }

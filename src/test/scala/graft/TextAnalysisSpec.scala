@@ -229,4 +229,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), rules).collect()
     assert(nulls.head.getLong(1) == 0L && nulls.head.getLong(2) == 0L)
   }
+
+  test("naive Bayes recovers class-distinctive vocabulary; prior breaks unseen-token docs") {
+    import spark.implicits._
+    // two classes with disjoint signature tokens plus shared filler; class "a" has more
+    // training docs, so a doc of only-unseen tokens must fall back to the "a" prior
+    val docs = Seq(
+      (1L, "apfel birne apfel und", "de"),
+      (2L, "birne apfel und und", "de"),
+      (3L, "apple pear apple and", "en"),
+      (4L, "pear apple and and", "en"),
+      (5L, "apple and pear pear", "en"),
+      (6L, "apfel und birne", "de"),
+      (7L, "zzz qqq", "de") // unseen-signature doc, still labeled for training size only
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.nbScores(docs, "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 7)
+    assert(got(1L) == "de" && got(2L) == "de" && got(6L) == "de")
+    assert(got(3L) == "en" && got(4L) == "en" && got(5L) == "en")
+    // determinism
+    val again = TextAnalysis.nbScores(docs, "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == again)
+    // null text / null label rows are excluded from train AND score
+    val withNull = docs.union(Seq((8L, null.asInstanceOf[String], "de")).toDF("doc_id", "text", "lang"))
+    assert(TextAnalysis.nbScores(withNull, "lang").count() == 7)
+  }
 }
