@@ -257,6 +257,45 @@ object Graft {
     graft.operators.GraphOps.bfs(
       requireCols(edges, "edges", "src", "dst"), requireCols(seeds, "seeds", "id"), maxHops)
 
+  /** Exact global triangle count of an undirected (src, dst) edge list; degree-ordered
+    * orientation bounds wedge work at O(m^1.5) regardless of hub skew. */
+  def triangleCount(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.triangleCount(requireCols(edges, "edges", "src", "dst"))
+
+  /** Dense global row ids 1..N in `orderCol` order without a single-partition window:
+    * range shuffle + O(partitions) offset bookkeeping + map-only assignment. */
+  def globalRowIds(df: DataFrame, orderCol: String, numParts: Int = 32): DataFrame =
+    Sampling.globalRowIds(requireCols(df, "input", orderCol), orderCol, numParts)
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-Spirakis keys on
+    * the doc-id hash): the k largest ln(u)/weight keys. */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame =
+    Sampling.weightedSample(requireCols(docs, "docs", "doc_id", weightCol), weightCol, k)
+
+  /** Bloom-prefiltered benchmark decontamination: identical output to `contamination`,
+    * with the candidate gram stream cut map-side by a broadcast Bloom filter over the
+    * benchmark vocabulary before the verification join. */
+  def contaminationBloom(candidates: DataFrame, benchmark: DataFrame,
+      fpp: Double = 0.01): DataFrame =
+    Dedup.contaminationBloom(docsFrame(candidates), docsFrame(benchmark), fpp)
+
+  /** Mergeable equi-width histogram cells at the finest dimension grain (exact bucket
+    * counts); serve coarser quantile rollups with mergeHistograms. */
+  def buildHistograms(df: DataFrame, dims: Seq[String], valueCol: String,
+      width: Double, nBuckets: Int): DataFrame =
+    Profiling.buildHistograms(
+      requireCols(df, "input", (dims :+ valueCol): _*), dims, valueCol, width, nBuckets)
+
+  def mergeHistograms(hist: DataFrame, keepDims: Seq[String], width: Double): DataFrame =
+    Profiling.mergeHistograms(
+      requireCols(hist, "histograms", (keepDims ++ Seq("bucket", "cnt")): _*), keepDims, width)
+
+  /** Multinomial naive-Bayes classifier trained on `labelCol` and applied to every
+    * document: (doc_id, pred, score6), deterministic argmax. */
+  def nbClassify(docs: DataFrame, labelCol: String): DataFrame =
+    TextAnalysis.nbScores(
+      requireCols(docs, "docs", "doc_id", "text", labelCol), labelCol)
+
   /** Incremental aggregate-view maintenance: state (key,cnt,total) absorbs a CDC batch
     * (key, op∈{+1,-1}, value) in one shuffle, without rescanning the base table. */
   def incrementalAgg(state: DataFrame, delta: DataFrame, key: String = "k",

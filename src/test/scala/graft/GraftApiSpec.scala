@@ -273,4 +273,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getLong(2) == 1L)
     intercept[IllegalArgumentException] { Graft.linkRecords(clean.drop("block"), dirty) }
   }
+
+  test("round-5b facade: triangles, row ids, weighted sample, bloom audit, histograms, NB") {
+    import spark.implicits._
+    // triangle count on a user edge frame (K3 plus a pendant)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    assert(Graft.triangleCount(edges).head().getLong(0) == 1L)
+
+    // global row ids on a user frame: dense, key-ordered, extra columns intact
+    val rid = Graft.globalRowIds(docs, "doc_id", numParts = 3)
+      .orderBy("rid").collect()
+    assert(rid.map(_.getAs[Long]("rid")).sameElements(1L to 5L))
+    assert(rid.map(_.getAs[Long]("doc_id")).sameElements(1L to 5L))
+    assert(rid.head.getAs[String]("source") == "web", "payload columns must survive")
+
+    // weighted sampling without replacement on a user weight column
+    val weighted = docs.withColumn("w", org.apache.spark.sql.functions.length($"text"))
+    val picked = Graft.weightedSample(weighted, "w", 3).collect()
+    assert(picked.length == 3 && picked.map(_.getLong(0)).distinct.length == 3)
+
+    // bloom audit == exact audit on user frames
+    val bench = docs.filter($"source" === "books")
+    val cand = docs.filter($"source" =!= "books")
+    val exact = Graft.contamination(cand, bench).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Graft.contaminationBloom(cand, bench).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom == exact)
+
+    // histogram rollup serving on a user frame
+    val vals = Seq(("a", 1, 5.0), ("a", 2, 15.0), ("a", 1, 25.0), ("b", 1, 5.0)).toDF("g", "cell", "v")
+    val hist = Graft.mergeHistograms(
+      Graft.buildHistograms(vals, Seq("g", "cell"), "v", width = 10.0, nBuckets = 10), Seq("g"), 10.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hist("a") == ((3L, 15.0)) && hist("b") == ((1L, 5.0)), s"got $hist")
+
+    // NB classification on a user label column
+    val labeled = docs.withColumn("label",
+      org.apache.spark.sql.functions.when($"source" === "books", "b").otherwise("w"))
+    val preds = Graft.nbClassify(labeled, "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds.size == 5 && preds(3L) == "b" && preds(1L) == "w", s"got $preds")
+    intercept[IllegalArgumentException] { Graft.nbClassify(docs, "label") }
+  }
 }
