@@ -44,7 +44,8 @@ object Bench {
     "text_chunk", "dedup_winnow", "dedup_contamination", "sample_split", "sample_per_key",
     "dedup_segments", "dedup_spans", "text_perplexity", "sample_shuffle",
     "ann_quantized", "ann_rrf", "q_ds_rollup_topn", "q_ds_cumulative",
-    "q_ds_reachability")
+    "q_ds_reachability",
+    "q_triangles", "q_pagerank", "q_bfs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,7 +24,15 @@ object PlanLint {
     "q_cross", // crossJoin of two broadcastable dims plans as broadcast-NLJ
     "ann_bruteforce", // broadcast query set x corpus scan IS the brute-force design
     "dedup_embedding_exact", // the O(n²) oracle twin (crossJoin + filter lowers to BNLJ)
-    "text_bm25" // 1-row corpus-stats frame (N, avgdl) crossJoined by broadcast
+    "text_bm25", // 1-row corpus-stats frame (N, avgdl) crossJoined by broadcast
+    // bounded-broadcast crossJoins: the non-stream side is a 1-row totals frame or a
+    // class/centroid/query-cardinality frame that broadcasts at ANY corpus size — the
+    // BNLJ label is Spark's lowering of crossJoin(broadcast(tiny)), not a scale risk
+    "text_perplexity", "text_vocab", "text_dsir", // 1-row corpus totals
+    "text_nb_lang", // class-cardinality totals + 1-row vocab size
+    "q_percentile_sort", "q_profile", // 1-row count/stats frames
+    "ann_quantized", "ann_rrf", // bounded query-set frames re-ranked per corpus row
+    "dedup_semantic_fixed" // broadcast fixed-centroid frame
   )
 
   def main(args: Array[String]): Unit = {
