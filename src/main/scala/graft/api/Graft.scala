@@ -290,6 +290,19 @@ object Graft {
     Profiling.mergeHistograms(
       requireCols(hist, "histograms", (keepDims ++ Seq("bucket", "cnt")): _*), keepDims, width)
 
+  /** Equi-depth discretization: bucket 1..nBins per key group at the exact interpolated
+    * quantile boundaries (buffer-free sort path; boundary ties take the lower bucket). */
+  def equidepthBins(df: DataFrame, keys: Seq[String], valueCol: String,
+      nBins: Int): DataFrame =
+    graft.operators.Percentiles.equidepthBins(
+      requireCols(df, "input", (keys :+ valueCol): _*), keys, valueCol, nBins)
+
+  /** Deterministic Poisson bootstrap: per-replicate resample size and mean of
+    * `valueCol`, reproducible across runs/retries (hash-derived draws, no rand()). */
+  def bootstrapStats(docs: DataFrame, valueCol: String, nReplicates: Int): DataFrame =
+    Sampling.bootstrapStats(
+      requireCols(docs, "docs", "doc_id", valueCol), valueCol, nReplicates)
+
   /** Multinomial naive-Bayes classifier trained on `labelCol` and applied to every
     * document: (doc_id, pred, score6), deterministic argmax. */
   def nbClassify(docs: DataFrame, labelCol: String): DataFrame =

@@ -655,6 +655,41 @@ object ExpressionQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /**
+   * `q_equidepth_bins`: equi-depth feature discretization (operators.Percentiles
+   * .equidepthBins) — orders bucketed into per-status quartiles of o_totalprice by the
+   * exact interpolated boundaries, summarized as per-bucket count + extrema. The
+   * balanced counts ARE the property under test; the oracle replays boundary
+   * computation (quantile_cont) and the strict-> assignment rule.
+   */
+  def qEquidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"), col("o_totalprice"))
+    graft.operators.Percentiles.equidepthBins(o, Seq("status"), "o_totalprice", nBins = 4)
+      .select(col("status"), col("bucket"), col("o_totalprice").cast("double").as("v"))
+      .groupBy(col("status"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+      .orderBy(col("status"), col("bucket"))
+  }
+
+  val qEquidepthBinsSql: String =
+    """WITH b AS (
+      |  SELECT o_orderstatus AS status,
+      |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS b1,
+      |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS b2,
+      |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS b3
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT o.o_orderstatus AS status,
+      |    1 + CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b1 THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b2 THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b3 THEN 1 ELSE 0 END AS bucket,
+      |    CAST(o.o_totalprice AS DOUBLE) AS v
+      |  FROM orders o JOIN b ON o.o_orderstatus = b.status)
+      |SELECT status, bucket, count(*) AS n,
+      |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+      |FROM a GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin
+
+  /**
    * #39d sketch aggregates — the 100 TB shapes for distinct-count and quantiles: HLL++ and
    * t-digest are single-pass and mergeable (no two-phase distinct expansion). Approximate
    * by design -> rows-only for the driver; ExpressionSpec bounds the error vs exact.
@@ -857,7 +892,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTrunc _, "q_unix_time" -> qUnixTime _,
     "q_conv_funcs" -> qConvFuncs _, "q_map_funcs" -> qMapFuncs _, "q_hash_funcs" -> qHashFuncs _, "q_hash_funcs2" -> qHashFuncs2 _, "q_casts" -> qCasts _,
     "q_agg_stats" -> qAggStats _, "q_count_distinct" -> qCountDistinct _,
-    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_percentile_sort" -> qPercentileSort _, "q_approx_distinct" -> qApproxDistinct _,
+    "q_agg_stats2" -> qAggStats2 _, "q_json_funcs" -> qJsonFuncs _, "q_decimal_agg" -> qDecimalAgg _, "q_decimal_avg" -> qDecimalAvg _, "q_collect_list" -> qCollectList _, "q_pivot" -> qPivot _, "q_array_funcs" -> qArrayFuncs _, "q_percentile" -> qPercentile _, "q_percentile_sort" -> qPercentileSort _, "q_equidepth_bins" -> qEquidepthBins _, "q_approx_distinct" -> qApproxDistinct _,
     "q_string_funcs2" -> qStringFuncs2 _, "q_url_funcs" -> qUrlFuncs _,
     "q_bitwise" -> qBitwise _, "q_time_parts" -> qTimeParts _,
     "q_hof_funcs" -> qHofFuncs _, "q_agg_stats3" -> qAggStats3 _,
@@ -871,7 +906,7 @@ object ExpressionQueries {
     "q_date_trunc" -> qDateTruncSql, "q_unix_time" -> qUnixTimeSql,
     "q_conv_funcs" -> qConvFuncsSql, "q_map_funcs" -> qMapFuncsSql, "q_hash_funcs" -> qHashFuncsSql, "q_casts" -> qCastsSql,
     "q_agg_stats" -> qAggStatsSql, "q_count_distinct" -> qCountDistinctSql,
-    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql, "q_percentile_sort" -> qPercentileSortSql,
+    "q_agg_stats2" -> qAggStats2Sql, "q_json_funcs" -> qJsonFuncsSql, "q_decimal_agg" -> qDecimalAggSql, "q_decimal_avg" -> qDecimalAvgSql, "q_collect_list" -> qCollectListSql, "q_pivot" -> qPivotSql, "q_array_funcs" -> qArrayFuncsSql, "q_percentile" -> qPercentileSql, "q_percentile_sort" -> qPercentileSortSql, "q_equidepth_bins" -> qEquidepthBinsSql,
     "q_string_funcs2" -> qStringFuncs2Sql, "q_url_funcs" -> qUrlFuncsSql,
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,

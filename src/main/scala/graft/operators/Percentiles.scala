@@ -88,4 +88,28 @@ object Percentiles {
         (col("__vlo") + (col("__t") - col("__flo")) *
           (coalesce(col("__vhiOpt"), col("__vlo")) - col("__vlo"))).as("value")): _*)
   }
+
+  /**
+   * Equi-depth discretization: every row gets a bucket 1..nBins within its key group,
+   * with boundaries at the exact interpolated i/nBins quantiles — the feature-binning
+   * step of an ML pipeline, built on the same buffer-free sort path as exactBySort
+   * (never a per-group value array). Values EQUAL to a boundary fall in the lower
+   * bucket (strict `>` comparison — the same rule in the SQL twin). The boundary frame
+   * is group-cardinality-sized; AQE broadcasts the assignment join when it fits.
+   * Cross-engine determinism: a data value can only tie a boundary when the target
+   * rank is integral, and then both engines reproduce the boundary exactly (the
+   * interpolation term vanishes), so bucket assignment is stable.
+   */
+  def equidepthBins(df: DataFrame, keys: Seq[String], valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = exactBySort(df, keys, valueCol, qs)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("value"))).as("__bs"))
+    df.join(bounds, keys)
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__bs"), b => col(valueCol).cast("double") > b))).cast("int"))
+      .drop("__bs")
+  }
 }

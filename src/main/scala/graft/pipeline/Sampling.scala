@@ -303,6 +303,58 @@ object Sampling {
       |FROM documents WHERE n_chars > 0
       |ORDER BY wkey DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- bootstrap replicates ------------------------------------------------------------
+
+  /**
+   * Deterministic Poisson bootstrap — the standard distributed bootstrap (Chamandy et
+   * al., Google '12): replicate r includes each row Poisson(1)-many times, approximating
+   * multinomial resampling without any global coordination. The Poisson draw inverts the
+   * lambda=1 CDF at a 52-bit uniform from md5(r:doc_id) (the [[weightedSample]]
+   * construction — bit-identical in any engine, reproducible across retries), with
+   * hard-coded CDF literals so both engines compare against the same constants; counts
+   * >= 5 clamp to 5 (P ~ 3e-4, and the clamp is part of the declared, replayed rule).
+   * Per-row work is a narrow expression x nReplicates (no data movement until the
+   * caller's aggregate); replicate statistics here are weighted sums — the copies are
+   * never physically exploded.
+   */
+  def bootstrapStats(docs: DataFrame, valueCol: String, nReplicates: Int): DataFrame = {
+    require(nReplicates >= 1, s"need nReplicates >= 1, got $nReplicates")
+    val u = (conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    val copies = when(u < 0.3678794412, 0).when(u < 0.7357588823, 1)
+      .when(u < 0.9196986029, 2).when(u < 0.9810118431, 3)
+      .when(u < 0.9963401532, 4).otherwise(5)
+    docs.select(col("doc_id"), col(valueCol),
+        explode(sequence(lit(1), lit(nReplicates))).as("rep"))
+      .withColumn("copies", copies)
+      .groupBy(col("rep"))
+      .agg(sum(col("copies")).as("n_rows"),
+        round(sum(col("copies") * col(valueCol)) / sum(col("copies")), 4).as("mean_v"))
+  }
+
+  /** `sample_bootstrap`: 20 Poisson-bootstrap replicates of mean document length. */
+  def sampleBootstrap(spark: SparkSession, dir: String): DataFrame =
+    bootstrapStats(TableIO.documents(spark, dir), "n_chars", 20)
+      .orderBy(col("rep"))
+
+  val sampleBootstrapSql: String =
+    """WITH reps AS (SELECT unnest(generate_series(1, 20)) AS rep),
+      |draws AS (
+      |  SELECT r.rep, d.n_chars,
+      |    (CAST('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 13)
+      |          AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+      |  FROM documents d CROSS JOIN reps r),
+      |counted AS (
+      |  SELECT rep, n_chars,
+      |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+      |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+      |         WHEN u < 0.9963401532 THEN 4 ELSE 5 END AS copies
+      |  FROM draws)
+      |SELECT CAST(rep AS INT) AS rep, CAST(sum(copies) AS BIGINT) AS n_rows,
+      |  round(sum(copies * n_chars) * 1.0 / sum(copies), 4) AS mean_v
+      |FROM counted GROUP BY rep ORDER BY rep""".stripMargin
+
   // ---- registry ------------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -313,7 +365,8 @@ object Sampling {
     "sample_per_key" -> (samplePerKey(_, _)),
     "sample_shuffle" -> (sampleShuffle(_, _)),
     "sample_row_ids" -> (sampleRowIds(_, _)),
-    "sample_weighted" -> (sampleWeighted(_, _)))
+    "sample_weighted" -> (sampleWeighted(_, _)),
+    "sample_bootstrap" -> (sampleBootstrap(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sample_uniform" -> sampleUniformSql,
@@ -323,5 +376,6 @@ object Sampling {
     "sample_per_key" -> samplePerKeySql,
     "sample_shuffle" -> sampleShuffleSql,
     "sample_row_ids" -> sampleRowIdsSql,
-    "sample_weighted" -> sampleWeightedSql)
+    "sample_weighted" -> sampleWeightedSql,
+    "sample_bootstrap" -> sampleBootstrapSql)
 }

@@ -312,5 +312,16 @@ class GraftApiSpec extends AnyFunSuite {
     val preds = Graft.nbClassify(labeled, "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(preds.size == 5 && preds(3L) == "b" && preds(1L) == "w", s"got $preds")
     intercept[IllegalArgumentException] { Graft.nbClassify(docs, "label") }
+
+    // equi-depth binning on a user frame: every row bucketed, buckets span 1..2
+    val binned = Graft.equidepthBins(docs.withColumn("w",
+      org.apache.spark.sql.functions.length($"text")), Seq.empty[String] :+ "source", "w", 2)
+    assert(binned.count() == 5 && binned.select("bucket").distinct().count() <= 2)
+
+    // bootstrap on a user value column: deterministic replicate stats
+    val bs = Graft.bootstrapStats(docs.withColumn("w",
+      org.apache.spark.sql.functions.length($"text")), "w", 5).collect()
+    assert(bs.length == 5)
+    intercept[IllegalArgumentException] { Graft.bootstrapStats(docs, "w", 5) }
   }
 }

@@ -66,4 +66,30 @@ class PercentilesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("percentile"), s"must not fall back to the buffering aggregate:\n$plan")
   }
+
+  test("equidepthBins balances counts, orders buckets by value, keeps every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1..1000 shuffled deterministically across two groups; distinct values make the
+    // equi-depth property exact
+    val rows = (1 to 1000).map(i => (if (i % 2 == 0) "a" else "b", (i * 37 % 1000).toDouble))
+    val df = rows.toDF("g", "v")
+    val binned = Percentiles.equidepthBins(df, Seq("g"), "v", nBins = 4)
+    val out = binned.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(out.length == 1000, "every row keeps exactly one bucket")
+    val byBucket = out.groupBy(b => (b._1, b._3)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == (for (g <- Set("a", "b"); b <- 1 to 4) yield (g, b)))
+    byBucket.values.foreach(n => assert(math.abs(n - 125) <= 1, s"unbalanced bucket: $n"))
+    // monotone: the max of bucket k never exceeds the min of bucket k+1 within a group
+    for (g <- Seq("a", "b"); k <- 1 to 3) {
+      val mx = out.filter(r => r._1 == g && r._3 == k).map(_._2).max
+      val mn = out.filter(r => r._1 == g && r._3 == k + 1).map(_._2).min
+      assert(mx <= mn, s"$g bucket $k max $mx > bucket ${k + 1} min $mn")
+    }
+    // boundary ties go to the LOWER bucket (strict > rule)
+    val ties = Seq(("t", 1.0), ("t", 2.0), ("t", 2.0), ("t", 3.0)).toDF("g", "v")
+    val tb = Percentiles.equidepthBins(ties, Seq("g"), "v", nBins = 2)
+      .where(col("v") === 2.0).collect().map(_.getInt(2)).toSet
+    assert(tb == Set(1), s"median-tied values must share the lower bucket, got $tb")
+  }
 }

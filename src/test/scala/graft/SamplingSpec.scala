@@ -154,4 +154,23 @@ class SamplingSpec extends AnyFunSuite {
     val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
     assert(sampleMean > corpusMean, s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
+
+  test("Poisson bootstrap replicates are deterministic, near-N sized, and unbiased-ish") {
+    val docs = TableIO.documents(spark, sf)
+    val n = docs.count()
+    val r1 = Sampling.bootstrapStats(docs, "n_chars", 20).orderBy(col("rep")).collect()
+    val r2 = Sampling.bootstrapStats(docs, "n_chars", 20).orderBy(col("rep")).collect()
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)), "must be reproducible")
+    assert(r1.length == 20)
+    // each replicate's resample size is Poisson-sum distributed around N (sd = sqrt N)
+    val tol = 5 * math.sqrt(n.toDouble)
+    r1.foreach { r =>
+      assert(math.abs(r.getLong(1) - n) < tol, s"replicate ${r.getInt(0)} size ${r.getLong(1)} vs $n")
+    }
+    // the replicate means straddle the corpus mean (variance estimation has signal)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val means = r1.map(_.getDouble(2))
+    assert(means.min < corpusMean && corpusMean < means.max,
+      s"corpus mean $corpusMean outside replicate range [${means.min}, ${means.max}]")
+  }
 }
