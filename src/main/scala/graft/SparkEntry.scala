@@ -15,6 +15,8 @@ object SparkEntry {
       operators.TpcdsShapedQueries.all ++
       operators.RelationalOps.all ++
       operators.MergeOps.all ++
+      operators.TemporalOps.all ++
+      pipeline.FeatureStats.all ++
       operators.GraphOps.all ++
       operators.Resample.all ++
       functions.ExpressionQueries.all ++
@@ -39,6 +41,8 @@ object SparkEntry {
       operators.TpcdsShapedQueries.oracles ++
       operators.RelationalOps.oracles ++
       operators.MergeOps.oracles ++
+      operators.TemporalOps.oracles ++
+      pipeline.FeatureStats.oracles ++
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++
       functions.ExpressionQueries.oracles ++

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
-import graft.pipeline.{Dedup, Linkage, Profiling, Sampling, Similarity, TextAnalysis, TextRetrieval}
+import graft.pipeline.{Dedup, FeatureStats, Linkage, Profiling, Sampling, Similarity, TextAnalysis, TextRetrieval}
 
 /**
  * The user-facing library surface — every data-curation operator on ARBITRARY DataFrames,
@@ -262,6 +262,19 @@ object Graft {
   def triangleCount(edges: DataFrame): DataFrame =
     graft.operators.GraphOps.triangleCount(requireCols(edges, "edges", "src", "dst"))
 
+  /** Synchronous label-propagation communities over a symmetric (src, dst) edge list:
+    * fixed deterministic rounds (most-frequent neighbor label, ties to the smallest). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    graft.operators.GraphOps.labelPropagation(
+      requireCols(edges, "edges", "src", "dst"), rounds)
+
+  /** Bounded-round Bellman-Ford shortest paths over weighted (src, dst, w) edges from
+    * a seed set (id column): exact <=rounds-edge distances, delta-iteration frontier. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame =
+    graft.operators.GraphOps.sssp(
+      requireCols(edges, "edges", "src", "dst", "w"),
+      requireCols(sources, "sources", "id"), rounds)
+
   /** Dense global row ids 1..N in `orderCol` order without a single-partition window:
     * range shuffle + O(partitions) offset bookkeeping + map-only assignment. */
   def globalRowIds(df: DataFrame, orderCol: String, numParts: Int = 32): DataFrame =
@@ -342,6 +355,44 @@ object Graft {
     Linkage.linkRecords(
       requireCols(clean, "clean", "id", "name", "block"),
       requireCols(dirty, "dirty", "id", "name", "block"), threshold)
+
+  /** Edit-distance banded similarity join: best clean match per dirty record at
+    * Levenshtein distance <= maxDist, candidates only within equal `block`; a
+    * length-difference pre-filter runs before the O(len²) comparator. */
+  def editDistJoin(clean: DataFrame, dirty: DataFrame, maxDist: Int = 2): DataFrame =
+    Linkage.editDistJoin(
+      requireCols(clean, "clean", "id", "name", "block"),
+      requireCols(dirty, "dirty", "id", "name", "block"), maxDist)
+
+  /** Point-in-time dimension lookup: each fact row joined to the dimension version in
+    * effect at its timestamp ([validFrom, validTo) half-open, NULL validTo = current).
+    * THE leakage-free feature join for training pipelines. */
+  def pointInTime(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      tsCol: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame =
+    graft.operators.TemporalOps.pointInTime(
+      requireCols(facts, "facts", factKey, tsCol),
+      requireCols(dim, "dim", dimKey, validFrom, validTo),
+      factKey, dimKey, tsCol, validFrom, validTo)
+
+  /** CDC snapshot diff: (key, change ∈ added|removed|changed, ...) — unchanged rows
+    * are not emitted. One full-outer equi-join on the key. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame =
+    graft.operators.TemporalOps.snapshotDiff(
+      requireCols(before, "before", (key +: compareCols): _*),
+      requireCols(after, "after", (key +: compareCols): _*), key, compareCols)
+
+  /** Feature–label dependence: one-row (mi6, chi2r) — mutual information (nats) and
+    * chi-squared statistic of a (binned) feature column against a label column. */
+  def featureDependence(df: DataFrame, feature: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column): DataFrame =
+    FeatureStats.dependence(df, feature, label)
+
+  /** Per-document TF-IDF top-k characteristic terms (doc_id, rk, term, score6);
+    * the per-doc cut rides the native TopKPerKey pre-limit. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    TextRetrieval.tfidfTopTerms(docsFrame(docs), k)
 
   /** BM25 ranked retrieval: (doc_id, n_hits, score) for every document matching >= 1
     * query term. Rank cuts belong to the caller (compose with topKPerKey). */

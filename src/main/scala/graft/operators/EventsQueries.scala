@@ -208,8 +208,52 @@ object EventsQueries {
       |FROM events e JOIN fw ON e.user_id = fw.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /**
+   * `q_rolling_zscore`: per-user rolling-window anomaly detection — each event's value
+   * scored against the mean/stddev of that user's PRECEDING 20 events (rows between 20
+   * preceding and 1 preceding: strictly past-only, so the statistic is leakage-free the
+   * same way the point-in-time join is). Events with |z| > 3 over a warmed-up window
+   * (>= 10 prior points) are flagged.
+   *
+   * Scale shape: one window partitioned by user_id (the natural shuffle key; millions of
+   * users → full parallelism, no global window), ordered by (ts, event_id) for a total
+   * order under timestamp ties. z is rounded to 4 decimals BEFORE the threshold filter
+   * so both engines threshold identical numbers.
+   */
+  def qRollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    TableIO.events(spark, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("npts", count(col("value")).over(w))
+      .filter(col("npts") >= 10 && col("sd") > 0)
+      .withColumn("z4", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z4")) > 3.0)
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value2"), col("z4"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRollingZscoreSql: String =
+    """WITH scored AS (
+      |  SELECT event_id, user_id, value,
+      |         avg(value) OVER w AS mu,
+      |         stddev_samp(value) OVER w AS sd,
+      |         count(value) OVER w AS npts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, round(value, 2) AS value2,
+      |       round((value - mu) / sd, 4) AS z4
+      |FROM scored
+      |WHERE npts >= 10 AND sd > 0 AND abs(round((value - mu) / sd, 4)) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
+    "q_rolling_zscore" -> qRollingZscore _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_funnel_join" -> qFunnelJoin _,
@@ -219,6 +263,7 @@ object EventsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_events_window" -> qEventsWindowSql,
+    "q_rolling_zscore" -> qRollingZscoreSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel_join" -> qFunnelJoinSql,

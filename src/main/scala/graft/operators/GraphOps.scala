@@ -268,13 +268,188 @@ object GraphOps {
       |JOIN edges e2 ON e2.u = e1.v
       |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
 
+  /**
+   * Synchronous label propagation (Raghavan et al. '07; the GraphX `LabelPropagation`
+   * class) — community detection as fixed-round DataFrame iteration. Every node starts
+   * with its own id as label; each round every node adopts the most frequent label among
+   * its neighbors, ties broken by the SMALLEST label, so each round is a total
+   * deterministic function of the previous one (the async/random variants converge
+   * better but are not replayable — fixed synchronous rounds are what an oracle can
+   * check).
+   *
+   * Per round: ONE shuffle to count (node, label) votes + one argmax groupBy — the
+   * argmax rides a `max(struct(cnt, -label))` so no per-node sort or window appears.
+   * Same iterative discipline as pageRank: edges cached + pre-partitioned on the join
+   * key, localCheckpoint per round, driver loops over ROUNDS never rows.
+   *
+   * `edges` must be symmetric (src, dst); multi-edges are deduplicated. Returns
+   * (id, label) after `rounds` rounds.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val votes = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+      r += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /**
+   * `q_label_prop`: two synchronous LPA rounds over the co-purchase graph; output is
+   * every node's community label. Pure integer arithmetic — the DuckDB oracle unrolls
+   * both rounds (votes + argmax-by-row_number) and must hash-match exactly.
+   */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    labelPropagation(edges, rounds = 2)
+      .select(col("id").as("l_partkey"), col("label"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val qLabelPropSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), l0 AS (
+      |  SELECT DISTINCT src AS id, src AS label FROM edges
+      |), v1 AS (
+      |  SELECT e.dst, l.label, count(*) AS cnt
+      |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2
+      |), l1 AS (
+      |  SELECT dst AS id, label FROM (
+      |    SELECT dst, label,
+      |           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+      |    FROM v1) t WHERE rn = 1
+      |), v2 AS (
+      |  SELECT e.dst, l.label, count(*) AS cnt
+      |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2
+      |), l2 AS (
+      |  SELECT dst AS id, label FROM (
+      |    SELECT dst, label,
+      |           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+      |    FROM v2) t WHERE rn = 1
+      |)
+      |SELECT id AS l_partkey, label FROM l2
+      |ORDER BY l_partkey""".stripMargin
+
+  /**
+   * Bounded-round weighted single-source(-set) shortest paths — Bellman-Ford as min-plus
+   * DataFrame iteration (the Pregel SSSP class). Each round relaxes every edge once:
+   * dist' = min(dist, min_{(u,v) ∈ E}(dist[u] + w(u,v))), so after R rounds the result
+   * is EXACTLY the shortest distance using <= R edges — a well-defined, replayable
+   * semantics (full SSSP = run to the graph diameter; bounded R is what a 100 TB
+   * pipeline actually schedules).
+   *
+   * Per round ONE join (edges × current frontier of improved nodes) + one min-groupBy.
+   * Like bfs, only IMPROVED nodes join the next round's relaxation (delta iteration —
+   * work decays as distances settle), and integer weights keep min-plus exact in both
+   * engines.
+   */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).cache()
+    var dist = sources.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var drained = false
+    while (r < rounds && !drained) {
+      val relax = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // delta iteration: only nodes whose distance IMPROVED this round can improve a
+      // neighbor next round
+      frontier = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("id"), col("dist")).localCheckpoint()
+      drained = frontier.isEmpty
+      dist.unpersist()
+      dist = next
+      r += 1
+    }
+    e.unpersist()
+    dist
+  }
+
+  /**
+   * `q_sssp`: <=3-edge shortest distances from the partkey%101==0 seed set over the
+   * co-purchase graph, with integer edge weights w = max(1, 6 − co-purchase count)
+   * (stronger ties are closer). Integer min-plus is exact, so the DuckDB oracle
+   * (three unrolled relaxation rounds) hash-matches exactly.
+   */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = coPurchaseEdges(spark, dir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    val seeds = weighted.select(col("src").as("id"))
+      .filter(col("id") % 101 === 0).distinct()
+    sssp(weighted, seeds, rounds = 3)
+      .withColumnRenamed("id", "l_partkey")
+      .select(col("l_partkey"), col("dist"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val qSsspSql: String =
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS cnt
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT src, dst, greatest(1, 6 - cnt) AS w FROM pairs
+      |), d0 AS (
+      |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM edges WHERE src % 101 = 0
+      |), d1 AS (
+      |  SELECT id, min(dist) AS dist FROM (
+      |    SELECT id, dist FROM d0
+      |    UNION ALL
+      |    SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.id
+      |  ) u GROUP BY id
+      |), d2 AS (
+      |  SELECT id, min(dist) AS dist FROM (
+      |    SELECT id, dist FROM d1
+      |    UNION ALL
+      |    SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.id
+      |  ) u GROUP BY id
+      |), d3 AS (
+      |  SELECT id, min(dist) AS dist FROM (
+      |    SELECT id, dist FROM d2
+      |    UNION ALL
+      |    SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.id
+      |  ) u GROUP BY id
+      |)
+      |SELECT id AS l_partkey, CAST(dist AS BIGINT) AS dist FROM d3
+      |ORDER BY l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank(_, _)),
     "q_bfs" -> (qBfs(_, _)),
-    "q_triangles" -> (qTriangles(_, _)))
+    "q_triangles" -> (qTriangles(_, _)),
+    "q_label_prop" -> (qLabelProp(_, _)),
+    "q_sssp" -> (qSssp(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_bfs" -> qBfsSql,
-    "q_triangles" -> qTrianglesSql)
+    "q_triangles" -> qTrianglesSql,
+    "q_label_prop" -> qLabelPropSql,
+    "q_sssp" -> qSsspSql)
 }

@@ -91,9 +91,70 @@ object TextRetrieval {
       |GROUP BY f.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  /**
+   * TF-IDF keyword extraction: the top-k characteristic terms of every document — the
+   * per-document twin of `text_topgrams` (corpus-global) and the classic first feature
+   * of topical mining / clustering labels.
+   *
+   * Plan shape: tf = ONE map-side-combined shuffle on (doc_id, term); df = ONE combine
+   * on term (|vocab| rows — joined back by term as a plain shuffle join, since at corpus
+   * scale the vocabulary is not broadcastable by assumption); the per-doc top-k is a
+   * rank<=k window that RankLimitRule rewrites onto the native TopKPerKey pre-limit, so
+   * no per-document full sort materializes. idf = ln((1+N)/(1+df)) + 1 (smoothed,
+   * sklearn-style); scores rounded to 6 before ranking so both engines rank identical
+   * numbers; ties broken by term.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TableIO.fanOut(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(corpus))
+      .withColumn("score6", round(col("tf") * idf, 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score6").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score6"))
+  }
+
+  /** Driver-contract query: top-3 TF-IDF terms per document. */
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(TableIO.documents(spark, dir), 3)
+      .orderBy(col("doc_id"), col("rk"))
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), corpus AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT f.doc_id, f.term,
+      |         round(f.tf * (ln((1.0 + c.n_docs) / (1.0 + d.df)) + 1.0), 6) AS score6
+      |  FROM tf f JOIN dfreq d USING (term) CROSS JOIN corpus c
+      |), ranked AS (
+      |  SELECT doc_id, term, score6,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score6 DESC, term) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, term, score6
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25" -> bm25Query _)
+    "text_bm25" -> bm25Query _,
+    "text_tfidf" -> tfidfQuery _)
 
   val oracles: Map[String, String] = Map(
-    "text_bm25" -> bm25Sql)
+    "text_bm25" -> bm25Sql,
+    "text_tfidf" -> tfidfSql)
 }

@@ -107,4 +107,77 @@ class GraphOpsSpec extends AnyFunSuite {
     val b = GraphOps.qTriangles(spark, sf).head().getLong(0)
     assert(a == b && a > 0, s"got $a then $b")
   }
+
+  test("labelPropagation: two cliques joined by one bridge edge settle into two communities") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val sym = cl ++ cl.map(_.swap)
+    val got = GraphOps.labelPropagation(sym.toDF("src", "dst"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic synchronous LPA with min-label ties: clique labels collapse to the
+    // minimum member label; the bridge endpoints are dominated by their own clique
+    assert(Set(1L, 2L, 3L).map(got).size == 1, s"left clique must agree: $got")
+    assert(Set(10L, 11L, 12L).map(got).size == 1, s"right clique must agree: $got")
+    assert(got(1L) != got(11L), s"cliques must keep distinct communities: $got")
+  }
+
+  test("labelPropagation is deterministic round-for-round (synchronous + total tie-break)") {
+    import spark.implicits._
+    val edges = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i % 30 + 1, i)))
+    val a = GraphOps.labelPropagation(edges.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = GraphOps.labelPropagation(edges.toDF("src", "dst"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("sssp relaxes exactly <=R-edge shortest paths with integer weights") {
+    import spark.implicits._
+    // 1 -> 2 (w5) -> 3 (w1); direct 1 -> 3 (w10): 2-edge path wins at R>=2
+    // 4 unreachable from 1; 1 -> 5 (w1) -> ... chain longer than R stays at the R-cut
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (5L, 6L, 1L), (6L, 7L, 1L), (7L, 8L, 1L), (1L, 5L, 1L))
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val d2 = GraphOps.sssp(edges.toDF("src", "dst", "w"), seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 5L -> 1L, 6L -> 2L),
+      s"2-round distances wrong: $d2")
+    val d4 = GraphOps.sssp(edges.toDF("src", "dst", "w"), seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4(8L) === 4L && !d4.contains(4L), s"4-round must reach the chain end: $d4")
+  }
+
+  test("sssp frontier drains early on a settled graph (no wasted rounds)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    // rounds=10 but the graph settles after 1: must terminate and return both nodes
+    val d = GraphOps.sssp(edges, seeds, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("q_rolling_zscore statistics are strictly past-only (leakage-free)") {
+    import org.apache.spark.sql.functions._
+    // the flagged event's own value must not be in its window: recompute each flagged
+    // z from the raw preceding values and compare
+    val ev = graft.sources.TableIO.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val flagged = graft.operators.EventsQueries.qRollingZscore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    flagged.foreach { case (eid, uid, z4) =>
+      val mine = ev.filter(_._2 == uid).sortBy(e => (e._3.getTime, e._1))
+      val idx = mine.indexWhere(_._1 == eid)
+      val win = mine.slice(math.max(0, idx - 20), idx).map(_._4)
+      assert(win.length >= 10, s"event $eid flagged with ${win.length} prior points")
+      val mu = win.sum / win.length
+      val sd = math.sqrt(win.map(v => (v - mu) * (v - mu)).sum / (win.length - 1))
+      val z = BigDecimal((mine(idx)._4 - mu) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(z - z4) < 2e-4, s"event $eid: engine z=$z4 vs reference $z")
+    }
+    assert(flagged.nonEmpty, "sf0.001 corpus must surface at least one anomaly")
+  }
 }

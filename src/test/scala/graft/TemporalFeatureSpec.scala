@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalOps
+import graft.pipeline.{FeatureStats, Linkage, TextRetrieval}
+
+/** Temporal/lakehouse ops (point-in-time join, snapshot diff, DQ audit) and the
+  * round-5 feature/text additions (edit-distance join, TF-IDF, MI/chi²). */
+class TemporalFeatureSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+  import spark.implicits._
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // --- point-in-time join -----------------------------------------------------------
+
+  test("pointInTime resolves interval boundaries half-open: [from, to)") {
+    val dim = Seq(
+      // key 1: v1 valid [10, 20), v2 valid [20, null)
+      (1L, "v1", 10L, Option(20L)), (1L, "v2", 20L, None),
+      // key 2: only a current version from 15
+      (2L, "w1", 15L, None)
+    ).toDF("k", "payload", "valid_from", "valid_to")
+    val facts = Seq((1L, 10L), (1L, 19L), (1L, 20L), (1L, 25L), (2L, 14L), (2L, 15L))
+      .toDF("fk", "ts")
+    val out = TemporalOps.pointInTime(facts, dim, "fk", "k", "ts", "valid_from", "valid_to")
+      .select(col("fk"), col("ts"), col("payload")).as[(Long, Long, String)]
+      .collect().toSet
+    // ts=10,19 hit v1; ts=20 flips to v2 (from-inclusive, to-exclusive); ts=14 predates
+    // key 2's history entirely -> dropped
+    assert(out === Set((1L, 10L, "v1"), (1L, 19L, "v1"), (1L, 20L, "v2"),
+      (1L, 25L, "v2"), (2L, 15L, "w1")))
+  }
+
+  test("q_temporal_join matches every order exactly once (no interval overlap)") {
+    val out = TemporalOps.qTemporalJoin(spark, sf)
+    val n = out.count()
+    val nOrders = graft.sources.TableIO.orders(spark, sf).count()
+    assert(n === nOrders, "each order must resolve to exactly one dimension version")
+    val dup = out.groupBy("o_orderkey").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("q_temporal_join is an equi-join with interval filter, never nested-loop") {
+    val plan = executedPlan(TemporalOps.qTemporalJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"point-in-time lookup must ride the key equi-join:\n$plan")
+  }
+
+  // --- snapshot diff ----------------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val before = Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "B"))
+      .toDF("k", "price", "status")
+    val after = Seq((2L, 20.0, "A"), (3L, 31.0, "B"), (4L, 40.0, "C"))
+      .toDF("k", "price", "status")
+    val out = TemporalOps.snapshotDiff(before, after, "k", Seq("price", "status"))
+      .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff change column is null-safe on compare columns") {
+    val before = Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("k", "price")
+    val after = Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("k", "price")
+    // NULL <=> NULL must not read as changed; identical rows are unchanged -> empty diff
+    val out = TemporalOps.snapshotDiff(before, after, "k", Seq("price"))
+    assert(out.count() === 0L, "identical snapshots must produce an empty change feed")
+  }
+
+  // --- data-quality report ----------------------------------------------------------
+
+  test("q_dq_report detects the real key duplication in the synthetic lineitem") {
+    val rows = TemporalOps.qDqReport(spark, sf)
+      .select(col("rule"), col("violations")).as[(String, Long)].collect().toMap
+    assert(rows.keySet === Set("null_quantity", "range_quantity", "range_discount",
+      "set_returnflag", "null_shipdate", "unique_key", "fk_orderkey"))
+    // the driver's synthetic lineitem is clean on every scalar + FK rule, but its
+    // (l_orderkey, l_linenumber) pairs genuinely repeat — the audit must surface that
+    val l = graft.sources.TableIO.lineitem(spark, sf)
+    val expectedDups = l.count() -
+      l.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(rows("unique_key") === expectedDups && expectedDups > 0L,
+      s"unique_key must equal the independently-counted duplicates: $rows")
+    assert((rows - "unique_key").values.forall(_ === 0L),
+      s"all other rules are clean by construction: $rows")
+  }
+
+  // --- edit-distance banded join ----------------------------------------------------
+
+  test("editDistJoin finds the minimum-distance match within the band") {
+    val clean = Seq((1L, "apple pie", "pie"), (2L, "apples pie", "pie"), (3L, "maple pie", "pie"))
+      .toDF("id", "name", "block")
+    val dirty = Seq((10L, "aple pie", "pie"), (11L, "zzzzzz pie", "pie"))
+      .toDF("id", "name", "block")
+    val out = Linkage.editDistJoin(clean, dirty, maxDist = 2)
+      .select(col("dirty_id"), col("clean_id"), col("dist")).as[(Long, Long, Int)]
+      .collect().map { case (d, c, x) => (d, (c, x)) }.toMap
+    // "aple pie": dist 1 to "apple pie" (clean_id 1 wins over "apples pie" dist 2 and
+    // "maple pie" dist 2); "zzzzzz pie" is beyond the band everywhere -> no row
+    assert(out === Map(10L -> ((1L, 1))))
+  }
+
+  test("editDistJoin length pre-filter loses no within-band matches") {
+    // names whose lengths differ by > maxDist cannot be within maxDist edits, so the
+    // pre-filter is lossless: compare against the unfiltered variant on real names
+    val p = graft.sources.TableIO.part(spark, sf).select(col("p_partkey"), col("p_name"))
+    val clean = p.groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("p_name").as("name"),
+        substring_index(col("p_name"), " ", -1).as("block"))
+    val dirty = p.limit(200).select(col("p_partkey").as("id"),
+      concat(lit("x"), col("p_name")).as("name"),
+      substring_index(col("p_name"), " ", -1).as("block"))
+    val banded = Linkage.editDistJoin(clean, dirty, 2)
+    val naive = {
+      val c = clean.select(col("id").as("clean_id"), col("name").as("clean_name"), col("block"))
+      val d = dirty.select(col("id").as("dirty_id"), col("name").as("dirty_name"), col("block"))
+      d.join(c, "block")
+        .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+        .filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dirty_id")).orderBy(col("dist"), col("clean_id"))))
+        .filter(col("rn") === 1)
+        .select(col("dirty_id"), col("clean_id"), col("dist"))
+    }
+    assert(banded.select(col("dirty_id"), col("clean_id"), col("dist")).collect().toSet ===
+      naive.collect().toSet)
+  }
+
+  // --- TF-IDF -----------------------------------------------------------------------
+
+  test("tfidfTopTerms scores by tf * smoothed idf with deterministic tie-breaks") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta gamma common"),
+      (3L, "common common gamma")
+    ).toDF("doc_id", "text")
+    val out = TextRetrieval.tfidfTopTerms(docs, 2)
+      .select(col("doc_id"), col("rk"), col("term")).as[(Long, Int, String)]
+      .collect().toSet
+    // doc 1: alpha tf=2 df=1 -> top; beta tf=1 df=2 beats common tf=1 df=3
+    // doc 2: beta and gamma tie exactly (tf=1, df=2 each) -> term asc breaks it
+    // doc 3: common tf=2 df=3 -> 2*(ln(4/4)+1)=2.0 beats gamma 1*(ln(2)+1)~1.69
+    assert(out === Set((1L, 1, "alpha"), (1L, 2, "beta"),
+      (2L, 1, "beta"), (2L, 2, "gamma"), (3L, 1, "common"), (3L, 2, "gamma")))
+  }
+
+  test("text_tfidf rides the native TopKPerKey pre-limit (no per-doc full sort)") {
+    val plan = executedPlan(TextRetrieval.tfidfQuery(spark, sf))
+    assert(plan.contains("TopKPerKey"),
+      s"rank<=3 per doc must rewrite through RankLimitRule:\n$plan")
+  }
+
+  // --- mutual information / chi² ----------------------------------------------------
+
+  test("dependence: independent feature scores ~0 MI and ~0 chi²") {
+    // 1000 = 125 full cycles of 8, so x=(i/2)%4 and y=i%2 are exactly independent
+    val df = (0 until 1000).map(i => ((i / 2) % 4, i % 2)).toDF("x", "y")
+    val Array((mi, chi2)) = FeatureStats.dependence(df, col("x").cast("string"), col("y").cast("string"))
+      .as[(Double, Double)].collect()
+    assert(math.abs(mi) < 1e-9, s"x,y constructed independent; mi=$mi")
+    assert(math.abs(chi2) < 1e-6, s"chi2=$chi2")
+  }
+
+  test("dependence: identical feature yields MI = label entropy") {
+    // y uniform over 4 values -> H(y) = ln 4; MI(x=y) = H(y)
+    val df = (0 until 400).map(i => (i % 4, i % 4)).toDF("x", "y")
+    val Array((mi, _)) = FeatureStats.dependence(df, col("x").cast("string"), col("y").cast("string"))
+      .as[(Double, Double)].collect()
+    assert(math.abs(mi - math.log(4)) < 1e-6, s"mi=$mi expected ln4=${math.log(4)}")
+  }
+
+  test("dependence contingency pipeline has no corpus-size cartesian (broadcast marginals)") {
+    val l = graft.sources.TableIO.lineitem(spark, sf)
+    val plan = executedPlan(FeatureStats.dependence(l,
+      col("l_linestatus"), col("l_returnflag")))
+    assert(!plan.contains("CartesianProduct"), s"marginals must broadcast:\n$plan")
+  }
+}
