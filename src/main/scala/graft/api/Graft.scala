@@ -407,6 +407,18 @@ object Graft {
       qs: Seq[Double]): DataFrame =
     graft.operators.Percentiles.exactBySort(df, keys, valueCol, qs)
 
+  /** Robust per-group outlier scoring: each row gains (med, mad, robust_z) with
+    * robust_z = |v − median|/(1.4826·MAD); median/MAD ride the buffer-free exact sort
+    * path, so outliers cannot mask themselves the way they inflate a stddev. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    graft.operators.Percentiles.madOutliers(
+      requireCols(df, "input", (keys :+ valueCol): _*), keys, valueCol)
+
+  /** Per-source token-distribution diagnostics: (source, n_tokens, n_types, entropy6,
+    * ttr6) — low entropy at high volume flags template/spam sources. */
+  def sourceEntropy(docs: DataFrame): DataFrame =
+    TextAnalysis.sourceEntropy(requireCols(docs, "documents", "source", "text"))
+
   /** One-scan table profile: per-column counts/nulls/ndv/extrema. The default is the
     * HLL++ ndv estimate (`exact = false`): exact multi-column `count(DISTINCT)` expands
     * the input via Catalyst Expand — one duplicate per distinct aggregate, ~6x for a

@@ -885,7 +885,47 @@ object ExpressionQueries {
       |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart
       |FROM orders""".stripMargin
 
+  /**
+   * `q_corr_matrix`: pairwise Pearson correlations of the lineitem measures in ONE
+   * aggregation pass — the feature-redundancy screen run before 100 TB feature
+   * materialization (the continuous twin of `q_feature_mi`'s categorical MI). Six
+   * `corr` aggregates share a single scan/shuffle (each is a bounded set of running
+   * moments, map-side combined); `stack` pivots the one result row to long form.
+   * Rounded to 6 — corr is a quotient of co-moments both engines accumulate in
+   * doubles; 1e-13 association noise vs the 1e-6 grain.
+   */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+    val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+    val wide = TableIO.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) => s"'$a|$b', ${a}__$b" }.mkString(", ")
+    wide.select(expr(s"stack(${pairs.size}, $stackArgs) as (pair, corr6)"))
+      .orderBy(col("pair"))
+  }
+
+  val qCorrMatrixSql: String =
+    """WITH wide AS (
+      |  SELECT round(corr(l_quantity, l_extendedprice), 6) AS a,
+      |         round(corr(l_quantity, l_discount), 6) AS b,
+      |         round(corr(l_quantity, l_tax), 6) AS c,
+      |         round(corr(l_extendedprice, l_discount), 6) AS d,
+      |         round(corr(l_extendedprice, l_tax), 6) AS e,
+      |         round(corr(l_discount, l_tax), 6) AS f
+      |  FROM lineitem
+      |)
+      |SELECT pair, corr6 FROM (
+      |  SELECT 'l_quantity|l_extendedprice' AS pair, a AS corr6 FROM wide
+      |  UNION ALL SELECT 'l_quantity|l_discount', b FROM wide
+      |  UNION ALL SELECT 'l_quantity|l_tax', c FROM wide
+      |  UNION ALL SELECT 'l_extendedprice|l_discount', d FROM wide
+      |  UNION ALL SELECT 'l_extendedprice|l_tax', e FROM wide
+      |  UNION ALL SELECT 'l_discount|l_tax', f FROM wide
+      |) u ORDER BY pair""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> qCorrMatrix _,
     "q_math" -> qMath _, "q_case_when" -> qCaseWhen _, "q_coalesce_expr" -> qCoalesceExpr _,
     "q_in_filter" -> qInFilter _, "q_string_funcs" -> qStringFuncs _,
     "q_like_regex" -> qLikeRegex _, "q_date_funcs" -> qDateFuncs _,
@@ -911,6 +951,7 @@ object ExpressionQueries {
     "q_bitwise" -> qBitwiseSql, "q_time_parts" -> qTimePartsSql,
     "q_hof_funcs" -> qHofFuncsSql, "q_agg_stats3" -> qAggStats3Sql,
     "q_date_funcs2" -> qDateFuncs2Sql, "q_variant" -> qVariantSql,
-    "q_listagg" -> qListaggSql, "q_try_funcs" -> qTryFuncsSql)
+    "q_listagg" -> qListaggSql, "q_try_funcs" -> qTryFuncsSql,
+    "q_corr_matrix" -> qCorrMatrixSql)
     // q_approx_distinct: sketch-based -> rows-only + error-bound spec
 }

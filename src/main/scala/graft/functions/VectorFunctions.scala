@@ -17,4 +17,18 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
 
   def l2Distance(a: Column, b: Column): Column = VectorExpressions.l2Distance(a, b)
+
+  // ---- mergeable quantile sketches (native TypedImperativeAggregate) ----------------
+
+  /** Aggregate: numeric column -> t-digest sketch bytes (tail-accurate, mergeable). */
+  def tdigestSketch(v: Column, compression: Double = 100.0): Column =
+    org.apache.spark.sql.graft.TDigest.sketch(v, compression)
+
+  /** Aggregate: union a column of t-digest sketches into one (rollup serving). */
+  def tdigestMerge(s: Column): Column =
+    org.apache.spark.sql.graft.TDigest.mergeSketches(s)
+
+  /** Scalar: read quantile q out of a sketch column. */
+  def tdigestQuantile(s: Column, q: Column): Column =
+    org.apache.spark.sql.graft.TDigest.quantileOf(s, q)
 }

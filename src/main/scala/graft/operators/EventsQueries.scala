@@ -251,9 +251,43 @@ object EventsQueries {
       |WHERE npts >= 10 AND sd > 0 AND abs(round((value - mu) / sd, 4)) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  /**
+   * `q_mad_outliers`: robust (median/MAD) outlier flags per event type — the
+   * contamination-immune twin of `q_rolling_zscore` (an outlier inflates a stddev but
+   * not a MAD, so it cannot mask itself). Built on the buffer-free exact-median path
+   * (`Percentiles.madOutliers`); robust z rounded to 4 BEFORE the 3.5 cutoff so both
+   * engines threshold identical numbers. DuckDB's interpolated `median` is the twin of
+   * exactBySort at q=0.5 (parity proven by q_percentile_sort).
+   */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.madOutliers(
+        TableIO.events(spark, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      .withColumn("rz4", round(col("robust_z"), 4))
+      .filter(col("rz4") > 3.5)
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value2"),
+        col("rz4"))
+      .orderBy(col("event_id"))
+
+  val qMadOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS absdev
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_id, d.event_type, round(d.value, 2) AS value2,
+      |       round(d.absdev / (1.4826 * m.mad), 4) AS rz4
+      |FROM dev d JOIN mad m USING (event_type)
+      |WHERE m.mad > 0 AND round(d.absdev / (1.4826 * m.mad), 4) > 3.5
+      |ORDER BY d.event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
     "q_rolling_zscore" -> qRollingZscore _,
+    "q_mad_outliers" -> qMadOutliers _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_funnel_join" -> qFunnelJoin _,
@@ -264,6 +298,7 @@ object EventsQueries {
   val oracles: Map[String, String] = Map(
     "q_events_window" -> qEventsWindowSql,
     "q_rolling_zscore" -> qRollingZscoreSql,
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel_join" -> qFunnelJoinSql,

@@ -112,4 +112,33 @@ object Percentiles {
         (lit(1) + size(filter(col("__bs"), b => col(valueCol).cast("double") > b))).cast("int"))
       .drop("__bs")
   }
+
+  /**
+   * Robust per-group outlier scoring: median / MAD instead of mean / stddev, so a
+   * contaminated group cannot mask its own outliers (the failure mode of z-scores —
+   * the outliers inflate the stddev that is supposed to catch them). Each row gains
+   * (med, mad, robust_z) with robust_z = |v − median| / (1.4826·MAD); 1.4826 is the
+   * standard consistency constant making MAD estimate σ under normality, so the usual
+   * |z| > 3.5 cutoff applies. Degenerate groups (MAD = 0, i.e. >= half the group sits
+   * ON the median) are dropped — no finite score exists for them.
+   *
+   * Scale shape: two exactBySort median passes (each = one map-side-combined per-value
+   * count + rank selection, never a per-group buffer) and two key-equi joins against
+   * group-cardinality frames (AQE broadcasts them when small). Everything shuffles on
+   * the group key only.
+   */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    def keyed(m: DataFrame, pfx: String, as: String): DataFrame =
+      m.select(keys.map(c => col(c).as(s"$pfx$c")) :+ col("value").as(as): _*)
+    def joinOn(l: DataFrame, r: DataFrame, pfx: String): DataFrame =
+      l.join(r, keys.map(c => col(c) <=> col(s"$pfx$c")).reduce(_ && _))
+        .drop(keys.map(c => s"$pfx$c"): _*)
+    val med = keyed(exactBySort(df, keys, valueCol, Seq(0.5)), "__m_", "med")
+    val dev = joinOn(df, med, "__m_")
+      .withColumn("absdev", abs(col(valueCol) - col("med")))
+    val mad = keyed(exactBySort(dev, keys, "absdev", Seq(0.5)), "__d_", "mad")
+    joinOn(dev, mad, "__d_")
+      .filter(col("mad") > 0)
+      .withColumn("robust_z", col("absdev") / (lit(1.4826) * col("mad")))
+  }
 }

@@ -211,13 +211,39 @@ object Profiling {
       |FROM cum WHERE cum >= total * 0.5
       |GROUP BY status ORDER BY status""".stripMargin
 
+  /**
+   * `q_tdigest`: the NATIVE t-digest quantile-sketch serving path (the third 29j/29l
+   * sibling, this one a graft-authored `TypedImperativeAggregate` rather than a stock
+   * function): per-source sketches of document length answer p50/p95/p99 directly, and
+   * the GLOBAL row is served by MERGING the per-source sketches — the base is never
+   * rescanned. Rows-only (sketch centroids depend on partial-merge order, so estimates
+   * carry run-to-run wobble inside the rank-error bound; TDigestSpec pins the bound
+   * against exact percentiles and the merge-vs-direct consistency).
+   */
+  def qTdigest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{tdigestMerge, tdigestQuantile, tdigestSketch}
+    val perSource = TableIO.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(tdigestSketch(col("n_chars")).as("sk"))
+    val global = perSource.agg(tdigestMerge(col("sk")).as("sk"))
+      .select(lit("__all__").as("source"), col("sk"))
+    perSource.unionByName(global)
+      .select(col("source"),
+        round(tdigestQuantile(col("sk"), lit(0.5)), 1).as("p50"),
+        round(tdigestQuantile(col("sk"), lit(0.95)), 1).as("p95"),
+        round(tdigestQuantile(col("sk"), lit(0.99)), 1).as("p99"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileQuery _,
     "q_hll_rollup" -> (qHllRollup(_, _)),
-    "q_hist_rollup" -> (qHistRollup(_, _)))
+    "q_hist_rollup" -> (qHistRollup(_, _)),
+    "q_tdigest" -> (qTdigest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileSql,
     "q_hist_rollup" -> qHistRollupSql)
     // q_hll_rollup: sketch-based -> rows-only + merge-identity/error-bound spec
+    // q_tdigest: sketch-based -> rows-only + rank-error/merge-consistency spec
 }

@@ -622,7 +622,52 @@ object TextAnalysis {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- distributional diagnostics ------------------------------------------------------
+
+  /**
+   * Per-source token-distribution diagnostics: Shannon entropy (nats) of the source's
+   * unigram distribution, type count and type-token ratio — the corpus-health report
+   * that flags template/spam sources (low entropy at high volume) before they dominate
+   * a training mix. Complements `text_repetition` (per-document) at the source grain.
+   *
+   * Plan: ONE map-side-combined (source, token) count, then ONE (source) aggregation
+   * using the Σ c·ln c identity — H = ln N − (Σ c ln c)/N — so the per-token pass needs
+   * no join back to the source totals. Entropy rounded to 6 (cross-engine double-sum
+   * noise ~1e-12 on vocabulary-sized sums, far below the grain).
+   */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("clogc") / col("n_tokens"), 6).as("entropy6"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr6"))
+  }
+
+  /** `text_entropy`: per-source unigram entropy/type-token report over `documents`. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    sourceEntropy(TableIO.documents(spark, dir)).orderBy(col("source"))
+
+  val textEntropySql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL
+      |), tc AS (
+      |  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy6,
+      |       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr6
+      |FROM tc
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -639,6 +684,7 @@ object TextAnalysis {
     "text_nb_lang" -> (textNbLang(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, JaroWinkler, L2Distance,
-  RankLimitRule, SortedIntersectSize, TopKPerKeyStrategy}
+  RankLimitRule, SortedIntersectSize, TDigestMergeAgg, TDigestQuantile,
+  TDigestSketch, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -45,5 +46,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       FunctionRegistryBase.expressionInfo[JaroWinkler]("jaro_winkler", None),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    // native mergeable quantile sketch: build / merge aggregates + scalar read-out
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_sketch"),
+      FunctionRegistryBase.expressionInfo[TDigestSketch]("tdigest_sketch", None),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => TDigestSketch(v)
+        case Seq(v, c) =>
+          TDigestSketch(v, c.eval().asInstanceOf[Number].doubleValue())
+        case other => throw new IllegalArgumentException(
+          s"tdigest_sketch takes (value[, compression]), got ${other.size} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_merge"),
+      FunctionRegistryBase.expressionInfo[TDigestMergeAgg]("tdigest_merge", None),
+      (children: Seq[Expression]) => TDigestMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_quantile"),
+      FunctionRegistryBase.expressionInfo[TDigestQuantile]("tdigest_quantile", None),
+      (children: Seq[Expression]) => TDigestQuantile(children(0), children(1))))
   }
 }

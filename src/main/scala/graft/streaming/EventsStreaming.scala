@@ -67,6 +67,29 @@ object EventsStreaming {
       .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"), col("p_id"))
   }
 
+  /**
+   * LEFT OUTER stream-stream interval join: every click emits — attributed purchases
+   * ride the match, clicks with no purchase inside the attribution window emit with
+   * null purchase columns once BOTH watermarks have passed the window end (Spark holds
+   * the unmatched left row in state exactly that long; the interval bound on BOTH join
+   * keys is what makes the state evictable — an unbounded outer stream-stream join
+   * would accumulate state forever and is rejected by the engine).
+   */
+  def funnelJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"), col("p_id"))
+  }
+
   private val SessionGapUs = 30L * 60 * 1000 * 1000
 
   /**

@@ -89,6 +89,25 @@ class SourcesSpec extends AnyFunSuite {
       "documents arrow round-trip must be exact")
   }
 
+  test("schema evolution: mergeSchema unifies widened parquet batches, pruning intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // batch 1: (id, a); batch 2 adds column b — the additive evolution a long-lived
+    // corpus table accumulates (the reference's arrow-data-source reads such tables)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a").write.parquet(s"$dir/p=1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "b").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id", "p"))
+    val rows = merged.select("id", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, -1L), (2L, -1L), (3L, 30L), (4L, 40L)),
+      "pre-evolution rows surface NULL for the new column")
+    // column pruning still reaches the scan on the evolved schema
+    val plan = merged.select("b").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<b:bigint>"),
+      s"projection must prune to the evolved column only:\n$plan")
+  }
+
   test("events timestamps normalize to usable timestamp type") {
     val df = TableIO.events(spark, sf)
     assert(df.schema("ts").dataType.typeName == "timestamp")

@@ -232,6 +232,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after both watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "purchase", 9.0), // within the 30-min window -> attributed
+      Event(3, ts(1), 2, "click", 1.0))     // never purchases -> null row, but only
+                                            // after the watermark clears its window
+    val q = EventsStreaming.funnelJoinOuter(stream.toDF())
+      .writeStream.format("memory").queryName("funnel_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val matched = spark.table("funnel_outer").collect()
+      assert(matched.count(r => !r.isNullAt(3)) == 1, s"inner match first: ${matched.toSeq}")
+      assert(matched.forall(r => !r.isNullAt(3)),
+        "the unmatched click must NOT emit while its window can still match")
+      // advance BOTH watermarks past click@ts(1)'s window end (ts(31) + 10 min delay):
+      // late traffic at ts(55)/ts(56) moves the global watermark to ts(45)
+      stream.addData(Event(4, ts(55), 3, "click", 1.0), Event(5, ts(56), 3, "purchase", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(6, ts(59), 4, "click", 1.0)) // extra trigger to flush eviction
+      q.processAllAvailable()
+      val rows = spark.table("funnel_outer").collect()
+      val nullRows = rows.filter(_.isNullAt(3)).map(_.getLong(0))
+      assert(nullRows.toSeq == Seq(2L),
+        s"exactly the never-purchasing user emits a null row: ${rows.toSeq}")
+      assert(rows.count(r => !r.isNullAt(3)) == 2, s"both real attributions kept: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

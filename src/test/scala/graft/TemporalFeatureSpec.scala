@@ -176,6 +176,41 @@ class TemporalFeatureSpec extends AnyFunSuite {
     assert(math.abs(mi - math.log(4)) < 1e-6, s"mi=$mi expected ln4=${math.log(4)}")
   }
 
+  // --- MAD outliers -----------------------------------------------------------------
+
+  test("madOutliers: an extreme point cannot mask itself (contamination immunity)") {
+    // 19 points near 10 plus one at 1000: classic z-score sees z ~ sqrt(n) capped well
+    // below 3.5 for small n because the outlier inflates the stddev; MAD flags it
+    val vals = (1 to 19).map(i => 10.0 + (i % 5) * 0.5) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val out = graft.operators.Percentiles.madOutliers(df, Seq("grp"), "v")
+      .filter(col("robust_z") > 3.5).select(col("id")).as[Long].collect()
+    assert(out.toSet === Set(19L), s"only the planted outlier flags: ${out.toList}")
+  }
+
+  test("madOutliers drops degenerate MAD=0 groups instead of dividing by zero") {
+    val df = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0), (4L, "c", 99.0))
+      .toDF("id", "grp", "v") // median 5, >=half the group ON the median -> MAD 0
+    val out = graft.operators.Percentiles.madOutliers(df, Seq("grp"), "v")
+    assert(out.count() === 0L, "MAD=0 group has no finite score and must drop")
+  }
+
+  // --- source entropy ---------------------------------------------------------------
+
+  test("sourceEntropy: uniform vocabulary gives ln(k); constant token gives 0") {
+    val docs = Seq(
+      (1L, "a b c d", "uni"), (2L, "x x x x", "const")
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.pipeline.TextAnalysis.sourceEntropy(docs)
+      .select(col("source"), col("n_tokens"), col("n_types"), col("entropy6"), col("ttr6"))
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, nt, ty, h, ttr) = rows("uni")
+    assert(nt === 4L && ty === 4L && math.abs(h - math.log(4)) < 1e-6 && ttr === 1.0)
+    val (_, nt2, ty2, h2, ttr2) = rows("const")
+    assert(nt2 === 4L && ty2 === 1L && h2 === 0.0 && ttr2 === 0.25)
+  }
+
   test("dependence contingency pipeline has no corpus-size cartesian (broadcast marginals)") {
     val l = graft.sources.TableIO.lineitem(spark, sf)
     val plan = executedPlan(FeatureStats.dependence(l,
