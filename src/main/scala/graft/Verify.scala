@@ -19,8 +19,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop cached intermediates between queries — accumulated caches from 120 queries
-      // otherwise thrash the block manager (round-2 lesson, same fix as Bench).
-      finally spark.catalog.clearCache()
+      // otherwise thrash the block manager (round-2 lesson, same fix as Bench). RDD-level
+      // localCheckpoint blocks from the iterative graph operators are invisible to the
+      // catalog and must be dropped explicitly.
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

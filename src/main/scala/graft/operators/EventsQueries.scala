@@ -284,10 +284,106 @@ object EventsQueries {
       |WHERE m.mad > 0 AND round(d.absdev / (1.4826 * m.mad), 4) > 3.5
       |ORDER BY d.event_id""".stripMargin
 
+  /**
+   * `q_winsorize`: per-event-type tail clipping at the exact [p05, p95] band
+   * (`Percentiles.winsorize`) with a per-group before/after audit — rows kept, tails
+   * bounded; the mean shift is the statistic a feature pipeline monitors. Sum-order
+   * double noise on the means is ~1e-9 abs vs the round(4) grain. A boundary can only
+   * coincide with a data value at an integral target rank, where both engines
+   * reproduce it exactly (the equidepth-bins determinism argument), so clip counts are
+   * cross-engine stable.
+   */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.winsorize(
+        TableIO.events(spark, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", 0.05, 0.95)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(avg(col("value")), 4).as("mean_raw"),
+        round(avg(col("clipped")), 4).as("mean_wins"),
+        round(min(col("lo")), 4).as("lo4"), round(min(col("hi")), 4).as("hi4"))
+      .orderBy(col("event_type"))
+
+  val qWinsorizeSql: String =
+    """WITH bounds AS (
+      |  SELECT event_type,
+      |         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1
+      |), c AS (
+      |  SELECT e.event_type, e.value, b.lo, b.hi,
+      |         least(greatest(e.value, b.lo), b.hi) AS clipped
+      |  FROM events e JOIN bounds b USING (event_type)
+      |)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |       round(avg(value), 4) AS mean_raw,
+      |       round(avg(clipped), 4) AS mean_wins,
+      |       round(min(lo), 4) AS lo4, round(min(hi), 4) AS hi4
+      |FROM c
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /**
+   * `q_funnel3`: strict-ordering three-step funnel (view → click → purchase) — the
+   * product-analytics staple generalizing the two-step `q_funnel_join`. Step k's
+   * timestamp is the user's FIRST step-k event strictly after their step-(k−1)
+   * timestamp, so each stage is one conditional aggregation: three groupBy(user)
+   * shuffles total (each stage's frame shrinks to converting users), never an
+   * events×events self-join. Output: one row per funnel stage with user counts and
+   * the conversion rate from the previous stage.
+   */
+  def qFunnel3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = TableIO.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val nv = v.agg(count(lit(1)).as("users")).select(lit(1).as("step"), lit("view").as("stage"), col("users"))
+    val nc = c.agg(count(lit(1)).as("users")).select(lit(2).as("step"), lit("click").as("stage"), col("users"))
+    val np = p.agg(count(lit(1)).as("users")).select(lit(3).as("step"), lit("purchase").as("stage"), col("users"))
+    val steps = nv.unionByName(nc).unionByName(np)
+    // step-over-step conversion via a 3-row self-join (no unpartitioned window — keeps
+    // the bench log free of WindowExec single-partition warnings)
+    val prev = steps.select((col("step") + 1).as("step"), col("users").as("prev_users"))
+    steps.join(prev, Seq("step"), "left")
+      .withColumn("conv4", round(col("users") / col("prev_users"), 4))
+      .select(col("step"), col("stage"), col("users"), col("conv4"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnel3Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+      |), steps AS (
+      |  SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+      |)
+      |SELECT step, stage, users,
+      |       round(users / CAST(lag(users) OVER (ORDER BY step) AS DOUBLE), 4) AS conv4
+      |FROM steps
+      |ORDER BY step""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
     "q_rolling_zscore" -> qRollingZscore _,
     "q_mad_outliers" -> qMadOutliers _,
+    "q_winsorize" -> qWinsorize _,
+    "q_funnel3" -> qFunnel3 _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_funnel_join" -> qFunnelJoin _,
@@ -299,6 +395,8 @@ object EventsQueries {
     "q_events_window" -> qEventsWindowSql,
     "q_rolling_zscore" -> qRollingZscoreSql,
     "q_mad_outliers" -> qMadOutliersSql,
+    "q_winsorize" -> qWinsorizeSql,
+    "q_funnel3" -> qFunnel3Sql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel_join" -> qFunnelJoinSql,

@@ -286,8 +286,13 @@ object GraphOps {
    * (id, label) after `rounds` rounds.
    */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).cache()
+    // adjacency-set build (the pageRank pattern): ONE shuffle dedups multi-edges AND
+    // leaves the exploded frame hash-partitioned on src — vs distinct().repartition(src)
+    // which pays two full shuffles of the pair list for the same result
+    val e = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .cache()
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var r = 0

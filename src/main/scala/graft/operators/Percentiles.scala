@@ -127,6 +127,25 @@ object Percentiles {
    * group-cardinality frames (AQE broadcasts them when small). Everything shuffles on
    * the group key only.
    */
+  /**
+   * Winsorization: clip each row's value to its group's [qLo, qHi] exact interpolated
+   * quantile band — the feature-engineering tail-tamer (keeps the row, unlike outlier
+   * DELETION, so downstream counts/joins are undisturbed). Boundaries come from the
+   * buffer-free exactBySort path; one key-equi join (AQE broadcasts the
+   * group-cardinality boundary frame) and a map-side least/greatest clip. Adds
+   * `clipped` (the bounded value) plus the `lo`/`hi` bounds.
+   */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+      qLo: Double, qHi: Double): DataFrame = {
+    require(qLo < qHi, s"need qLo < qHi, got $qLo >= $qHi")
+    val bounds = exactBySort(df, keys, valueCol, Seq(qLo, qHi))
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("q") === qLo, col("value"))).as("lo"),
+        max(when(col("q") === qHi, col("value"))).as("hi"))
+    df.join(bounds, keys)
+      .withColumn("clipped", least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
   def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     def keyed(m: DataFrame, pfx: String, as: String): DataFrame =
       m.select(keys.map(c => col(c).as(s"$pfx$c")) :+ col("value").as(as): _*)

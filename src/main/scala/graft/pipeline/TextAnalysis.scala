@@ -666,8 +666,76 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /**
+   * PMI collocation mining: the corpus's most-associated adjacent word pairs
+   * (pointwise mutual information, the classic collocation statistic) — surfaces the
+   * multi-word expressions ("new york", "machine learning") a tokenizer/vocab decision
+   * or a phrase-aware dedup wants to know about. A raw-frequency top list (72f
+   * `text_topgrams`) ranks "of the" first; PMI normalizes away unigram popularity.
+   *
+   * PMI = ln( (c_xy/M) / ((c_x/N)·(c_y/N)) ), with M = total bigrams, N = total
+   * unigrams; a min-support floor (c_xy >= minCount) drops the unstable singleton tail
+   * (PMI's known pathology). Plan: ONE unigram count + ONE bigram count (both map-side
+   * combined), two vocabulary-sized joins to attach c_x/c_y (shuffle joins — the vocab
+   * is not assumed broadcastable), broadcast totals, TakeOrdered top-k — never a global
+   * sort.
+   */
+  def pmiCollocations(docs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y))")).as("b"))
+      .select(col("b.x"), col("b.y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      .crossJoin(bi.agg(sum(col("cxy")).cast("double").as("n_bi")))
+    bi.join(uni.select(col("w").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi6", round(
+        log((col("cxy") / col("n_bi")) /
+          ((col("cx") / col("n_uni")) * (col("cy") / col("n_uni")))), 6))
+      .select(col("x"), col("y"), col("cxy"), col("pmi6"))
+      .orderBy(col("pmi6").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** `text_pmi`: top-20 PMI collocations with support >= 5 over `documents`. */
+  def textPmi(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(TableIO.documents(spark, dir), 20, 5)
+
+  val textPmiSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), uni AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+      |), bi AS (
+      |  SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y,
+      |         count(*) AS cxy
+      |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      |        FROM toks WHERE len(t) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |), totals AS (
+      |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_uni,
+      |         (SELECT CAST(sum(cxy) AS DOUBLE) FROM bi) AS n_bi
+      |)
+      |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS cxy,
+      |       round(ln((b.cxy / t.n_bi) / ((ux.c / t.n_uni) * (uy.c / t.n_uni))), 6) AS pmi6
+      |FROM bi b
+      |JOIN uni ux ON ux.w = b.x
+      |JOIN uni uy ON uy.w = b.y
+      |CROSS JOIN totals t
+      |ORDER BY pmi6 DESC, b.x, b.y
+      |LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> (textEntropy(_, _)),
+    "text_pmi" -> (textPmi(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -685,6 +753,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_entropy" -> textEntropySql,
+    "text_pmi" -> textPmiSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
