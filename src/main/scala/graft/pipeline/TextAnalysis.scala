@@ -685,14 +685,16 @@ object TextAnalysis {
       .select(split(trim(col("text")), "\\s+").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bi = toks.filter(size(col("t")) >= 2)
+    val biAll = toks.filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y))")).as("b"))
       .select(col("b.x"), col("b.y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= minCount)
+    val bi = biAll.filter(col("cxy") >= minCount)
+    // totals over the UNFILTERED mass: p(x,y) must be a probability over all bigrams,
+    // not over the supported subset (which would inflate every PMI by the same ln factor)
     val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
-      .crossJoin(bi.agg(sum(col("cxy")).cast("double").as("n_bi")))
+      .crossJoin(biAll.agg(sum(col("cxy")).cast("double").as("n_bi")))
     bi.join(uni.select(col("w").as("x"), col("c").as("cx")), "x")
       .join(uni.select(col("w").as("y"), col("c").as("cy")), "y")
       .crossJoin(broadcast(totals))
@@ -714,15 +716,17 @@ object TextAnalysis {
       |  FROM documents WHERE text IS NOT NULL
       |), uni AS (
       |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
-      |), bi AS (
+      |), bi_all AS (
       |  SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y,
       |         count(*) AS cxy
       |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
       |        FROM toks WHERE len(t) >= 2)
-      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |  GROUP BY 1, 2
+      |), bi AS (
+      |  SELECT * FROM bi_all WHERE cxy >= 5
       |), totals AS (
       |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_uni,
-      |         (SELECT CAST(sum(cxy) AS DOUBLE) FROM bi) AS n_bi
+      |         (SELECT CAST(sum(cxy) AS DOUBLE) FROM bi_all) AS n_bi
       |)
       |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS cxy,
       |       round(ln((b.cxy / t.n_bi) / ((ux.c / t.n_uni) * (uy.c / t.n_uni))), 6) AS pmi6

@@ -61,7 +61,9 @@ object TableIO {
     * arrow-data-source format. One file per task; schema from the file footer.
     * See org.apache.spark.sql.graft.ArrowIpc for the mechanism. */
   def readArrow(spark: SparkSession, path: String): DataFrame =
-    org.apache.spark.sql.graft.ArrowIpc.read(spark, path)
+    // DataSourceV2 path: column pruning reaches the scan, batches deliver columnar
+    // (ArrowSourceV2; the RDD-based ArrowIpc.read remains as the minimal fallback)
+    spark.read.format(classOf[org.apache.spark.sql.graft.ArrowSourceV2].getName).load(path)
 
   /**
    * Fan a narrow scan out to all cores before CPU-heavy per-row compute (regex scoring,

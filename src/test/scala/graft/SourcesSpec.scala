@@ -89,6 +89,33 @@ class SourcesSpec extends AnyFunSuite {
       "documents arrow round-trip must be exact")
   }
 
+  test("arrow DSv2 scan: column pruning reaches the source and batches deliver columnar") {
+    val dir = Files.createTempDirectory("graft_arrow_v2").toString
+    val docs = TableIO.documents(spark, sf).select("doc_id", "text", "source", "n_chars")
+    org.apache.spark.sql.graft.ArrowIpc.write(docs.repartition(2), dir)
+    val scan = TableIO.readArrow(spark, dir)
+
+    // pruning: a 1-of-4-column projection must reach the scan (SupportsPushDownRequiredColumns)
+    val pruned = scan.select("n_chars")
+    pruned.collect()
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves()
+    val scanOutput = leaves.head.output.map(_.name)
+    assert(scanOutput == Seq("n_chars"),
+      s"scan must read only the projected column, got $scanOutput")
+
+    // columnar delivery: Spark inserts ColumnarToRow above a columnar-capable scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"scan must deliver ColumnarBatches:\n$plan")
+
+    // zero-column scan (count(*)) still carries batch row counts
+    assert(scan.count() === docs.count())
+
+    // values survive the columnar path
+    val sums = scan.agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    val expect = docs.agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    assert(sums === expect)
+  }
+
   test("schema evolution: mergeSchema unifies widened parquet batches, pruning intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString

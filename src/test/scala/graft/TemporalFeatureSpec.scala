@@ -196,6 +196,51 @@ class TemporalFeatureSpec extends AnyFunSuite {
     assert(out.count() === 0L, "MAD=0 group has no finite score and must drop")
   }
 
+  // --- winsorization ----------------------------------------------------------------
+
+  test("winsorize clips exactly the tail mass and preserves row count") {
+    // 1..100 in one group: p10 boundary = 10.9, p90 = 90.1 (interpolated);
+    // values below/above clip to the boundary, everything else passes through
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = graft.operators.Percentiles.winsorize(df, Seq("grp"), "v", 0.10, 0.90)
+      .select(col("v"), col("clipped"), col("lo"), col("hi"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(out.length === 100, "winsorization keeps every row")
+    val (lo, hi) = (out.head._3, out.head._4)
+    assert(math.abs(lo - 10.9) < 1e-9 && math.abs(hi - 90.1) < 1e-9, s"bounds ($lo, $hi)")
+    out.foreach { case (v, c, l, h) =>
+      val expect = math.min(math.max(v, l), h)
+      assert(c === expect, s"v=$v clipped=$c")
+    }
+    assert(out.count(r => r._2 == lo) === 10 && out.count(r => r._2 == hi) === 10,
+      "exactly the 10% tails land on each boundary")
+  }
+
+  // --- PMI collocations -------------------------------------------------------------
+
+  test("pmiCollocations ranks associated pairs above popular-but-independent ones") {
+    // "strong tea" always co-occur; "the x" pairs are frequent but spread
+    val docs = (1L to 30L).map { i =>
+      (i, if (i <= 20) s"strong tea is the drink $i" else s"the drink $i is fine")
+    }.toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.pmiCollocations(docs, 5, 3)
+      .select(col("x"), col("y"), col("cxy"), col("pmi6"))
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // exclusive pairs ("strong tea": c_x=c_y=c_xy=20) must out-rank "is the"
+    // (both sides frequent corpus-wide)
+    val top = out.head
+    assert(top._1 == "strong" && top._2 == "tea", s"top pair: $top")
+    // PMI hand-check: N=unigram tokens (20 six-token + 10 five-token docs),
+    // M=bigrams (5 and 4 per doc respectively)
+    val nUni = 20 * 6 + 10 * 5
+    val nBi = 20 * 5 + 10 * 4
+    val expected = math.log((20.0 / nBi) / ((20.0 / nUni) * (20.0 / nUni)))
+    assert(math.abs(top._4 - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6, s"pmi ${top._4} vs $expected")
+    assert(out.forall(_._3 >= 3), "min-support floor respected")
+  }
+
   // --- source entropy ---------------------------------------------------------------
 
   test("sourceEntropy: uniform vocabulary gives ln(k); constant token gives 0") {
