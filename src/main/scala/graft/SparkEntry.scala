@@ -16,6 +16,7 @@ object SparkEntry {
       operators.RelationalOps.all ++
       operators.MergeOps.all ++
       operators.TemporalOps.all ++
+      operators.BloomJoin.all ++
       pipeline.FeatureStats.all ++
       operators.GraphOps.all ++
       operators.Resample.all ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.RelationalOps.oracles ++
       operators.MergeOps.oracles ++
       operators.TemporalOps.oracles ++
+      operators.BloomJoin.oracles ++
       pipeline.FeatureStats.oracles ++
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++

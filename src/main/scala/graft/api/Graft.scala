@@ -65,7 +65,7 @@ object Graft {
   /** SemDeDup semantic dedup: k-means-cluster the embedding space, keep-min-id within
     * each cluster at cosine >= tau. Returns (vec_id, cluster, keep 0/1) for every
     * vector; per-cluster work is bounded by cluster size — scale by raising k. */
-  def semanticDedup(vecs: DataFrame, k: Int = 16, tau: Double = 0.45): DataFrame =
+  def semanticDedup(vecs: DataFrame, k: Int = -1, tau: Double = 0.45): DataFrame =
     graft.pipeline.SemanticDedup.semanticDedup(vecsFrame(vecs), k, tau)
 
   /** Segment-level exact dedup (C4/RefinedWeb line-dedup analog): every distinct k-token
@@ -250,6 +250,16 @@ object Graft {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame =
     graft.operators.GraphOps.pageRank(
       requireCols(edges, "edges", "src", "dst"), iterations, damping)
+
+  /** Bloom-filter semi-join reduction: pre-filter the huge probe side with a broadcast
+    * Bloom filter of build keys before the real join's shuffle — result is EXACTLY the
+    * inner join (false positives die in the join); shuffle carries |matching| +
+    * fpp·|probe| rows instead of |probe|. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame =
+    graft.operators.BloomJoin.bloomSemiJoin(
+      requireCols(probe, "probe", key), requireCols(build, "build", key),
+      key, expectedItems, fpp)
 
   /** Multi-source BFS: minimum hops from any seed (id column), bounded at maxHops;
     * frontier-based, early exit when the frontier drains. */

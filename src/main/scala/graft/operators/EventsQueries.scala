@@ -378,12 +378,50 @@ object EventsQueries {
       |FROM steps
       |ORDER BY step""".stripMargin
 
+  /**
+   * `q_event_transitions`: first-order Markov transition matrix of user behavior —
+   * consecutive event-type pairs per user (ordered by ts with event_id tie-break),
+   * with per-source-state transition probabilities. One lag window partitioned by
+   * user_id (the natural shuffle key), one map-side-combined count, marginals joined
+   * back from the grouped frame itself (state-cardinality², trivially broadcast).
+   */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = TableIO.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM counts GROUP BY 1
+      |)
+      |SELECT c.from_type, c.to_type, c.n,
+      |       round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p6
+      |FROM counts c JOIN totals t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> qEventsWindow _,
     "q_rolling_zscore" -> qRollingZscore _,
     "q_mad_outliers" -> qMadOutliers _,
     "q_winsorize" -> qWinsorize _,
     "q_funnel3" -> qFunnel3 _,
+    "q_event_transitions" -> qEventTransitions _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_funnel_join" -> qFunnelJoin _,
@@ -397,6 +435,7 @@ object EventsQueries {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_funnel3" -> qFunnel3Sql,
+    "q_event_transitions" -> qEventTransitionsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel_join" -> qFunnelJoinSql,

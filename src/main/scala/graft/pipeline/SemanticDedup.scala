@@ -35,10 +35,15 @@ import graft.sources.TableIO
  */
 object SemanticDedup {
 
-  /** Default cluster count for the registered corpus queries: 500-2k test vectors give
-    * ~30-125-row clusters, the same occupancy regime a 100 TB run would target by
-    * scaling k with n. */
-  private val DefaultK = 16
+  /** Target cluster occupancy: k scales as n/256, so per-cluster pair work is bounded
+    * (~32k pairs) at ANY corpus size — the same corpus-adaptive-geometry discipline as
+    * Similarity.lshParams (whose fixed geometry was round 5's one genuine super-linear
+    * plan until the sf1 rehearsal caught it; the fixed-k form here was the second,
+    * caught by the same rehearsal re-run: 0.66 s -> 10.8 s isolated at 10x data). */
+  private val TargetOccupancy = 256
+
+  private[graft] def adaptiveK(n: Long, floor: Int): Int =
+    math.max(floor, math.ceil(n / TargetOccupancy.toDouble)).toInt
 
   /**
    * (vec_id, cluster, keep): every vector with its cluster and a 0/1 keep flag —
@@ -62,9 +67,12 @@ object SemanticDedup {
   }
 
   /** Production form: sampled-spherical-k-means clusters (Similarity.trainQuantizer /
-    * ivfAssign — broadcast centroids, map-only assignment), then within-cluster dedup. */
-  def semanticDedup(vecs: DataFrame, k: Int = DefaultK, tau: Double = 0.45): DataFrame = {
-    val cents = Similarity.trainQuantizer(vecs, k)
+    * ivfAssign — broadcast centroids, map-only assignment), then within-cluster dedup.
+    * `k <= 0` (the default) derives the cluster count from the corpus size so occupancy
+    * stays bounded — pass an explicit k only to pin geometry in tests. */
+  def semanticDedup(vecs: DataFrame, k: Int = -1, tau: Double = 0.45): DataFrame = {
+    val kEff = if (k > 0) k else adaptiveK(vecs.count(), floor = 16)
+    val cents = Similarity.trainQuantizer(vecs, kEff)
     val assign = Similarity.ivfAssign(vecs, 1, cents)
       .select(col("vec_id"), col("list_id").as("cluster"))
     dedupWithinClusters(assign, vecs, tau).orderBy(col("vec_id"))
@@ -80,8 +88,11 @@ object SemanticDedup {
    * hash-checked against DuckDB. Routes through the same [[dedupWithinClusters]] as the
    * production form.
    */
-  def semanticDedupFixed(vecs: DataFrame, k: Int = 8, tau: Double = 0.45): DataFrame = {
-    val cents = vecs.orderBy(col("vec_id")).limit(k)
+  def semanticDedupFixed(vecs: DataFrame, k: Int = -1, tau: Double = 0.45): DataFrame = {
+    // corpus-adaptive k (floor 8) exactly as the SQL twin computes it — the oracle form
+    // must not keep the quadratic fixed-k geometry the production form escapes
+    val kEff = if (k > 0) k else adaptiveK(vecs.count(), floor = 8)
+    val cents = vecs.orderBy(col("vec_id")).limit(kEff)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = vecs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
@@ -97,9 +108,10 @@ object SemanticDedup {
   def dedupSemanticFixed(spark: SparkSession, dir: String): DataFrame =
     semanticDedupFixed(TableIO.embeddings(spark, dir))
 
-  def dedupSemanticFixedSql(k: Int, tau: Double): String =
+  def dedupSemanticFixedSql(tau: Double): String =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT $k
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id
+       |  LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 256.0) AS BIGINT))
        |), scored AS (
        |  SELECT e.vec_id, c.cid,
        |         list_cosine_similarity(e.embedding, c.ce) AS cos
@@ -130,5 +142,5 @@ object SemanticDedup {
   val oracles: Map[String, String] = Map(
     // dedup_semantic intentionally omitted: sampled k-means is not SQL-expressible;
     // the within-cluster dedup semantics are hash-proven by the fixed twin below
-    "dedup_semantic_fixed" -> dedupSemanticFixedSql(8, 0.45))
+    "dedup_semantic_fixed" -> dedupSemanticFixedSql(0.45))
 }

@@ -176,6 +176,32 @@ class TemporalFeatureSpec extends AnyFunSuite {
     assert(math.abs(mi - math.log(4)) < 1e-6, s"mi=$mi expected ln4=${math.log(4)}")
   }
 
+  // --- bloom semi-join reduction ----------------------------------------------------
+
+  test("bloomSemiJoin equals the plain inner join (false positives die in the join)") {
+    val probe = (1L to 5000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = (1L to 5000L by 50).map(i => (i, s"b$i")).toDF("k", "bv")
+    val got = graft.operators.BloomJoin.bloomSemiJoin(probe, build, "k", 200L)
+      .select(col("k"), col("pv"), col("bv")).collect().map(_.toString).sorted
+    val want = probe.join(build, "k")
+      .select(col("k"), col("pv"), col("bv")).collect().map(_.toString).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+  }
+
+  test("bloomSemiJoin filters the probe BELOW the join (shuffle reduction in the plan)") {
+    // parquet-backed probe: a LocalRelation probe would have the filter folded into the
+    // local scan at optimize time and prove nothing about the plan shape
+    val df = graft.operators.BloomJoin.qBloomJoin(spark, SparkTestBase.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"probe must be pre-filtered by the bloom filter:\n$plan")
+    val filterAt = plan.indexOf("might_contain")
+    val joinAt = math.max(plan.indexOf("SortMergeJoin"), plan.indexOf("BroadcastHashJoin"))
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"the bloom probe filter must sit BELOW the join in the plan tree:\n$plan")
+  }
+
   // --- MAD outliers -----------------------------------------------------------------
 
   test("madOutliers: an extreme point cannot mask itself (contamination immunity)") {
