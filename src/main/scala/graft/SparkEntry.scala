@@ -17,6 +17,7 @@ object SparkEntry {
       operators.MergeOps.all ++
       operators.TemporalOps.all ++
       operators.BloomJoin.all ++
+      operators.AnalyticsOps.all ++
       pipeline.FeatureStats.all ++
       operators.GraphOps.all ++
       operators.Resample.all ++
@@ -28,6 +29,7 @@ object SparkEntry {
       pipeline.Sampling.all ++
       pipeline.Multimodal.all ++
       pipeline.TextRetrieval.all ++
+      pipeline.TextIndex.all ++
       pipeline.Profiling.all ++
       pipeline.Packing.all ++
       pipeline.BpeTrainer.all ++
@@ -44,6 +46,7 @@ object SparkEntry {
       operators.MergeOps.oracles ++
       operators.TemporalOps.oracles ++
       operators.BloomJoin.oracles ++
+      operators.AnalyticsOps.oracles ++
       pipeline.FeatureStats.oracles ++
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++
@@ -55,6 +58,7 @@ object SparkEntry {
       pipeline.Sampling.oracles ++
       pipeline.Multimodal.oracles ++
       pipeline.TextRetrieval.oracles ++
+      pipeline.TextIndex.oracles ++
       pipeline.Profiling.oracles ++
       pipeline.Packing.oracles ++
       pipeline.BpeTrainer.oracles ++
