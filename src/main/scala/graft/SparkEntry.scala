@@ -30,6 +30,7 @@ object SparkEntry {
       pipeline.Multimodal.all ++
       pipeline.TextRetrieval.all ++
       pipeline.TextIndex.all ++
+      pipeline.LanguageModel.all ++
       pipeline.Profiling.all ++
       pipeline.Packing.all ++
       pipeline.BpeTrainer.all ++
@@ -59,6 +60,7 @@ object SparkEntry {
       pipeline.Multimodal.oracles ++
       pipeline.TextRetrieval.oracles ++
       pipeline.TextIndex.oracles ++
+      pipeline.LanguageModel.oracles ++
       pipeline.Profiling.oracles ++
       pipeline.Packing.oracles ++
       pipeline.BpeTrainer.oracles ++

@@ -496,7 +496,79 @@ object Similarity {
     topKNeighbors(corpus, queries, k, excludeSelf = true)
   }
 
+  // ---- MMR diversified retrieval -------------------------------------------------------
+
+  /** Exact cosine of two float vectors, accumulated in double. */
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell & Goldstein, SIGIR'98):
+    * repeatedly takes argmax of lam*rel - (1-lam)*max-sim-to-already-chosen, ties to
+    * the smallest id. Returns (id, mmr score at selection) in pick order. */
+  private[graft] def mmrSelect(cands: Seq[(Long, Double, Array[Float])], k: Int,
+      lam: Double): Seq[(Long, Double)] = {
+    val chosen = scala.collection.mutable.Buffer.empty[(Long, Double, Array[Float])]
+    val out = scala.collection.mutable.Buffer.empty[(Long, Double)]
+    val rest = scala.collection.mutable.Buffer.empty[(Long, Double, Array[Float])] ++ cands
+    while (chosen.size < k && rest.nonEmpty) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity; var bestId = Long.MaxValue
+      var idx = 0
+      while (idx < rest.size) {
+        val (id, rel, v) = rest(idx)
+        val pen = if (chosen.isEmpty) 0.0 else chosen.iterator.map(c => cosArr(v, c._3)).max
+        val s = lam * rel - (1 - lam) * pen
+        if (s > bestScore || (s == bestScore && id < bestId)) {
+          bestScore = s; bestIdx = idx; bestId = id
+        }
+        idx += 1
+      }
+      val c = rest.remove(bestIdx)
+      chosen += c
+      out += ((c._1, bestScore))
+    }
+    out.toSeq
+  }
+
+  /**
+   * `ann_mmr`: diversity-aware top-k — brute-force top-`nCand` cosine candidates per
+   * query (native bounded-heap TopKPerKey, so the candidate exchange stays k-bounded),
+   * then greedy MMR re-ranking with lambda=0.7 inside one flatMapGroups whose state is
+   * nCand vectors per query — constant-size regardless of corpus scale. The dedup-aware
+   * retrieval shape: pure top-k returns near-duplicate neighbors, MMR trades relevance
+   * for coverage. Greedy + float scores -> rows-only; SimilaritySpec proves parity with
+   * an in-memory reference and determinism.
+   */
+  def annMmr(spark: SparkSession, dir: String, nQueries: Int = 10, nCand: Int = 20,
+      k: Int = 5, lam: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TopKPerKey
+    val e = TableIO.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
+    TopKPerKey(scored.select(col("query_id"), col("neighbor_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), nCand)
+      .join(corpus, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("ce"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cs = it.toSeq.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3, t._4))
+        mmrSelect(cs, k, lam).zipWithIndex.map { case ((id, s), i) =>
+          (qid, i + 1, id, math.round(s * 10000.0) / 10000.0)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "mmr4")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr" -> (annMmr(_, _)),
     "ann_bruteforce" -> (annBruteforce(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
@@ -508,5 +580,6 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql(10, 5),
     "ann_rrf" -> annRrfSql,
     "q_vector_funcs" -> qVectorFuncsSql)
-    // ann_lsh / ann_ivf / ann_quantized: approximate by design -> rows-only + spec
+    // ann_lsh / ann_ivf / ann_quantized / ann_mmr: approximate/greedy by design ->
+    // rows-only + spec
 }
