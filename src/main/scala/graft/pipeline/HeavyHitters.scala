@@ -24,43 +24,56 @@ import graft.sources.TableIO
  */
 object HeavyHitters {
 
-  /** Per-partition SpaceSaving: (item, est, err) rows, at most `capacity` per
-    * partition. est overestimates the partition-local true count by at most err.
-    * Eviction replaces the min-est counter (ties to the lexicographically smallest
-    * item — deterministic); the min is tracked by a LAZY heap (stale entries discarded
-    * at pop, heap compacted at 4x capacity) so a near-uniform stream — the all-evict
-    * worst case — costs O(log capacity) per item, not O(capacity). */
-  private[graft] def spaceSaving(it: Iterator[String], capacity: Int)
-      : Iterator[(String, Long, Long)] = {
-    val counters = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+  /** Incrementally-updatable SpaceSaving sketch: at most `capacity` (est, err)
+    * counters; est overestimates the true count by at most err. Eviction replaces the
+    * min-est counter (ties to the lexicographically smallest item — deterministic);
+    * the min is tracked by a LAZY heap (stale entries discarded at pop, heap compacted
+    * at 4x capacity) so a near-uniform stream — the all-evict worst case — costs
+    * O(log capacity) per item, not O(capacity). `seed` restores a previously exported
+    * summary, which is what lets the STREAMING form carry the sketch across
+    * micro-batches as keyed state (StreamingTopK). */
+  private[graft] final class SpaceSavingSketch(capacity: Int,
+      seed: Iterable[(String, (Long, Long))] = Nil) {
+    private val counters = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
     // dequeue must yield (min est, then min item): reverse of the natural max-ordering
-    implicit val ord: Ordering[(Long, String)] =
+    private implicit val ord: Ordering[(Long, String)] =
       Ordering.Tuple2(Ordering.Long, Ordering.String).reverse
-    var heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)]
-    def push(est: Long, item: String): Unit = {
+    private var heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)]
+    seed.foreach { case (item, (est, err)) => counters(item) = (est, err); push(est, item) }
+
+    private def push(est: Long, item: String): Unit = {
       heap.enqueue((est, item))
       if (heap.size > 4 * capacity) { // compact: rebuild from the live counters only
         heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)]
         counters.foreach { case (k, (e, _)) => heap.enqueue((e, k)) }
       }
     }
-    it.foreach { x =>
-      counters.get(x) match {
-        case Some((est, err)) =>
-          counters(x) = (est + 1, err); push(est + 1, x)
-        case None if counters.size < capacity =>
-          counters(x) = (1L, 0L); push(1L, x)
-        case None =>
-          // discard stale heap entries (superseded est, or evicted item) at pop time
-          var top = heap.dequeue()
-          while (!counters.get(top._2).exists(_._1 == top._1)) top = heap.dequeue()
-          val (minEst, minItem) = top
-          counters.remove(minItem)
-          counters(x) = (minEst + 1, minEst)
-          push(minEst + 1, x)
-      }
+
+    def add(x: String): Unit = counters.get(x) match {
+      case Some((est, err)) =>
+        counters(x) = (est + 1, err); push(est + 1, x)
+      case None if counters.size < capacity =>
+        counters(x) = (1L, 0L); push(1L, x)
+      case None =>
+        // discard stale heap entries (superseded est, or evicted item) at pop time
+        var top = heap.dequeue()
+        while (!counters.get(top._2).exists(_._1 == top._1)) top = heap.dequeue()
+        val (minEst, minItem) = top
+        counters.remove(minItem)
+        counters(x) = (minEst + 1, minEst)
+        push(minEst + 1, x)
     }
-    counters.iterator.map { case (item, (est, err)) => (item, est, err) }
+
+    def summary: Map[String, (Long, Long)] = counters.toMap
+  }
+
+  /** Per-partition SpaceSaving pass: (item, est, err) rows, at most `capacity` per
+    * partition. */
+  private[graft] def spaceSaving(it: Iterator[String], capacity: Int)
+      : Iterator[(String, Long, Long)] = {
+    val sk = new SpaceSavingSketch(capacity)
+    it.foreach(sk.add)
+    sk.summary.iterator.map { case (item, (est, err)) => (item, est, err) }
   }
 
   /**
