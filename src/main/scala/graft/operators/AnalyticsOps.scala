@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,15 +195,142 @@ object AnalyticsOps {
       |       CAST(max(conc) AS BIGINT) AS day_peak
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------- distributed cumsum
+
+  /**
+   * Exact cumulative sum of `value` over the total order given by `order`, WITHOUT a
+   * single-partition window: range-repartition on the order keys, one in-partition
+   * running-sum window keyed by partition id, plus a carry-in from the (tiny,
+   * one-row-per-partition) partition-totals frame. The order must be total (add a
+   * unique tiebreak column) and `value` should be decimal/integer when exact
+   * cross-engine parity matters — decimal addition is associative, so the distributed
+   * regrouping is bit-identical to a sequential scan. Appends column `cum`.
+   */
+  def distributedCumSum(df: DataFrame, order: Seq[Column], value: Column,
+      numRanges: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(numRanges, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value)
+    val pidW = Window.partitionBy(col("_g")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = ranged.groupBy(col("_pid")).agg(sum(col("_v")).as("_ptot"))
+      .withColumn("_g", col("_pid") * lit(0)) // constant but non-foldable partition key
+      .withColumn("_carry", sum(col("_ptot")).over(pidW) - col("_ptot"))
+      .select(col("_pid"), col("_carry"))
+    val inPart = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(carries), "_pid")
+      .withColumn("cum", sum(col("_v")).over(inPart) + col("_carry"))
+      .drop("_pid", "_v", "_carry")
+  }
+
+  // ------------------------------------------------------------------ q_abc
+
+  /**
+   * `q_abc`: ABC / Pareto-80-20 classification of parts by revenue — class A holds the
+   * head up to 70% of cumulative revenue, B to 90%, C the tail. The cumulative share
+   * rides [[distributedCumSum]] (no global window), revenue is DECIMAL so the
+   * distributed cumsum is bit-identical to the oracle's sequential scan, and the class
+   * boundaries compare cum*10 <= tot*7 in exact decimal arithmetic — no float
+   * threshold can flip a row.
+   */
+  def qAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = TableIO.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    distributedCumSum(rev, Seq(col("rev").desc, col("l_partkey")), col("rev"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round((sum(col("rev")) / max(col("tot"))).cast("double"), 4).as("share"))
+      .orderBy(col("abc_class"))
+  }
+
+  val qAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(rev) AS tot FROM rev),
+      |cum AS (
+      |  SELECT l_partkey, rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev),
+      |cls AS (
+      |  SELECT rev, CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |                   WHEN cum * 10 <= tot * 9 THEN 'B'
+      |                   ELSE 'C' END AS abc_class
+      |  FROM cum CROSS JOIN tot)
+      |SELECT abc_class, count(*) AS n_parts,
+      |       round(CAST(sum(rev) / max(tot) AS DOUBLE), 4) AS share
+      |FROM cls CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ q_rfm
+
+  /** Distributed quantile score 1..k: global rank via [[distributedCumSum]] of 1s
+    * (exact integer arithmetic), then tile = floor((rank-1)*k/n)+1 — the same closed
+    * form the oracle computes, so no engine's ntile() remainder policy is involved. */
+  private def scoreTile(df: DataFrame, order: Seq[Column], k: Int, n: Long,
+      out: String): DataFrame =
+    distributedCumSum(df, order, lit(1L))
+      .withColumn(out, (floor((col("cum") - 1) * k / n) + 1).cast("int"))
+      .drop("cum")
+
+  /**
+   * `q_rfm`: RFM customer segmentation — recency / frequency / monetary quintile
+   * scores (1..5, 5 = most recent / most frequent / highest spend), reported as
+   * segment cell counts. Each score is an exact global rank over the customer
+   * dimension computed with [[distributedCumSum]] — three range exchanges, no global
+   * window, so the segmentation runs at any customer cardinality.
+   */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = TableIO.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+    val n = base.count()
+    val r = scoreTile(base, Seq(col("last_order"), col("o_custkey")), 5, n, "r_score")
+    val f = scoreTile(r, Seq(col("freq"), col("o_custkey")), 5, n, "f_score")
+    val m = scoreTile(f, Seq(col("monetary"), col("o_custkey")), 5, n, "m_score")
+    m.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val qRfmSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM base),
+      |scored AS (
+      |  SELECT o_custkey,
+      |    CAST(floor((row_number() OVER (ORDER BY last_order, o_custkey) - 1) * 5 / n) + 1 AS INT) AS r_score,
+      |    CAST(floor((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5 / n) + 1 AS INT) AS f_score,
+      |    CAST(floor((row_number() OVER (ORDER BY monetary, o_custkey) - 1) * 5 / n) + 1 AS INT) AS m_score
+      |  FROM base CROSS JOIN n)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mode" -> (qMode(_, _)),
     "q_skyline" -> (qSkyline(_, _)),
-    "q_concurrency" -> (qConcurrency(_, _)))
+    "q_concurrency" -> (qConcurrency(_, _)),
+    "q_abc" -> (qAbc(_, _)),
+    "q_rfm" -> (qRfm(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_mode" -> qModeSql,
     "q_skyline" -> qSkylineSql,
-    "q_concurrency" -> qConcurrencySql)
+    "q_concurrency" -> qConcurrencySql,
+    "q_abc" -> qAbcSql,
+    "q_rfm" -> qRfmSql)
 }

@@ -415,7 +415,57 @@ object EventsQueries {
       |FROM counts c JOIN totals t USING (from_type)
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /**
+   * `q_event_paths`: frequent session paths — the top-10 event-type trigrams over
+   * per-session ordered event sequences (PrefixSpan's bread-and-butter shape reduced
+   * to contiguous n-grams). Sessions are the same 30-minute-gap rule as q_sessionize;
+   * each session's sequence materializes via sort_array(collect_list(struct)) — state
+   * bounded by session length, partitioned by (user, session), no global ordering
+   * anywhere until the final 10-row TakeOrdered.
+   */
+  def qEventPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    TableIO.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(transform(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))), x => x("event_type")).as("types"))
+      .filter(size(col("types")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(types) - 3), i -> concat_ws(' > ', types[i], types[i+1], types[i+2]))"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
+  val qEventPathsSql: String =
+    """WITH numbered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM (SELECT user_id, event_id, ts, event_type,
+      |          lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |        FROM events)),
+      |seqs AS (
+      |  SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS types
+      |  FROM numbered GROUP BY 1, 2),
+      |paths AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+      |    i -> types[i] || ' > ' || types[i+1] || ' > ' || types[i+2])) AS path
+      |  FROM seqs WHERE len(types) >= 3)
+      |SELECT path, count(*) AS n FROM paths GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> (qEventPaths(_, _, 10)),
     "q_events_window" -> qEventsWindow _,
     "q_rolling_zscore" -> qRollingZscore _,
     "q_mad_outliers" -> qMadOutliers _,
@@ -430,6 +480,7 @@ object EventsQueries {
     "q_retention" -> qRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" -> qEventPathsSql,
     "q_events_window" -> qEventsWindowSql,
     "q_rolling_zscore" -> qRollingZscoreSql,
     "q_mad_outliers" -> qMadOutliersSql,

@@ -132,6 +132,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
   }
 
+  test("distributedCumSum equals a sequential scan on shuffled input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextInt(1000).toLong))
+    val df = rnd.shuffle(rows).toDF("id", "v").repartition(13)
+    val got = AnalyticsOps.distributedCumSum(df, Seq(col("v").desc, col("id")), col("v"))
+      .select(col("id"), col("cum")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var run = 0L
+    val want = rows.sortBy { case (id, v) => (-v, id) }.map { case (id, v) =>
+      run += v; id -> run
+    }.toMap
+    assert(got == want)
+  }
+
+  test("q_abc covers all three classes with shares summing to 1") {
+    val rows = AnalyticsOps.qAbc(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    // Pareto shape: the A head holds 70% of revenue with a minority of parts
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows(0).getLong(1) < total, "class A must not be the whole catalog")
+  }
+
+  test("q_rfm scores span 1..5 and cells partition the customer base") {
+    val rows = AnalyticsOps.qRfm(spark, sf).collect()
+    val nCustomers = graft.sources.TableIO.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCustomers, "cells partition all customers")
+    rows.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+    }
+    val rScores = rows.map(_.getInt(0)).toSet
+    assert(rScores.max == 5 && rScores.min == 1, "full quintile range used")
+  }
+
   test("concurrency peaks are positive and bounded by distinct users") {
     val rows = AnalyticsOps.qConcurrency(spark, sf).collect()
     assert(rows.nonEmpty)
