@@ -492,4 +492,49 @@ object Graft {
   /** Write a frame as Arrow-IPC, one `.arrow` file per partition, executor-side. */
   def writeArrow(df: DataFrame, path: String): Unit =
     org.apache.spark.sql.graft.ArrowIpc.write(df, path)
+
+  // ---- analytics operators (round 5) -----------------------------------------------------
+
+  /** 2-D Pareto skyline on (minimize `p_retailprice`-shaped `price`, maximize
+    * `p_size`-shaped `size`); expects (p_partkey, p_retailprice, p_size). Partition-local
+    * sweep prune + broadcast anti-join finalize — the base table never shuffles. */
+  def skyline(points: DataFrame): DataFrame =
+    graft.operators.AnalyticsOps.skyline(
+      requireCols(points, "points", "p_partkey", "p_retailprice", "p_size"))
+
+  /** Exact distributed cumulative sum of `value` over the total order `order` —
+    * range repartition + in-partition running sum + partition-totals carry; appends
+    * `cum`. Use decimal/integer values for bit-exact parity with a sequential scan. */
+  def distributedCumSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.AnalyticsOps.distributedCumSum(df, order, value)
+
+  /** Greedy MMR diversity re-ranking of brute-force candidates per query:
+    * (query_id, rank, neighbor_id, mmr4). State per query = nCand vectors. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, nCand: Int = 20, k: Int = 5,
+      lam: Double = 0.7): DataFrame = {
+    // same candidate + greedy pipeline as Similarity.annMmr on arbitrary frames
+    val c = vecsFrame(corpus); val q = queryFrame(queries)
+    graft.pipeline.Similarity.mmrRerank(c, q, nCand, k, lam)
+  }
+
+  /** Interpolated Kneser-Ney bigram model (w1, w2, p) from a (w1, w2) pair frame. */
+  def knBigramModel(pairs: DataFrame): DataFrame =
+    graft.pipeline.LanguageModel.knModel(requireCols(pairs, "pairs", "w1", "w2"))
+
+  /** Per-file min/max manifest write (range-clustered) for file-level data skipping. */
+  def writeWithManifest(df: DataFrame, path: String, statsCols: Seq[String],
+      numFiles: Int): Unit =
+    graft.sources.FileSkipIndex.writeWithManifest(df, path, statsCols, numFiles)
+
+  /** Range scan that reads ONLY manifest-overlapping files; exact vs full scan+filter. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String, c: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame =
+    graft.sources.FileSkipIndex.readPruned(spark, path, c, lo, hi)
+
+  /** Streaming approximate top-k: sharded SpaceSaving with capacity-bounded keyed
+    * state; Update-mode (shard, item, est, err) summaries each trigger. */
+  def streamingTopK(items: org.apache.spark.sql.Dataset[String], capacity: Int,
+      nShards: Int = 8): DataFrame =
+    graft.streaming.StreamingTopK.topKStream(items, capacity, nShards)
 }

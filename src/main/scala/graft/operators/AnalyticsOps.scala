@@ -146,17 +146,14 @@ object AnalyticsOps {
       .withColumn("day", to_date(col("ts")))
     val inDay = Window.partitionBy(col("day")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // day-level carry: one row per day — a KB-scale frame by construction. The
-    // single-partition window is intentional here; the partition key must be
-    // constant-valued but NOT foldable (lit(0) would constant-fold to an empty
-    // partition spec and re-trigger the global-window warning), so derive it from
-    // the row: 0 * year(day) is 0 everywhere yet opaque to ConstantFolding.
-    val dayW = Window.partitionBy(col("g")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry = net.groupBy(col("day")).agg(sum(col("net")).as("day_tot"))
-      .withColumn("g", year(col("day")) * lit(0))
-      .withColumn("carry", sum(col("day_tot")).over(dayW) - col("day_tot"))
-      .select(col("day"), col("carry"))
+    // day-level carry from the one-row-per-day totals frame (KB-scale by
+    // construction): a triangular self-join over days — no window, so no
+    // single-partition exchange anywhere in the plan
+    val dayTot = net.groupBy(col("day")).agg(sum(col("net")).as("day_tot"))
+    val carry = dayTot.as("a")
+      .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.day_tot")), lit(0L)).as("carry"))
     net.join(carry, Seq("day"))
       .withColumn("conc", sum(col("net")).over(inDay) + col("carry"))
       .groupBy(col("day"))
@@ -212,16 +209,16 @@ object AnalyticsOps {
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", value)
-    val pidW = Window.partitionBy(col("_g")).orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carries = ranged.groupBy(col("_pid")).agg(sum(col("_v")).as("_ptot"))
-      .withColumn("_g", col("_pid") * lit(0)) // constant but non-foldable partition key
-      .withColumn("_carry", sum(col("_ptot")).over(pidW) - col("_ptot"))
-      .select(col("_pid"), col("_carry"))
+    // carry-in per partition from the (<= numRanges rows) totals frame: a triangular
+    // self-join, numRanges^2 pairs of METADATA — no window, so nothing single-partition
+    val totals = ranged.groupBy(col("_pid")).agg(sum(col("_v")).as("_ptot"))
+    val carries = totals.as("a")
+      .join(totals.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid")).agg(sum(col("b._ptot")).as("_carry"))
     val inPart = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(carries), "_pid")
-      .withColumn("cum", sum(col("_v")).over(inPart) + col("_carry"))
+      .withColumn("cum", sum(col("_v")).over(inPart) + coalesce(col("_carry"), lit(0)))
       .drop("_pid", "_v", "_carry")
   }
 

@@ -543,17 +543,27 @@ object Similarity {
    */
   def annMmr(spark: SparkSession, dir: String, nQueries: Int = 10, nCand: Int = 20,
       k: Int = 5, lam: Double = 0.7): DataFrame = {
+    val e = TableIO.embeddings(spark, dir)
+    mmrRerank(e, e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")), nCand, k, lam,
+      excludeSelf = true)
+  }
+
+  /** Generic MMR pipeline over arbitrary (vec_id, embedding) corpus and
+    * (query_id, embedding) queries — see [[annMmr]] for the plan-shape contract. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, nCand: Int, k: Int,
+      lam: Double, excludeSelf: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.TopKPerKey
-    val e = TableIO.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = broadcast(q).join(c, cond)
       .withColumn("cos", cosineSimilarity(col("qe"), col("ce")))
     TopKPerKey(scored.select(col("query_id"), col("neighbor_id"), col("cos")),
         Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), nCand)
-      .join(corpus, "neighbor_id")
+      .join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("ce"))
       .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)

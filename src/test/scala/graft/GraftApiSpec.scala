@@ -324,4 +324,48 @@ class GraftApiSpec extends AnyFunSuite {
     assert(bs.length == 5)
     intercept[IllegalArgumentException] { Graft.bootstrapStats(docs, "w", 5) }
   }
+
+  test("round-5c facade: skyline, cumsum, MMR, KN model, manifest skip on user frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+
+    // skyline on a constructed points frame
+    val sky = Graft.skyline(Seq(
+        (1L, 1.0, 1), (2L, 2.0, 5), (3L, 3.0, 3), (4L, 1.5, 5))
+      .toDF("p_partkey", "p_retailprice", "p_size"))
+      .collect().map(_.getLong(0)).toSet
+    // 3 dominated by 4 (cheaper, bigger); 2 dominated by 4 (same size, cheaper)
+    assert(sky == Set(1L, 4L), s"got $sky")
+    intercept[IllegalArgumentException] { Graft.skyline(docs) }
+
+    // distributed cumsum on a user frame
+    val cum = Graft.distributedCumSum(
+      Seq(("x", 3L), ("y", 1L), ("z", 2L)).toDF("k", "v"),
+      Seq(col("v").desc, col("k")), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cum == Map("x" -> 3L, "z" -> 5L, "y" -> 6L), s"got $cum")
+
+    // MMR on constructed vectors: two candidates clustered at +45 deg of the query,
+    // one at -45 deg — relevance alone keeps the cluster, MMR must cross to -45
+    val corpus = Seq(
+      (10L, Array(0.8f, 0.6f)), (11L, Array(0.7071f, 0.7071f)),
+      (20L, Array(0.7071f, -0.7071f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1f, 0f))).toDF("query_id", "embedding")
+    val picks = Graft.mmrTopK(corpus, queries, nCand = 3, k = 2, lam = 0.5)
+      .collect().map(_.getLong(2))
+    // top-2 by pure relevance is (10, 11); MMR swaps 11 for the diverse 20
+    assert(picks.toSeq == Seq(10L, 20L), s"got ${picks.toSeq}")
+
+    // KN model on a user pair frame: probabilities positive, every pair scored
+    val kn = Graft.knBigramModel(Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("w1", "w2"))
+    assert(kn.count() == 3 && kn.collect().forall(_.getDouble(2) > 0))
+
+    // manifest-skip round trip on a user frame
+    val dir = java.nio.file.Files.createTempDirectory("api_manifest").toFile
+      .getAbsolutePath + "/t"
+    Graft.writeWithManifest((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s"),
+      dir, Seq("id"), numFiles = 5)
+    val pruned = Graft.readPruned(spark, dir, "id", lit(10L), lit(20L))
+    assert(pruned.count() == 11 && pruned.inputFiles.length < 5)
+  }
 }
