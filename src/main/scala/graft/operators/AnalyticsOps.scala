@@ -315,6 +315,58 @@ object AnalyticsOps {
       |SELECT r_score, f_score, m_score, count(*) AS n_customers
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ----------------------------------------------------------- q_basket_lift
+
+  /**
+   * `q_basket_lift`: market-basket affinity — the top part pairs co-purchased in the
+   * same order ranked by lift = P(x,y)/(P(x)P(y)), with a min-support floor killing
+   * the singleton-pair pathology (the association-rule shape of Apriori reduced to
+   * its frequent-2-itemset core; the basket twin of text PMI in 72an).
+   *
+   * Scale shape: pair generation is a self-join ON THE ORDER KEY — fan-out bounded by
+   * per-basket size squared, never n²; item supports are one map-side-combined count
+   * joined back BY ITEM (vocabulary-sized shuffle joins, not assumed broadcastable);
+   * the basket total rides a 1-row broadcast and the final cut is a 20-row
+   * TakeOrdered. Lift is rounded to 6 BEFORE ranking so both engines order identical
+   * numbers, ties by the pair keys.
+   */
+  def qBasketLift(spark: SparkSession, dir: String, k: Int = 20,
+      minSupport: Long = 3): DataFrame = {
+    val items = TableIO.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item")).distinct()
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val nBaskets = items.select(col("okey")).distinct().agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minSupport)
+    pairs
+      .join(supp.select(col("item").as("x"), col("c").as("cx")), "x")
+      .join(supp.select(col("item").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("x"), col("y"), col("cxy"),
+        round(col("cxy").cast("double") * col("n") / (col("cx") * col("cy")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y")).limit(k)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+      |supp AS (SELECT item, count(*) AS c FROM items GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM items),
+      |pairs AS (
+      |  SELECT a.item AS x, b.item AS y, count(*) AS cxy
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT p.x, p.y, p.cxy,
+      |       round(CAST(p.cxy AS DOUBLE) * n.n / (sx.c * sy.c), 6) AS lift
+      |FROM pairs p
+      |JOIN supp sx ON sx.item = p.x
+      |JOIN supp sy ON sy.item = p.y
+      |CROSS JOIN n
+      |ORDER BY lift DESC, p.x, p.y LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -322,12 +374,14 @@ object AnalyticsOps {
     "q_skyline" -> (qSkyline(_, _)),
     "q_concurrency" -> (qConcurrency(_, _)),
     "q_abc" -> (qAbc(_, _)),
-    "q_rfm" -> (qRfm(_, _)))
+    "q_rfm" -> (qRfm(_, _)),
+    "q_basket_lift" -> (qBasketLift(_, _, 20, 3)))
 
   val oracles: Map[String, String] = Map(
     "q_mode" -> qModeSql,
     "q_skyline" -> qSkylineSql,
     "q_concurrency" -> qConcurrencySql,
     "q_abc" -> qAbcSql,
-    "q_rfm" -> qRfmSql)
+    "q_rfm" -> qRfmSql,
+    "q_basket_lift" -> qBasketLiftSql)
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.TableIO
@@ -91,9 +92,73 @@ object FeatureStats {
       |GROUP BY c.feature
       |ORDER BY c.feature""".stripMargin
 
+  // ---- two-sample Kolmogorov–Smirnov drift ---------------------------------------------
+
+  /**
+   * `q_ks_drift`: two-sample KS statistic of each source's doc-length distribution
+   * against the REST of the corpus — the distribution-drift screen run before
+   * admitting a new source into a training mix (and the nonparametric complement of
+   * the entropy screen in 72am). D = max over observed values v of
+   * |F_src(v) − F_rest(v)|, computed exactly:
+   *
+   *   - per-(source, value) counts: ONE map-side-combined groupBy;
+   *   - the evaluation grid is each source x the GLOBAL distinct-value frame
+   *     (bounded by distinct lengths — never corpus-sized) via a broadcast;
+   *   - both CDFs come from running sums over windows partitioned BY SOURCE — no
+   *     global window; F_rest(v) derives from the global cumulative minus the
+   *     source's own (one subtraction, no second pass);
+   *   - each F is a single integer-count division, so both engines compare
+   *     bit-identical doubles before the final round.
+   */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val lens = TableIO.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val perSrc = lens.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val perVal = lens.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val nAll = lens.agg(count(lit(1)).as("n_all"))
+    val grid = srcTot.select(col("source"), col("n_src"))
+      .crossJoin(broadcast(perVal))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perSrc, Seq("source", "v"), "left")
+      .withColumn("cum_src", sum(coalesce(col("c"), lit(0L))).over(bySrc))
+      .withColumn("cum_all", sum(col("c_all")).over(bySrc))
+      .crossJoin(broadcast(nAll))
+      .withColumn("f_src", col("cum_src").cast("double") / col("n_src"))
+      .withColumn("f_rest",
+        (col("cum_all") - col("cum_src")).cast("double") / (col("n_all") - col("n_src")))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        round(max(abs(col("f_src") - col("f_rest"))), 6).as("ks"))
+      .orderBy(col("source"))
+  }
+
+  val qKsDriftSql: String =
+    """WITH lens AS (SELECT source, n_chars AS v FROM documents),
+      |per_src AS (SELECT source, v, count(*) AS c FROM lens GROUP BY 1, 2),
+      |per_val AS (SELECT v, count(*) AS c_all FROM lens GROUP BY 1),
+      |src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM per_src GROUP BY 1),
+      |n_all AS (SELECT count(*) AS n_all FROM lens),
+      |grid AS (SELECT s.source, s.n_src, p.v, p.c_all FROM src_tot s CROSS JOIN per_val p),
+      |cdf AS (
+      |  SELECT g.source, g.n_src, g.v,
+      |    sum(coalesce(ps.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src,
+      |    sum(g.c_all) OVER (PARTITION BY g.source ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      |  FROM grid g LEFT JOIN per_src ps ON ps.source = g.source AND ps.v = g.v)
+      |SELECT c.source, max(c.n_src) AS n_docs,
+      |  round(max(abs(CAST(cum_src AS DOUBLE) / n_src
+      |    - CAST(cum_all - cum_src AS DOUBLE) / (n_all - n_src))), 6) AS ks
+      |FROM cdf c CROSS JOIN n_all
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_feature_mi" -> (qFeatureMi(_, _)))
+    "q_feature_mi" -> (qFeatureMi(_, _)),
+    "q_ks_drift" -> (qKsDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_feature_mi" -> qFeatureMiSql)
+    "q_feature_mi" -> qFeatureMiSql,
+    "q_ks_drift" -> qKsDriftSql)
 }
