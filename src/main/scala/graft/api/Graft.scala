@@ -537,4 +537,17 @@ object Graft {
   def streamingTopK(items: org.apache.spark.sql.Dataset[String], capacity: Int,
       nShards: Int = 8): DataFrame =
     graft.streaming.StreamingTopK.topKStream(items, capacity, nShards)
+
+  /** Quality-aware dedup: keep the highest-`priorityCol` row per exact/near-dup
+    * cluster (ties to smallest doc_id) instead of dedupe's min-id representative. */
+  def dedupeBy(docs: DataFrame, priorityCol: String, threshold: Double = 0.8): DataFrame =
+    Dedup.dedupedCorpusBy(
+      requireCols(docs, "documents", "doc_id", "text", priorityCol), priorityCol, threshold)
+
+  /** Sketch twin of equidepthBins: t-digest boundaries (one fixed-state aggregation
+    * pass) instead of the exact sort path — approximately equi-depth buckets. */
+  def equidepthBinsApprox(df: DataFrame, keys: Seq[String], valueCol: String,
+      nBins: Int): DataFrame =
+    graft.operators.Percentiles.equidepthBinsApprox(
+      requireCols(df, "input", (keys :+ valueCol): _*), keys, valueCol, nBins)
 }

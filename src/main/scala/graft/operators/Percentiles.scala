@@ -114,6 +114,31 @@ object Percentiles {
   }
 
   /**
+   * Sketch twin of [[equidepthBins]]: boundaries from the native mergeable t-digest
+   * aggregate instead of the exact sort path — ONE map-side-combined sketch pass
+   * (fixed ~3 KB partial state per partition regardless of cardinality) where the
+   * exact path pays a per-value count + rank-selection shuffle. Buckets are
+   * approximately equi-depth (t-digest rank error concentrates at the tails, exactly
+   * where equi-depth boundaries don't sit); PercentilesSpec bounds the per-bucket
+   * occupancy skew vs the exact path. Use this form when the value cardinality is
+   * corpus-like; the exact form when boundaries must be reproducible to the digit.
+   */
+  def equidepthBinsApprox(df: DataFrame, keys: Seq[String], valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import graft.functions.VectorFunctions.{tdigestQuantile, tdigestSketch}
+    val qsCol = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(tdigestSketch(col(valueCol).cast("double")).as("__sk"))
+      .select(keys.map(col) :+
+        transform(qsCol, q => tdigestQuantile(col("__sk"), q)).as("__bs"): _*)
+    df.join(bounds, keys)
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__bs"), b => col(valueCol).cast("double") > b))).cast("int"))
+      .drop("__bs")
+  }
+
+  /**
    * Robust per-group outlier scoring: median / MAD instead of mean / stddev, so a
    * contaminated group cannot mask its own outliers (the failure mode of z-scores —
    * the outliers inflate the stddev that is supposed to catch them). Each row gains

@@ -613,6 +613,41 @@ object Dedup {
     exactKeep.join(nearDrop, Seq("doc_id"), "left_anti")
   }
 
+  /**
+   * Quality-aware corpus dedup: keep the row with the HIGHEST `priorityCol` in each
+   * exact/near-dup cluster (ties to the smallest doc_id) — the curation policy that
+   * retains the best copy (longest version, highest LM/quality score, preferred
+   * source) instead of [[dedupedCorpus]]'s arbitrary min-id representative.
+   *
+   * Same machinery, different elector: exact-duplicate pairs (md5 groups) union the
+   * verified near-dup pairs feed one connected-components pass; the per-cluster argmax
+   * rides the native TopKPerKey bounded heaps (k=1), so the election exchange carries
+   * one row per cluster per partition — never the corpus. Rows in no cluster are their
+   * own cluster (left join + coalesce, no fan-out).
+   */
+  def dedupedCorpusBy(docs: DataFrame, priorityCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val exactPairs = docs
+      .withColumn("h", when(col("text").isNull,
+        concat(lit("null:"), col("doc_id").cast("string"))).otherwise(md5(col("text"))))
+      .withColumn("m", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("a_id"), col("doc_id").as("b_id"))
+    val pairs = minhashPairs(docs, threshold).select(col("a_id"), col("b_id"))
+      .unionByName(exactPairs)
+    val comp = connectedComponents(pairs)
+    val clustered = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    val keepers = TopKPerKey(
+        clustered.select(col("cluster"), col("doc_id"),
+          col(priorityCol).cast("double").as("__p")),
+        Seq("cluster"), Seq(("__p", true), ("doc_id", false)), 1)
+      .select(col("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
   def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     dedupedCorpus(TableIO.documents(spark, dir), threshold)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))

@@ -368,4 +368,32 @@ class GraftApiSpec extends AnyFunSuite {
     val pruned = Graft.readPruned(spark, dir, "id", lit(10L), lit(20L))
     assert(pruned.count() == 11 && pruned.inputFiles.length < 5)
   }
+
+  test("dedupeBy keeps the highest-priority representative per duplicate cluster") {
+    import spark.implicits._
+    // doc 1/2/4 are the near/exact-dup cluster (see `docs`); give 2 the best quality
+    val scored = docs.withColumn("quality",
+      org.apache.spark.sql.functions.when($"doc_id" === 2L, 9.0).otherwise(1.0))
+    val kept = Graft.dedupeBy(scored, "quality", threshold = 0.8)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source", "quality"))
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 5L), s"got $ids")
+    // min-id tie-break when priorities are equal: same clusters, all priority 1.0
+    val tied = Graft.dedupeBy(docs.withColumn("quality",
+      org.apache.spark.sql.functions.lit(1.0)), "quality", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 3L, 5L), s"got $tied")
+  }
+
+  test("equidepthBinsApprox tracks the exact binning within sketch tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 4000).map(i => ("g", rnd.nextGaussian() * 10 + 50)).toDF("k", "v")
+    val approx = Graft.equidepthBinsApprox(df, Seq("k"), "v", 4)
+    val counts = approx.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4), s"got ${counts.keySet}")
+    // equi-depth within t-digest tolerance: each bucket within 15% of n/4
+    counts.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"bucket sizes $counts"))
+  }
 }
