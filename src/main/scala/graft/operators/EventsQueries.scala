@@ -464,7 +464,54 @@ object EventsQueries {
       |SELECT path, count(*) AS n FROM paths GROUP BY 1
       |ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /**
+   * `q_cusum`: CUSUM changepoint detection per event type — the mean-shift detector
+   * (Page '54) over each type's daily value series: S_t = sum_{i<=t}(x_i − mean), the
+   * changepoint estimate is argmax |S_t| (tie to the earliest day). Series are daily
+   * aggregates, so every window partitions BY TYPE over day-count-sized frames — the
+   * corpus-sized work is one map-side-combined (type, day) groupBy. Daily sums round
+   * to 6 before the mean/CUSUM arithmetic so both engines fold identical numbers in
+   * identical window order.
+   */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TableIO.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("x"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(avg(col("x")).as("mu"), count(lit(1)).as("n_days"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("day"))
+    daily.join(mu, "event_type")
+      .withColumn("s", sum(col("x") - col("mu")).over(byType))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        round(abs(col("s")), 4).as("max_dev"), col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         round(sum(value), 6) AS x
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, avg(x) AS mu, count(*) AS n_days FROM daily GROUP BY 1),
+      |cusum AS (
+      |  SELECT d.event_type, d.day, mu.mu, mu.n_days,
+      |    sum(d.x - mu.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM daily d JOIN mu USING (event_type)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(s) DESC, day) AS rn FROM cusum)
+      |SELECT event_type, day AS cp_day, round(abs(s), 4) AS max_dev,
+      |       CAST(n_days AS BIGINT) AS n_days
+      |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (qCusum(_, _)),
     "q_event_paths" -> (qEventPaths(_, _, 10)),
     "q_events_window" -> qEventsWindow _,
     "q_rolling_zscore" -> qRollingZscore _,
@@ -480,6 +527,7 @@ object EventsQueries {
     "q_retention" -> qRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q_cusum" -> qCusumSql,
     "q_event_paths" -> qEventPathsSql,
     "q_events_window" -> qEventsWindowSql,
     "q_rolling_zscore" -> qRollingZscoreSql,
