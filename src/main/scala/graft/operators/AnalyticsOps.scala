@@ -286,11 +286,15 @@ object AnalyticsOps {
    * window, so the segmentation runs at any customer cardinality.
    */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the customer aggregate feeds the count action plus three rank
+    // passes (each of which also samples for its range partitioner) — materialize it
+    // once and truncate lineage so the orders scan+groupBy runs exactly once
     val base = TableIO.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      .localCheckpoint()
     val n = base.count()
     val r = scoreTile(base, Seq(col("last_order"), col("o_custkey")), 5, n, "r_score")
     val f = scoreTile(r, Seq(col("freq"), col("o_custkey")), 5, n, "f_score")
