@@ -550,4 +550,11 @@ object Graft {
       nBins: Int): DataFrame =
     graft.operators.Percentiles.equidepthBinsApprox(
       requireCols(df, "input", (keys :+ valueCol): _*), keys, valueCol, nBins)
+
+  /** Small-file compaction (Delta OPTIMIZE analog for plain parquet): bin-pack files
+    * below `smallBytes` into <= `targetBytes` rewrites; work proportional to small-file
+    * bytes, never table size. Returns (bins, files_removed, files_written, bytes). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, smallBytes: Long = Long.MaxValue): (Int, Int, Int, Long) =
+    graft.sources.Compaction.compact(spark, path, targetBytes, smallBytes)
 }
