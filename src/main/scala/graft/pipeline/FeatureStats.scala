@@ -154,6 +154,32 @@ object FeatureStats {
       |FROM cdf c CROSS JOIN n_all
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /**
+   * Generic exact two-sample KS statistic between two single-column value frames —
+   * the [[qKsDrift]] plan generalized to arbitrary samples: per-value counts for
+   * each side, evaluation over the union grid of distinct values, CDFs from one
+   * running-sum window each, D = max |F_a − F_b|. Returns one row (n_a, n_b, ks).
+   */
+  def twoSampleKs(a: DataFrame, b: DataFrame): DataFrame = {
+    import graft.operators.AnalyticsOps.distributedCumSum
+    val ca = a.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("c_a"))
+    val cb = b.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("c_b"))
+    val grid = ca.join(cb, Seq("v"), "full")
+      .select(col("v"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    // CDFs ride the distributed prefix-sum primitive (29z) — exact integer cumsums
+    // over the distinct-value grid with no single-partition window
+    val g1 = distributedCumSum(grid, Seq(col("v")), col("c_a"))
+      .withColumnRenamed("cum", "cum_a")
+    val g2 = distributedCumSum(g1, Seq(col("v")), col("c_b"))
+      .withColumnRenamed("cum", "cum_b")
+    val tot = grid.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    g2.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(max(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))), 6)
+          .as("ks"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_mi" -> (qFeatureMi(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)))
