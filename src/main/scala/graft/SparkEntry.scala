@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TemporalOps.all ++
       operators.BloomJoin.all ++
       operators.AnalyticsOps.all ++
+      operators.SpatialOps.all ++
       pipeline.FeatureStats.all ++
       operators.GraphOps.all ++
       operators.Resample.all ++
@@ -35,6 +36,8 @@ object SparkEntry {
       pipeline.Packing.all ++
       pipeline.BpeTrainer.all ++
       pipeline.SemanticDedup.all ++
+      pipeline.Clustering.all ++
+      pipeline.Regression.all ++
       pipeline.HeavyHitters.all ++
       pipeline.Linkage.all
 
@@ -48,6 +51,7 @@ object SparkEntry {
       operators.TemporalOps.oracles ++
       operators.BloomJoin.oracles ++
       operators.AnalyticsOps.oracles ++
+      operators.SpatialOps.oracles ++
       pipeline.FeatureStats.oracles ++
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++
@@ -65,6 +69,8 @@ object SparkEntry {
       pipeline.Packing.oracles ++
       pipeline.BpeTrainer.oracles ++
       pipeline.SemanticDedup.oracles ++
+      pipeline.Clustering.oracles ++
+      pipeline.Regression.oracles ++
       pipeline.HeavyHitters.oracles ++
       pipeline.Linkage.oracles
 }

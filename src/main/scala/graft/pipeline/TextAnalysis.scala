@@ -737,7 +737,88 @@ object TextAnalysis {
       |ORDER BY pmi6 DESC, b.x, b.y
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------- text_compress_ratio
+
+  /**
+   * Deflate compression ratio per document — the information-density quality signal
+   * used by CCNet/Gopher-style curation: near-random text compresses poorly (ratio
+   * ~1), boilerplate and repeated spans compress extremely well (ratio << 1), and
+   * both tails are candidates for removal.
+   *
+   * One typed mapPartitions kernel with a REUSED per-partition Deflater (allocation-
+   * free steady state) — map-only, no shuffle, embarrassingly parallel at 100 TB.
+   * Declared rows-only for the driver gate (DuckDB has no zlib surface);
+   * CurationSignalsSpec pins the signal's ordering properties and determinism.
+   */
+  def compressionSignal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TableIO.fanOut(docs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, raw) =>
+          val bytes = (if (raw == null) "" else raw).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio = if (bytes.isEmpty) 1.0 else out.toDouble / bytes.length
+          (id, bytes.length.toLong, math.rint(ratio * 10000) / 10000)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "deflate_ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  def textCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionSignal(TableIO.documents(spark, dir))
+
+  // ------------------------------------------------------------ text_readability
+
+  /**
+   * Flesch reading-ease per document — the classic readability heuristic
+   * (206.835 - 1.015*words/sentences - 84.6*syllables/words), with syllables
+   * approximated by vowel-group count (the standard proxy when no dictionary is
+   * available) and sentences by terminal-punctuation runs, floored at 1 so
+   * punctuation-free corpora (like this driver's synthetic docs) degrade to a
+   * whole-doc "sentence" instead of dividing by zero.
+   *
+   * Entirely codegen'd builtin expressions (split/regexp_count) — map-only, no
+   * shuffle, scan-width = (doc_id, text). A 100 TB corpus scores in one pass.
+   */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+", -1))
+    val syll = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    val sent = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("n_words"), syll.as("n_syll"), sent.as("n_sent"),
+        round(lit(206.835)
+          - lit(1.015) * (words * lit(1.0) / sent)
+          - lit(84.6) * (syll * lit(1.0) / words), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    readability(TableIO.documents(spark, dir))
+
+  val textReadabilitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syll,
+      |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS INT) AS n_sent,
+      |  round(206.835
+      |    - 1.015 * (len(string_split_regex(trim(text), '\s+')) * 1.0
+      |               / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+      |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0
+      |              / len(string_split_regex(trim(text), '\s+'))), 4) AS flesch
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability(_, _)),
+    "text_compress_ratio" -> (textCompressRatio(_, _)),
     "text_entropy" -> (textEntropy(_, _)),
     "text_pmi" -> (textPmi(_, _)),
     "text_chunk" -> (textChunk(_, _)),
@@ -756,6 +837,7 @@ object TextAnalysis {
     "text_nb_lang" -> (textNbLang(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_entropy" -> textEntropySql,
     "text_pmi" -> textPmiSql,
     "text_chunk" -> textChunkSql,

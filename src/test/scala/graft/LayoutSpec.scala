@@ -174,6 +174,69 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("Hilbert index is a continuous bijection (round-trip + unit steps)") {
+    import org.apache.spark.sql.graft.HilbertCurve
+    // reference inverse (d2xy) for the round-trip: standard algorithm, test-only
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      var t = d
+      var s = 1L
+      while (s < (1L << HilbertCurve.Bits)) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(5)
+    val maxD = 1L << (2 * HilbertCurve.Bits)
+    (1 to 2000).foreach { _ =>
+      val d = math.abs(rnd.nextLong()) % (maxD - 1)
+      val (x, y) = d2xy(d)
+      assert(HilbertCurve.index(x, y) == d) // bijection round-trip
+      val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x2 - x) + math.abs(y2 - y) == 1, // THE Hilbert property:
+        s"curve step $d -> ${d + 1} jumped from ($x,$y) to ($x2,$y2)") // unit grid steps
+    }
+    assert(HilbertCurve.index(0, 0) == 0)
+  }
+
+  test("Hilbert layout skips row groups on BOTH filter columns") {
+    val dir = Files.createTempDirectory("graft-hilbert").toString
+    val orders = TableIO.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")).cache()
+    try {
+      LayoutWriter.writeHilbert(orders, s"$dir/h", "o_custkey", "o_totalprice", targetFiles = 16)
+      val total = orders.count()
+      val (cLo, cHi) = {
+        val r = orders.agg(min("o_custkey"), max("o_custkey")).head()
+        val span = r.getLong(1) - r.getLong(0)
+        (r.getLong(0) + span * 45 / 100, r.getLong(0) + span * 50 / 100)
+      }
+      val (pLo, pHi) = {
+        val r = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+        val span = r.getDouble(1) - r.getDouble(0)
+        (r.getDouble(0) + span * 45 / 100, r.getDouble(0) + span * 50 / 100)
+      }
+      val hCust = rowsScanned(spark.read.parquet(s"$dir/h")
+        .filter(col("o_custkey") >= cLo && col("o_custkey") <= cHi))
+      val hPrice = rowsScanned(spark.read.parquet(s"$dir/h")
+        .filter(col("o_totalprice") >= pLo && col("o_totalprice") <= pHi))
+      assert(hCust * 2 <= total, s"hilbert custkey probe read $hCust of $total")
+      assert(hPrice * 2 <= total, s"hilbert price probe read $hPrice of $total")
+    } finally {
+      orders.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("quantile z-order keeps skipping on a skewed column where linear z-order cannot") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zorder-q").toString
