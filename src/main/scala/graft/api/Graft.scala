@@ -557,4 +557,66 @@ object Graft {
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long, smallBytes: Long = Long.MaxValue): (Int, Int, Int, Long) =
     graft.sources.Compaction.compact(spark, path, targetBytes, smallBytes)
+
+  // ---- geo / ml / time-series (round 5b) -------------------------------------------
+
+  /** Epsilon-grid great-circle radius join: `left` (id, lat, lon) x `right`
+    * (sid, slat, slon) → within-radius pairs + `dist` km. Plain equi-join on
+    * radius-sized cells — the cross product never materializes. Keep |lat| <=
+    * maxAbsLat on both sides (sizes the longitude cells). */
+  def geoRadiusJoin(left: DataFrame, right: DataFrame, radiusKm: Double,
+      maxAbsLat: Double = 85.0): DataFrame =
+    graft.operators.SpatialOps.radiusJoin(
+      requireCols(left, "left", "id", "lat", "lon"),
+      requireCols(right, "right", "sid", "slat", "slon"), radiusKm, maxAbsLat)
+
+  /** Distributed Lloyd's k-means on a (vec_id, embedding) frame over an exact
+    * integer lattice — bit-deterministic across partitionings and reruns. Returns
+    * the final (cid, vec_id, qe, dist, centroid_sum) assignment frame. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame =
+    graft.pipeline.Clustering.kmeansAssign(vecsFrame(emb), k, rounds)
+
+  /** One-pass closed-form OLS y = a0 + a1*x1 + a2*x2 (+R^2) over an
+    * integer-quantized (x1, x2, y) frame; one row out. */
+  def ols2(pts: DataFrame): DataFrame =
+    graft.pipeline.Regression.ols2(requireCols(pts, "points", "x1", "x2", "y"))
+
+  /** Exact dyadic exponential smoothing (alpha = 1/2) per key over a
+    * (event_type, day, cnt) daily frame, with one-step backtest error. */
+  def sesForecast(daily: DataFrame): DataFrame =
+    graft.operators.Resample.sesOverDaily(
+      requireCols(daily, "daily", "event_type", "day", "cnt"))
+
+  /** Rolling 7-day Pearson correlation over a (day, x, y) daily count frame. */
+  def rollingCorr(daily: DataFrame): DataFrame =
+    graft.operators.Resample.rollingCorrDaily(
+      requireCols(daily, "daily", "day", "x", "y"))
+
+  /** Flesch reading-ease + word/syllable/sentence counts per (doc_id, text). */
+  def readability(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.readability(docsFrame(docs))
+
+  /** Deflate compression-ratio quality signal per (doc_id, text) — the CCNet/Gopher
+    * information-density heuristic; map-only. */
+  def compressionSignal(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.compressionSignal(docsFrame(docs))
+
+  /** Hilbert-curve clustered write — z-order's locality upgrade (unit curve steps,
+    * tighter per-file min/max rectangles, better two-axis skipping). */
+  def writeHilbert(df: DataFrame, path: String, colA: String, colB: String,
+      targetFiles: Int = 0): Unit =
+    graft.sources.LayoutWriter.writeHilbert(df, path, colA, colB, targetFiles)
+
+  /** Per-source corpus audit: fraction of docs passing each curation gate (length,
+    * repetition mass, chars-per-token shape) and all gates — the admission screen
+    * read before weighting sources into a training mix. */
+  def curationReport(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.curationReport(
+      requireCols(docs, "documents", "doc_id", "text", "source"))
+
+  /** Streaming EWMA control chart: per-key SES level + smoothed deviation in
+    * flatMapGroupsWithState, flagging |err| > k deviations after warmup. */
+  def streamingAnomaly(obs: org.apache.spark.sql.Dataset[graft.streaming.AnomalyMonitor.Obs],
+      k: Double = 4.0, warmup: Int = 5): org.apache.spark.sql.Dataset[graft.streaming.AnomalyMonitor.Alert] =
+    graft.streaming.AnomalyMonitor.detect(obs, k, warmup)
 }

@@ -151,11 +151,14 @@ object Resample {
    * gets a real partition spec instead of logging its global-window warning
    * (the vocabCoverage idiom).
    */
-  def qRollingCorr(spark: SparkSession, dir: String): DataFrame = {
-    val daily = TableIO.events(spark, dir)
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorrDaily(TableIO.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(when(col("event_type") === "click", 1)).as("x"),
-        count(when(col("event_type") === "purchase", 1)).as("y"))
+        count(when(col("event_type") === "purchase", 1)).as("y")))
+
+  /** Core rolling-correlation plan over a (day, x, y) integer frame. */
+  private[graft] def rollingCorrDaily(daily: DataFrame): DataFrame = {
     val tot = daily.agg(count(lit(1)).as("nd"))
     val f = Window.partitionBy(col("nd")).orderBy(col("day")).rowsBetween(-6, 0)
     val varTerm = (col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -34,11 +34,6 @@ object SpatialOps {
 
   private val RadiusKm = 500.0
   private val EarthRadiusKm = 6371.0
-  // Cell edges sized so one cell covers the radius everywhere in the +-60 lat band:
-  // 5 deg lat (500/111.32 = 4.49) and 9 deg lon (500/(111.32*cos 60) = 8.98).
-  private val LatCellDeg = 5.0
-  private val LonCellDeg = 9.0
-  private val LonCells = 40 // 360 / 9, for wraparound at the antimeridian
 
   /** Deterministic synthetic coordinates from an integer key (same formula in SQL). */
   private def latOf(key: Column): Column = (key * 7919L % 12000L) / 100.0 - 60.0
@@ -53,32 +48,52 @@ object SpatialOps {
     lit(2.0 * EarthRadiusKm) * asin(sqrt(a))
   }
 
-  private def customersWithCells(spark: SparkSession, dir: String): DataFrame =
-    TableIO.customer(spark, dir)
-      .select(col("c_custkey").as("id"),
-        latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"))
-      .withColumn("cx", floor((col("lon") + 180.0) / LonCellDeg).cast("int"))
-      .withColumn("cy", floor((col("lat") + 90.0) / LatCellDeg).cast("int"))
-
-  /** Suppliers replicated to their 3x3 cell neighborhood (lon wraps mod 40). */
-  private def suppliersNeighborhood(spark: SparkSession, dir: String): DataFrame =
-    TableIO.supplier(spark, dir)
-      .select(col("s_suppkey").as("sid"),
-        latOf(col("s_suppkey")).as("slat"), lonOf(col("s_suppkey")).as("slon"))
+  /**
+   * General epsilon-grid radius join: `left` (id, lat, lon) x `right` (sid, slat,
+   * slon) → (id, sid, …, dist) pairs with great-circle distance <= radiusKm. Cell
+   * sizes derive from the radius: latitude cells of radiusKm/111.0 degrees (>= the
+   * worst-case meridian span of a radius circle on the R=6371 sphere, 111.19 km/deg)
+   * and longitude cells sized by the band's worst-case cos(maxAbsLat) — so a 3x3
+   * neighborhood provably covers every radius circle and the grid NEVER drops a pair
+   * (SpatialMlSpec proves it against the exhaustive cross join).
+   */
+  def radiusJoin(left: DataFrame, right: DataFrame, radiusKm: Double,
+      maxAbsLat: Double = 85.0): DataFrame = {
+    val latCell = radiusKm / 111.0
+    val nLon = math.max(1, math.floor(
+      360.0 / (radiusKm / (111.0 * math.cos(math.toRadians(maxAbsLat))))).toInt)
+    val lonCell = 360.0 / nLon
+    val l = left
+      .withColumn("cx", floor((col("lon") + 180.0) / lonCell).cast("int"))
+      .withColumn("cy", floor((col("lat") + 90.0) / latCell).cast("int"))
+    val r = right
       .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("cx",
-        pmod(floor((col("slon") + 180.0) / LonCellDeg).cast("int") + col("dx"),
-          lit(LonCells)).cast("int"))
-      .withColumn("cy", floor((col("slat") + 90.0) / LatCellDeg).cast("int") + col("dy"))
+        pmod(floor((col("slon") + 180.0) / lonCell).cast("int") + col("dx"),
+          lit(nLon)).cast("int"))
+      .withColumn("cy", floor((col("slat") + 90.0) / latCell).cast("int") + col("dy"))
       .drop("dx", "dy")
-
-  private def pairsWithin(spark: SparkSession, dir: String): DataFrame =
-    customersWithCells(spark, dir)
-      .join(suppliersNeighborhood(spark, dir), Seq("cx", "cy"))
+    l.join(r, Seq("cx", "cy"))
       .withColumn("dist",
         haversineKm(col("lat"), col("lon"), col("slat"), col("slon")))
-      .filter(col("dist") <= RadiusKm)
+      .filter(col("dist") <= radiusKm)
+      .drop("cx", "cy")
+  }
+
+  private def customersGeo(spark: SparkSession, dir: String): DataFrame =
+    TableIO.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+        latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"))
+
+  private def suppliersGeo(spark: SparkSession, dir: String): DataFrame =
+    TableIO.supplier(spark, dir)
+      .select(col("s_suppkey").as("sid"),
+        latOf(col("s_suppkey")).as("slat"), lonOf(col("s_suppkey")).as("slon"))
+
+  private def pairsWithin(spark: SparkSession, dir: String): DataFrame =
+    radiusJoin(customersGeo(spark, dir), suppliersGeo(spark, dir), RadiusKm,
+      maxAbsLat = 60.0)
 
   // ------------------------------------------------------ q_geo_radius_join
 

@@ -64,6 +64,27 @@ object Clustering {
       .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
   }
 
+  /**
+   * General entry: Lloyd's on any (vec_id: long, embedding: array<float|double>)
+   * frame. Returns the final assignment frame (vec_id, qe, cid, dist) and leaves
+   * summarization to the caller. Initial centroids are the k smallest vec_ids.
+   * For rounds >> 2, localCheckpoint `vectors` first to cap lineage.
+   */
+  def kmeansAssign(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val vectors = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("qe"))
+    // k smallest ids via TakeOrderedAndProject (no global window) + broadcast semi-join
+    val initIds = vectors.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var centroids = vectors.join(broadcast(initIds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    for (_ <- 1 to rounds)
+      centroids = update(assign(vectors, centroids), centroids)
+    assign(vectors, centroids)
+      .join(centroids.select(col("cid"),
+        aggregate(col("ce"), lit(0L), (acc, x) => acc + x).as("centroid_sum")), Seq("cid"))
+  }
+
   /** k-means(k=8, 2 Lloyd rounds) on fixed-point embeddings; final assignment stats. */
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
     val k = 8

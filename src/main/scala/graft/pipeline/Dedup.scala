@@ -563,6 +563,31 @@ object Dedup {
       dedupMinhash(spark, dir, threshold).select(col("a_id"), col("b_id")))
       .orderBy(col("doc_id"))
 
+  /**
+   * `dedup_cluster_stats`: the duplication-structure diagnostic read before choosing a
+   * dedup policy — the distribution of near-dup cluster sizes (how much of the corpus
+   * sits in pairs vs. large boilerplate families). Rides the same verified-pair CC as
+   * `dedup_components`; the histogram is two aggregations over the COMPONENT frame
+   * (already ≤ one row per clustered doc, never the corpus).
+   */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupMinhash(spark, dir, 0.8).select(col("a_id"), col("b_id")))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  def dedupClusterStatsSql(threshold: Double): String = {
+    val base = dedupComponentsSql(threshold)
+    base.replace("SELECT doc_id, component FROM comp ORDER BY doc_id",
+      """, sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   def dedupComponentsSql(threshold: Double): String =
     s"""WITH RECURSIVE $GramsCteSql,
        |pairs AS (
@@ -1124,6 +1149,7 @@ object Dedup {
     "dedup_embedding_exact" -> (dedupEmbeddingExact(_, _)),
     "dedup_corpus" -> (dedupCorpus(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
+    "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "dedup_contamination" -> (dedupContamination(_, _)),
     "dedup_contamination_bloom" -> (dedupContaminationBloom(_, _)),
     "dedup_winnow" -> (dedupWinnow(_, _)),
@@ -1141,6 +1167,7 @@ object Dedup {
     "dedup_embedding_exact" -> dedupEmbeddingSql(0.45),
     "dedup_corpus" -> dedupCorpusSql(0.8),
     "dedup_components" -> dedupComponentsSql(0.8),
+    "dedup_cluster_stats" -> dedupClusterStatsSql(0.8),
     "dedup_contamination" -> dedupContaminationSql,
     "dedup_contamination_bloom" -> dedupContaminationBloomSql,
     "dedup_winnow" -> dedupWinnowSql,

@@ -26,11 +26,15 @@ import graft.sources.TableIO
 object Regression {
 
   /** OLS of price_cents on (quantity, discount_pct) over lineitem, plus R^2. */
-  def qLinreg(spark: SparkSession, dir: String): DataFrame = {
-    val pts = TableIO.lineitem(spark, dir).select(
+  def qLinreg(spark: SparkSession, dir: String): DataFrame =
+    ols2(TableIO.lineitem(spark, dir).select(
       round(col("l_quantity"), 0).cast("long").as("x1"),
       round(col("l_discount") * 100, 0).cast("long").as("x2"),
-      round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+      round(col("l_extendedprice") * 100, 0).cast("long").as("y")))
+
+  /** General entry: fit y = a0 + a1*x1 + a2*x2 on any integer-quantized
+    * (x1, x2, y) frame; returns one row (n, a0, a1, a2, r2). */
+  def ols2(pts: DataFrame): DataFrame = {
     val yd = col("y").cast("decimal(20,0)")
     val m = pts.agg(
       count(lit(1)).as("n"),

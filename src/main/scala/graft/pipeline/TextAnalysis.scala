@@ -737,6 +737,68 @@ object TextAnalysis {
       |ORDER BY pmi6 DESC, b.x, b.y
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- text_audit
+
+  /**
+   * Per-source corpus audit report — the one-stop admission screen a mix designer
+   * reads before weighting sources: for every source, the fraction of documents
+   * passing each curation gate (length >= 20 tokens; top-token repetition mass
+   * <= 0.25, the Gopher screen; chars-per-token in the 3..12 natural-language band)
+   * and the fraction passing ALL of them.
+   *
+   * Corpus-proportional work is ONE map-side-combined (doc, token) count; gate
+   * evaluation is a per-doc join on doc_id; the report is a |sources|-row aggregate.
+   * All gate boundaries are exact-integer divisions, so pass/fail is
+   * engine-deterministic and the report hash-matches DuckDB.
+   */
+  def curationReport(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), length(trim(col("text"))).as("tl"),
+        split(trim(col("text")), "\\s+", -1).as("t"))
+    val topmass = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("double").as("topc"))
+    val perDoc = toks.join(topmass, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("t")))
+      .select(col("source"),
+        when(col("n_tokens") >= 20, 1).otherwise(0).as("len_ok"),
+        when(col("topc") / col("n_tokens") <= 0.25, 1).otherwise(0).as("rep_ok"),
+        when((col("tl") * lit(1.0) / col("n_tokens")).between(3, 12), 1)
+          .otherwise(0).as("shape_ok"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("len_ok")), 4).as("pct_len"),
+        round(avg(col("rep_ok")), 4).as("pct_rep"),
+        round(avg(col("shape_ok")), 4).as("pct_shape"),
+        round(avg(col("len_ok") * col("rep_ok") * col("shape_ok")), 4).as("pct_all"))
+      .orderBy(col("source"))
+  }
+
+  def textAudit(spark: SparkSession, dir: String): DataFrame =
+    curationReport(TableIO.documents(spark, dir))
+
+  val textAuditSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, length(trim(text)) AS tl,
+      |         string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |topmass AS (
+      |  SELECT doc_id, max(c) * 1.0 AS topc FROM (
+      |    SELECT doc_id, w, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |per_doc AS (
+      |  SELECT k.source,
+      |    CASE WHEN len(k.t) >= 20 THEN 1 ELSE 0 END AS len_ok,
+      |    CASE WHEN m.topc / len(k.t) <= 0.25 THEN 1 ELSE 0 END AS rep_ok,
+      |    CASE WHEN k.tl * 1.0 / len(k.t) BETWEEN 3 AND 12 THEN 1 ELSE 0 END AS shape_ok
+      |  FROM toks k JOIN topmass m USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(len_ok), 4) AS pct_len, round(avg(rep_ok), 4) AS pct_rep,
+      |  round(avg(shape_ok), 4) AS pct_shape,
+      |  round(avg(len_ok * rep_ok * shape_ok), 4) AS pct_all
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------- text_compress_ratio
 
   /**
@@ -818,6 +880,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> (textReadability(_, _)),
+    "text_audit" -> (textAudit(_, _)),
     "text_compress_ratio" -> (textCompressRatio(_, _)),
     "text_entropy" -> (textEntropy(_, _)),
     "text_pmi" -> (textPmi(_, _)),
@@ -838,6 +901,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
+    "text_audit" -> textAuditSql,
     "text_entropy" -> textEntropySql,
     "text_pmi" -> textPmiSql,
     "text_chunk" -> textChunkSql,

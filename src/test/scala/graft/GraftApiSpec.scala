@@ -385,6 +385,50 @@ class GraftApiSpec extends AnyFunSuite {
     assert(tied == Set(1L, 3L, 5L), s"got $tied")
   }
 
+  test("round-5d facade: geo join, k-means, OLS, SES, rolling corr, text signals") {
+    import spark.implicits._
+    import java.sql.Date
+
+    // geo: two points 0.5 km apart match at 1 km radius; an antipodal-ish one doesn't
+    val left = Seq((1L, 10.0, 20.0), (2L, -40.0, 130.0)).toDF("id", "lat", "lon")
+    val right = Seq((7L, 10.004, 20.0), (8L, 52.0, -60.0)).toDF("sid", "slat", "slon")
+    val pairs = Graft.geoRadiusJoin(left, right, 1.0, maxAbsLat = 60.0)
+      .select("id", "sid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 7L)))
+
+    // k-means: two tight blobs, k=2 -> the blobs are the clusters
+    val blob = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) 0.1f else 0.9f
+      (i.toLong, Array(base + i * 1e-4f, base - i * 1e-4f))
+    }
+    val asg = Graft.kmeansAssign(blob.toDF("vec_id", "embedding"), k = 2, rounds = 2)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byParity = asg.groupBy(_._1 % 2).map { case (p, g) => p -> g.map(_._2).toSet }
+    assert(byParity(0L).size == 1 && byParity(1L).size == 1 && byParity(0L) != byParity(1L))
+
+    // OLS facade on exact-plan points
+    val pts = (1 to 200).map(i => (i.toLong % 17, i.toLong % 11, 5 + 2 * (i % 17) + 3 * (i % 11)))
+      .map { case (a, b, y) => (a, b, y.toLong) }
+    val fit = Graft.ols2(pts.toDF("x1", "x2", "y")).collect().head
+    assert(math.abs(fit.getDouble(1) - 5.0) < 1e-6 && math.abs(fit.getDouble(2) - 2.0) < 1e-6
+      && math.abs(fit.getDouble(3) - 3.0) < 1e-6)
+
+    // SES + rolling corr run on user frames with the documented schemas
+    val daily = (1 to 10).map(d => ("k", Date.valueOf(f"2024-05-$d%02d"), d.toLong * 3))
+      .toDF("event_type", "day", "cnt")
+    assert(Graft.sesForecast(daily).count() == 10)
+    val xy = (1 to 10).map(d => (Date.valueOf(f"2024-05-$d%02d"), d.toLong, 11L - d))
+      .toDF("day", "x", "y")
+    val rc = Graft.rollingCorr(xy).collect()
+    assert(rc.length == 10 && math.abs(rc.last.getDouble(3) - (-1.0)) < 1e-9)
+
+    // text signals
+    val docs = Seq((1L, "one two three."), (2L, "aaa " * 50)).toDF("doc_id", "text")
+    assert(Graft.readability(docs).count() == 2)
+    val cs = Graft.compressionSignal(docs).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cs(2L) < cs(1L)) // repetition compresses harder
+  }
+
   test("equidepthBinsApprox tracks the exact binning within sketch tolerance") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
