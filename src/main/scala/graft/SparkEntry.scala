@@ -19,6 +19,7 @@ object SparkEntry {
       operators.BloomJoin.all ++
       operators.AnalyticsOps.all ++
       operators.SpatialOps.all ++
+      operators.TimeSeriesOps.all ++
       pipeline.FeatureStats.all ++
       operators.GraphOps.all ++
       operators.Resample.all ++
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.BloomJoin.oracles ++
       operators.AnalyticsOps.oracles ++
       operators.SpatialOps.oracles ++
+      operators.TimeSeriesOps.oracles ++
       pipeline.FeatureStats.oracles ++
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++

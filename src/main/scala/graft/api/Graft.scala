@@ -619,4 +619,25 @@ object Graft {
   def streamingAnomaly(obs: org.apache.spark.sql.Dataset[graft.streaming.AnomalyMonitor.Obs],
       k: Double = 4.0, warmup: Int = 5): org.apache.spark.sql.Dataset[graft.streaming.AnomalyMonitor.Alert] =
     graft.streaming.AnomalyMonitor.detect(obs, k, warmup)
+
+  /** Sample autocorrelation at lags 1..maxLag per key over a
+    * (event_type, day, cnt) daily frame — exact-integer moments, one window pass. */
+  def acf(daily: DataFrame, maxLag: Int = 7): DataFrame =
+    graft.operators.TimeSeriesOps.acfDaily(
+      requireCols(daily, "daily", "event_type", "day", "cnt"), maxLag)
+
+  /** Closed-form ridge regression (L2 λ on slopes, intercept exempt) over an
+    * integer-quantized (x1, x2, y) frame; same one-pass plan as [[ols2]]. */
+  def ridge2(pts: DataFrame, lambda: Long): DataFrame =
+    graft.pipeline.Regression.ridge2(requireCols(pts, "points", "x1", "x2", "y"), lambda)
+
+  /** First principal component of (x1, x2, x3) by one exact moment pass + an
+    * unrolled power iteration — PCA's distributed shape (9 numbers reduce, O(1) solve). */
+  def pca3(pts: DataFrame): DataFrame =
+    graft.pipeline.Regression.pcaPower3(requireCols(pts, "points", "x1", "x2", "x3"))
+
+  /** Dunning log-likelihood-ratio (G²) collocations over (doc_id, text) — the
+    * robust-at-low-counts complement to PMI. */
+  def llrCollocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame =
+    graft.pipeline.TextAnalysis.llrCollocations(docsFrame(docs), k, minCount)
 }

@@ -653,7 +653,32 @@ object RelationalOps {
     spark.sql(qLateralSql)
   }
 
+  /** Recursive CTE (WITH RECURSIVE → native UnionLoop, new in Spark 4.x): ancestry
+    * walk over the binary-tree hierarchy parent(k) = (k−1) div 2 imposed on nation —
+    * depth and root-to-node path per row. Bounded-depth recursion (⌈log₂ 25⌉ rounds);
+    * each round is one equi-join of the frontier against the dimension, so the shape
+    * scales exactly like the unrolled-round graph operators but is AUTHORED as the
+    * standard SQL every warehouse user writes. Same text runs on both engines. */
+  val qRecursiveCteSql: String =
+    """WITH RECURSIVE org AS (
+      |  SELECT n_nationkey AS key, n_name AS name, 0 AS depth,
+      |         CAST(n_name AS STRING) AS path
+      |  FROM nation WHERE n_nationkey = 0
+      |  UNION ALL
+      |  SELECT n.n_nationkey, n.n_name, o.depth + 1,
+      |         o.path || ' > ' || n.n_name
+      |  FROM nation n JOIN org o
+      |    ON o.key = CAST(floor((n.n_nationkey - 1) / 2.0) AS INTEGER)
+      |  WHERE n.n_nationkey > 0)
+      |SELECT key, name, depth, path FROM org ORDER BY key""".stripMargin
+
+  def qRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(qRecursiveCteSql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_cte" -> qRecursiveCte _,
     "q_not_in_nulls" -> qNotInNulls _, "q_unpivot" -> qUnpivot _, "q_lateral" -> qLateral _,
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
@@ -667,6 +692,7 @@ object RelationalOps {
     "q_range" -> qRange _, "q_explode" -> qExplode _, "q_posexplode" -> qPosexplode _, "q_shuffle_reuse" -> qShuffleReuse _, "q_skew_join" -> qSkewJoin _, "q_topk_per_key" -> qTopkPerKey _, "q_range_join" -> qRangeJoin _, "q_scalar_subquery" -> qScalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_cte" -> qRecursiveCteSql,
     "q_not_in_nulls" -> qNotInNullsSql, "q_unpivot" -> qUnpivotSql, "q_lateral" -> qLateralSql,
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
     "q_sort" -> qSortSql, "q_topn" -> qTopNSql, "q_limit" -> qLimitSql,

@@ -878,7 +878,88 @@ object TextAnalysis {
       |              / len(string_split_regex(trim(text), '\s+'))), 4) AS flesch
       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- text_llr
+
+  /**
+   * Dunning log-likelihood-ratio collocations — the robust-at-low-counts complement
+   * to [[pmiCollocations]] (PMI's known pathology is over-ranking rare pairs; LLR's
+   * G² statistic is the field's standard fix, Dunning 1993). Contingency table per
+   * adjacent pair over BIGRAM POSITIONS: k11 = c(x,y), row marginal = bigrams whose
+   * first token is x, column marginal = bigrams whose second token is y, N = total
+   * bigrams — all derived from the ONE bigram count (two bounded re-aggregations),
+   * so the corpus is scanned once. G² = 2·Σ k·ln(N·k/(row·col)) over non-empty
+   * cells; every count is an exact integer and the per-pair double formula is a
+   * single identical expression tree on both engines.
+   */
+  def llrCollocations(docs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+    val biAll = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y))")).as("b"))
+      .select(col("b.x"), col("b.y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val rowM = biAll.groupBy(col("x")).agg(sum(col("cxy")).as("cx1"))
+    val colM = biAll.groupBy(col("y")).agg(sum(col("cxy")).as("cy2"))
+    val tot = biAll.agg(sum(col("cxy")).as("nbi"))
+    val dn = col("nbi").cast("double")
+    def cell(kc: Column, r: Column, c: Column): Column =
+      when(kc > 0, kc * log(dn * kc / (r.cast("double") * c))).otherwise(lit(0.0))
+    biAll.filter(col("cxy") >= minCount)
+      .join(rowM, "x").join(colM, "y").crossJoin(broadcast(tot))
+      .withColumn("llr6", round(lit(2.0) * (
+        cell(col("cxy"), col("cx1"), col("cy2")) +
+          cell(col("cx1") - col("cxy"), col("cx1"), col("nbi") - col("cy2")) +
+          cell(col("cy2") - col("cxy"), col("nbi") - col("cx1"), col("cy2")) +
+          cell(col("nbi") - col("cx1") - col("cy2") + col("cxy"),
+            col("nbi") - col("cx1"), col("nbi") - col("cy2"))), 6))
+      .select(col("x"), col("y"), col("cxy"), col("llr6"))
+      .orderBy(col("llr6").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** `text_llr`: top-20 G² collocations with support >= 5 over `documents`. */
+  def textLlr(spark: SparkSession, dir: String): DataFrame =
+    llrCollocations(TableIO.documents(spark, dir), 20, 5)
+
+  val textLlrSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), bi_all AS (
+      |  SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y,
+      |         count(*) AS cxy
+      |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      |        FROM toks WHERE len(t) >= 2)
+      |  GROUP BY 1, 2
+      |), row_m AS (
+      |  SELECT x, sum(cxy) AS cx1 FROM bi_all GROUP BY 1
+      |), col_m AS (
+      |  SELECT y, sum(cxy) AS cy2 FROM bi_all GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cxy) AS BIGINT) AS nbi FROM bi_all
+      |)
+      |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS cxy,
+      |  round(2.0 * (
+      |    (CASE WHEN b.cxy > 0 THEN b.cxy * ln(CAST(t.nbi AS DOUBLE) * b.cxy
+      |        / (CAST(r.cx1 AS DOUBLE) * c.cy2)) ELSE 0.0 END) +
+      |    (CASE WHEN r.cx1 - b.cxy > 0 THEN (r.cx1 - b.cxy) * ln(CAST(t.nbi AS DOUBLE) * (r.cx1 - b.cxy)
+      |        / (CAST(r.cx1 AS DOUBLE) * (t.nbi - c.cy2))) ELSE 0.0 END) +
+      |    (CASE WHEN c.cy2 - b.cxy > 0 THEN (c.cy2 - b.cxy) * ln(CAST(t.nbi AS DOUBLE) * (c.cy2 - b.cxy)
+      |        / (CAST(t.nbi - r.cx1 AS DOUBLE) * c.cy2)) ELSE 0.0 END) +
+      |    (CASE WHEN t.nbi - r.cx1 - c.cy2 + b.cxy > 0
+      |        THEN (t.nbi - r.cx1 - c.cy2 + b.cxy) * ln(CAST(t.nbi AS DOUBLE) * (t.nbi - r.cx1 - c.cy2 + b.cxy)
+      |        / (CAST(t.nbi - r.cx1 AS DOUBLE) * (t.nbi - c.cy2))) ELSE 0.0 END)), 6) AS llr6
+      |FROM bi_all b
+      |JOIN row_m r ON r.x = b.x
+      |JOIN col_m c ON c.y = b.y
+      |CROSS JOIN tot t
+      |WHERE b.cxy >= 5
+      |ORDER BY llr6 DESC, b.x, b.y
+      |LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_llr" -> (textLlr(_, _)),
     "text_readability" -> (textReadability(_, _)),
     "text_audit" -> (textAudit(_, _)),
     "text_compress_ratio" -> (textCompressRatio(_, _)),
@@ -900,6 +981,7 @@ object TextAnalysis {
     "text_nb_lang" -> (textNbLang(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_llr" -> textLlrSql,
     "text_readability" -> textReadabilitySql,
     "text_audit" -> textAuditSql,
     "text_entropy" -> textEntropySql,
