@@ -640,4 +640,16 @@ object Graft {
     * robust-at-low-counts complement to PMI. */
   def llrCollocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame =
     graft.pipeline.TextAnalysis.llrCollocations(docsFrame(docs), k, minCount)
+
+  /** Per-file Bloom-index write for point lookups on an unclustered high-cardinality
+    * key — the complement of writeWithManifest's min/max range skipping. */
+  def writeWithBloomManifest(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit =
+    graft.sources.FileSkipIndex.writeWithBloomManifest(df, path, keyCol, numFiles)
+
+  /** Point lookup `keyCol = value` reading only bloom-candidate files (no false
+    * negatives; exact parity with a full scan + filter). */
+  def readPointLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, value: org.apache.spark.sql.Column): DataFrame =
+    graft.sources.FileSkipIndex.readPointLookup(spark, path, keyCol, value)
 }

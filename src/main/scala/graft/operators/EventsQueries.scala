@@ -510,7 +510,63 @@ object EventsQueries {
       |       CAST(n_days AS BIGINT) AS n_days
       |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /**
+   * `q_attribution`: first/last-touch marketing attribution — for every purchase,
+   * the user's most recent preceding click (last touch) and earliest click (first
+   * touch), with a 7-day attribution window on the last touch; reported as a daily
+   * rate frame. The workload behind every marketing-spend dashboard.
+   *
+   * The carry is ONE past-only window per user (max/min over CASE click-ts —
+   * max of a monotone key IS the most recent, no IGNORE NULLS portability needed),
+   * ordered totally by (ts, event_id) so timestamp ties resolve identically on both
+   * engines. Window lookback/diff in integer epoch MICROseconds (unix_micros /
+   * epoch_us — both exact BIGINTs, no fractional-second dialect drift); counts are
+   * exact integers, rate is one rounded division per day row. Scale: partitioned by
+   * user_id (full parallelism), then a calendar-bounded daily aggregate.
+   */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickTs = when(col("event_type") === "click", unix_micros(col("ts")))
+    TableIO.events(spark, dir)
+      .withColumn("last_click", max(clickTs).over(w))
+      .withColumn("first_click", min(clickTs).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        when(col("last_click").isNotNull &&
+          unix_micros(col("ts")) - col("last_click") <= 604800000000L, 1).otherwise(0)
+          .as("attributed"),
+        when(col("first_click").isNotNull, 1).otherwise(0).as("ever_clicked"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("attributed")).as("n_attributed"),
+        sum(col("ever_clicked")).as("n_ever_clicked"))
+      .withColumn("attr_rate4",
+        round(col("n_attributed").cast("double") / col("n_purchases"), 4))
+      .orderBy(col("day"))
+  }
+
+  val qAttributionSql: String =
+    """WITH carried AS (
+      |  SELECT ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w AS last_click,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w AS first_click
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |purchases AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CASE WHEN last_click IS NOT NULL AND epoch_us(ts) - last_click <= 604800000000
+      |         THEN 1 ELSE 0 END AS attributed,
+      |    CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END AS ever_clicked
+      |  FROM carried WHERE event_type = 'purchase')
+      |SELECT day, count(*) AS n_purchases, sum(attributed) AS n_attributed,
+      |  sum(ever_clicked) AS n_ever_clicked,
+      |  round(CAST(sum(attributed) AS DOUBLE) / count(*), 4) AS attr_rate4
+      |FROM purchases GROUP BY day ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution _,
     "q_cusum" -> (qCusum(_, _)),
     "q_event_paths" -> (qEventPaths(_, _, 10)),
     "q_events_window" -> qEventsWindow _,
@@ -527,6 +583,7 @@ object EventsQueries {
     "q_retention" -> qRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
     "q_event_paths" -> qEventPathsSql,
     "q_events_window" -> qEventsWindowSql,

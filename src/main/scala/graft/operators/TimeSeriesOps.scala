@@ -218,6 +218,45 @@ object TimeSeriesOps {
       |SELECT len, count(*) AS n_islands, count(DISTINCT user_id) AS n_users
       |FROM islands GROUP BY len ORDER BY len""".stripMargin
 
+  // ---------------------------------------------------------------- q_wau
+
+  /**
+   * 7-day rolling active users (WAU) per day — the sliding-window DISTINCT that
+   * neither SQL windows (no COUNT(DISTINCT) OVER) nor the cumulative first-occurrence
+   * trick (29an) can express. Exact form: each active (user, day) CONTRIBUTES to the
+   * 7 report days it keeps the user active for — a bounded 7× explode of the
+   * day-grain distinct frame (calendar-bounded, never raw events), then one distinct
+   * count per report day. At sketch scale the same frame feeds the HLL rollup
+   * instead; this is the exact path.
+   */
+  def qWau(spark: SparkSession, dir: String): DataFrame = {
+    val days = TableIO.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("dd", datediff(col("day"), lit("1970-01-01")))
+    val maxDd = days.agg(max(col("dd")).as("max_dd"))
+    days.select(col("user_id"), explode(sequence(col("dd"), col("dd") + 6)).as("rdd"))
+      .crossJoin(broadcast(maxDd))
+      .filter(col("rdd") <= col("max_dd"))
+      .groupBy(col("rdd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("rdd").cast("int")).as("day"),
+        col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val qWauSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd
+      |  FROM events),
+      |mx AS (SELECT max(dd) AS max_dd FROM days),
+      |contrib AS (
+      |  SELECT user_id, UNNEST(generate_series(dd, dd + 6)) AS rdd FROM days)
+      |SELECT DATE '1970-01-01' + CAST(rdd AS INT) AS day,
+      |  count(DISTINCT user_id) AS wau
+      |FROM contrib, mx WHERE rdd <= mx.max_dd
+      |GROUP BY rdd ORDER BY day""".stripMargin
+
   // ------------------------------------------------------ q_audience_overlap
 
   /**
@@ -264,6 +303,7 @@ object TimeSeriesOps {
       |ORDER BY a, b""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wau" -> (qWau(_, _)),
     "q_acf" -> (qAcf(_, _)),
     "q_seasonality" -> (qSeasonality(_, _)),
     "q_running_distinct" -> (qRunningDistinct(_, _)),
@@ -271,6 +311,7 @@ object TimeSeriesOps {
     "q_audience_overlap" -> (qAudienceOverlap(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_wau" -> qWauSql,
     "q_acf" -> qAcfSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_running_distinct" -> qRunningDistinctSql,

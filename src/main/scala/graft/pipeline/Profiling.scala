@@ -235,13 +235,50 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  /**
+   * Join-key skew diagnosis — the report read BEFORE picking a join/partition
+   * strategy at 100 TB: per candidate key column, row count, exact NDV, the heaviest
+   * key's frequency and share, and the max/avg group-size ratio (the direct predictor
+   * of straggler tasks; >> 1 means salt it or rely on AQE skew split). Per column ONE
+   * map-side-combined groupBy(key).count, then a bounded second aggregate over the
+   * group-size frame; columns scan independently and the report is |columns| rows.
+   */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"), max(col("cnt")).as("max_sz"))
+        .select(lit(k).as("key"), col("n"), col("ndv"), col("max_sz"),
+          round(col("max_sz").cast("double") / col("n"), 6).as("top_share6"),
+          round(col("max_sz") * col("ndv").cast("double") / col("n"), 4).as("skew_ratio4"))
+    }.reduce(_.unionAll(_))
+
+  /** `q_skew_report`: skew diagnosis of lineitem's three join keys + orders' customer key. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(TableIO.lineitem(spark, dir), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .unionAll(skewReport(TableIO.orders(spark, dir), Seq("o_custkey")))
+      .orderBy(col("key"))
+
+  val qSkewReportSql: String = {
+    def one(table: String, k: String): String =
+      s"""SELECT '$k' AS key, CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS ndv, CAST(max(cnt) AS BIGINT) AS max_sz,
+         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share6,
+         |  round(max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS skew_ratio4
+         |FROM (SELECT $k, count(*) AS cnt FROM $table GROUP BY $k)""".stripMargin
+    Seq(one("lineitem", "l_orderkey"), one("lineitem", "l_partkey"),
+      one("lineitem", "l_suppkey"), one("orders", "o_custkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (qSkewReport(_, _)),
     "q_profile" -> profileQuery _,
     "q_hll_rollup" -> (qHllRollup(_, _)),
     "q_hist_rollup" -> (qHistRollup(_, _)),
     "q_tdigest" -> (qTdigest(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_report" -> qSkewReportSql,
     "q_profile" -> profileSql,
     "q_hist_rollup" -> qHistRollupSql)
     // q_hll_rollup: sketch-based -> rows-only + merge-identity/error-bound spec

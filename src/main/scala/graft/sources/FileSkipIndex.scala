@@ -67,4 +67,82 @@ object FileSkipIndex {
       .filter(col(s"${c}_max").isNull || col(s"${c}_min").isNull ||
         (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi))
       .count()
+
+  // ------------------------------------------------------------- bloom index
+
+  /**
+   * Per-file Bloom-filter manifest for POINT lookups on a high-cardinality column —
+   * the Delta bloom-index analog, and the complement of min/max skipping: when the
+   * table is NOT clustered on the lookup key, every file's [min, max] spans the whole
+   * domain and range pruning keeps everything; a per-file bloom still answers
+   * "this key cannot be in this file" for all but ~fpp of the misses.
+   *
+   * Construction is fully relational: each row explodes into its `BloomK` bit
+   * positions (xxhash64 seeded per probe), positions pack into 64-bit words, and ONE
+   * map-side-combined groupBy(file, word) + bit_or builds the per-file masks — no
+   * driver work proportional to rows, manifest size = files x set-words (bounded by
+   * `BloomBits`/64 longs/file). Lookups read the KB-scale manifest, evaluate the k
+   * probes driver-side, and hand Spark only the candidate files.
+   */
+  val BloomBits = 8192 // m: bits per file filter (128 longs dense worst-case)
+  val BloomK = 5       // probes per key; fpp ~ (1 - e^{-kn/m})^k
+
+  private def bloomManifestPath(path: String) = s"$path/_bloom_manifest"
+
+  private def bitPositions(c: Column): Seq[Column] =
+    (1 to BloomK).map(i => pmod(xxhash64(lit(i), c), lit(BloomBits)).cast("int"))
+
+  /** One (file, words: map<int,bigint>) row per data file: the file's bloom mask. */
+  def computeBloomManifest(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array(bitPositions(col(keyCol)): _*)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("bit"))
+      .groupBy(col("file"), col("word"))
+      .agg(bit_or(col("bit")).as("mask"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("words"))
+
+  /** Write `df` (layout-agnostic — bloom pruning needs no clustering) plus the
+    * per-file bloom manifest on `keyCol`. */
+  def writeWithBloomManifest(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit = {
+    df.repartition(numFiles).write.mode("overwrite").parquet(path)
+    computeBloomManifest(df.sparkSession, path, keyCol)
+      .coalesce(1).write.mode("overwrite").parquet(bloomManifestPath(path))
+  }
+
+  /** Files whose bloom mask contains every probe bit of `value` (driver-side over the
+    * KB-scale manifest; the same metadata step as any FileIndex). */
+  private def bloomCandidates(spark: SparkSession, path: String, value: Column)
+      : Array[String] = {
+    import spark.implicits._
+    // evaluate the k probe positions once, via the engine's own hash expression
+    val pos = spark.range(1).select(bitPositions(value): _*).head()
+    val probes = (0 until BloomK).map(i => pos.getInt(i))
+    spark.read.parquet(bloomManifestPath(path))
+      .as[(String, Map[Int, Long])]
+      .collect()
+      .collect { case (f, words) if probes.forall(p =>
+        (words.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L) => f }
+  }
+
+  /**
+   * Point lookup `keyCol = value` reading only bloom-candidate files. Result is
+   * exactly a full scan + filter (bloom has no false negatives); files touched is
+   * ~1 + fpp x files for keys present in one file, ~fpp x files for absent keys.
+   */
+  def readPointLookup(spark: SparkSession, path: String, keyCol: String, value: Column)
+      : DataFrame = {
+    val keep = bloomCandidates(spark, path, value)
+    val base =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(keyCol) === value)
+  }
+
+  /** Bloom-candidate file count for a probe value (for plan audits/specs). */
+  def bloomFilesTouched(spark: SparkSession, path: String, value: Column): Long =
+    bloomCandidates(spark, path, value).length.toLong
 }

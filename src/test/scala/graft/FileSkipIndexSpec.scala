@@ -47,4 +47,44 @@ class FileSkipIndexSpec extends AnyFunSuite {
     assert(FileSkipIndex.filesTouched(spark, dir, "l_orderkey",
       lit(-5000L), lit(-4000L)) == 0)
   }
+
+  test("bloom index: point lookup on an unclustered key prunes files, exact results") {
+    val dir = Files.createTempDirectory("bloomskip").toFile.getAbsolutePath + "/docs"
+    val docs = TableIO.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("source"))
+    FileSkipIndex.writeWithBloomManifest(docs, dir, "h", numFiles = 8)
+
+    // a present key: its rows live in few files; bloom must find all of them
+    val probe = docs.select(col("h")).head().getString(0)
+    val got = FileSkipIndex.readPointLookup(spark, dir, "h", lit(probe))
+    val want = spark.read.parquet(dir).filter(col("h") === probe)
+    assert(got.count() == want.count() && got.count() >= 1)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val touched = FileSkipIndex.bloomFilesTouched(spark, dir, lit(probe))
+    assert(touched >= 1 && touched < 8,
+      s"bloom should prune most of 8 files for a single key, touched=$touched")
+    assert(got.inputFiles.length.toLong == touched)
+  }
+
+  test("bloom index: absent keys have no false negatives and high prune rates") {
+    val dir = Files.createTempDirectory("bloomskip2").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    FileSkipIndex.writeWithBloomManifest(df, dir, "k", numFiles = 8)
+    // 50 absent probes: every lookup returns empty (no false negatives on presence
+    // side by construction) and the mean candidate count stays near fpp x files
+    val touched = (1 to 50).map { i =>
+      val v = lit(s"missing_$i")
+      assert(FileSkipIndex.readPointLookup(spark, dir, "k", v).count() == 0)
+      FileSkipIndex.bloomFilesTouched(spark, dir, v)
+    }
+    // n/file = 500, m = 8192, k = 5 -> fpp ~ 2e-3; allow generous slack
+    assert(touched.sum.toDouble / touched.length < 1.0,
+      s"mean bloom candidates for absent keys too high: ${touched.sum.toDouble / 50}")
+    // and present keys are always found
+    (1 to 20).foreach { i =>
+      assert(FileSkipIndex.readPointLookup(spark, dir, "k", lit(s"key_${i * 97}"))
+        .count() == 1)
+    }
+  }
 }

@@ -153,6 +153,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(3) >= -1e-9))
   }
 
+  // ----------------------------------------------------------------- q_wau
+
+  test("wau: every day's 7-day active count >= that day's daily active count") {
+    val wau = TimeSeriesOps.qWau(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val dau = graft.sources.TableIO.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(dau.nonEmpty)
+    dau.foreach { case (d, n) => assert(wau(d) >= n, s"day $d wau ${wau(d)} < dau $n") }
+    // and wau can never exceed the global distinct population
+    val pop = graft.sources.TableIO.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(wau.values.forall(_ <= pop))
+  }
+
+  // ------------------------------------------------------------ q_skew_report
+
+  test("skew report: totals match table sizes and the hot key share is consistent") {
+    val rows = graft.pipeline.Profiling.qSkewReport(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "o_custkey"))
+    val nLi = graft.sources.TableIO.lineitem(spark, sf).count()
+    rows.filter(_.getString(0).startsWith("l_")).foreach { r =>
+      assert(r.getLong(1) == nLi)
+      assert(r.getLong(3) >= r.getLong(1) / r.getLong(2)) // max >= avg group size
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  // ---------------------------------------------------------- q_attribution
+
+  test("attribution: attributed <= ever_clicked <= purchases, rate consistent") {
+    val rows = graft.operators.EventsQueries.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, attr, ever) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(attr <= ever && ever <= n)
+      assert(math.abs(r.getDouble(4) - math.round(attr.toDouble / n * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
   // --------------------------------------------------------- q_recursive_cte
 
   test("recursive cte covers all 25 nations with binary-tree depths and paths") {
