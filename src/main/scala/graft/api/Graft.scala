@@ -652,4 +652,22 @@ object Graft {
   def readPointLookup(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String, value: org.apache.spark.sql.Column): DataFrame =
     graft.sources.FileSkipIndex.readPointLookup(spark, path, keyCol, value)
+
+  /** GROUP-atomic train/val/test assignment (GroupKFold's leakage guard): the fold
+    * key is the group's hash, so correlated rows never straddle splits. */
+  def splitAssignGrouped(df: DataFrame, groupCol: String): DataFrame =
+    graft.pipeline.Sampling.splitAssignedGrouped(df, groupCol)
+
+  /** Versioned snapshot commit (append) with time travel — see
+    * [[graft.sources.VersionedTable]]; returns the new version. */
+  def commitAppend(df: DataFrame, path: String): Long =
+    graft.sources.VersionedTable.commitAppend(df, path)
+
+  /** Versioned snapshot commit that logically replaces the table contents. */
+  def commitOverwrite(df: DataFrame, path: String): Long =
+    graft.sources.VersionedTable.commitOverwrite(df, path)
+
+  /** Time-travel read of a committed version. */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): DataFrame =
+    graft.sources.VersionedTable.readVersion(spark, path, v)
 }

@@ -179,6 +179,35 @@ object Sampling {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /**
+   * GROUP-aware split assignment (GroupKFold's leakage guard): the split key is the
+   * GROUP's hash, not the row's, so every row of a group lands in the same fold —
+   * near-duplicate or same-source documents can never straddle train and test. Same
+   * md5-prefix thresholds as [[splitAssigned]] (~5% test / ~5% val of GROUPS);
+   * map-only, deterministic, no shuffle.
+   */
+  def splitAssignedGrouped(df: DataFrame, groupCol: String): DataFrame = {
+    val pfx = substring(md5(col(groupCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(pfx < "0d", "test").when(pfx < "1a", "val").otherwise("train"))
+  }
+
+  /** `sample_split_grouped`: leakage-safe split by source — every source's docs share
+    * one fold; output proves group atomicity (one split per source). */
+  def sampleSplitGrouped(spark: SparkSession, dir: String): DataFrame =
+    splitAssignedGrouped(TableIO.documents(spark, dir), "source")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+
+  val sampleSplitGroupedSql: String =
+    """SELECT source,
+      |  CASE WHEN substring(md5(CAST(source AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+      |       WHEN substring(md5(CAST(source AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+      |       ELSE 'train' END AS split,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- deterministic shuffle-shard export ----------------------------------------------
 
   /**
@@ -362,6 +391,7 @@ object Sampling {
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_mixture" -> (sampleMixture(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
+    "sample_split_grouped" -> (sampleSplitGrouped(_, _)),
     "sample_per_key" -> (samplePerKey(_, _)),
     "sample_shuffle" -> (sampleShuffle(_, _)),
     "sample_row_ids" -> (sampleRowIds(_, _)),
@@ -373,6 +403,7 @@ object Sampling {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_split" -> sampleSplitSql,
+    "sample_split_grouped" -> sampleSplitGroupedSql,
     "sample_per_key" -> samplePerKeySql,
     "sample_shuffle" -> sampleShuffleSql,
     "sample_row_ids" -> sampleRowIdsSql,

@@ -89,6 +89,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b, "split assignment must be retry-reproducible")
   }
 
+  test("grouped split is group-atomic: every source maps to exactly one fold") {
+    val docs = TableIO.documents(spark, sf)
+    val assigned = Sampling.splitAssignedGrouped(docs, "source")
+    assert(assigned.count() == docs.count())
+    val foldsPerGroup = assigned.groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .collect().map(_.getLong(1))
+    assert(foldsPerGroup.nonEmpty && foldsPerGroup.forall(_ == 1L),
+      "a group must never straddle folds")
+  }
+
   test("shuffle-shard export is a deterministic permutation with dense in-shard positions") {
     val docs = TableIO.documents(spark, sf)
     val n = docs.count()
