@@ -670,4 +670,18 @@ object Graft {
   /** Time-travel read of a committed version. */
   def readVersion(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): DataFrame =
     graft.sources.VersionedTable.readVersion(spark, path, v)
+
+  /** Change data feed between two committed versions of a versioned table: the
+    * snapshot diff (inserts/deletes/updates by key) of their time-travel reads. */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession, path: String,
+      fromV: Long, toV: Long, key: String, compareCols: Seq[String]): DataFrame =
+    graft.operators.TemporalOps.snapshotDiff(
+      graft.sources.VersionedTable.readVersion(spark, path, fromV),
+      graft.sources.VersionedTable.readVersion(spark, path, toV), key, compareCols)
+
+  /** Materialize the corpus as seed-deterministic shuffled JSONL shard files —
+    * the training-ingest wire format (one file per shard, stable line order). */
+  def exportJsonlShards(docs: DataFrame, path: String, numShards: Int = 8,
+      seed: String = "graft"): Unit =
+    graft.pipeline.Sampling.exportJsonlShards(docsFrame(docs), path, numShards, seed)
 }

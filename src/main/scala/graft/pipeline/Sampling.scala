@@ -250,6 +250,29 @@ object Sampling {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
       |FROM b ORDER BY shard, pos""".stripMargin
 
+  /**
+   * Materialized training export: the full corpus as `numShards` JSONL shard files in
+   * seed-deterministic shuffled order — the wire format training jobs actually ingest.
+   * Rides [[shuffleAssigned]] for (shard, skey); each shard streams through ONE task
+   * (hash repartition on shard + per-shard LOCAL sort — never a global sort) into its
+   * own `shard=<s>/` directory of newline-delimited JSON. Retry-deterministic: same
+   * seed → same shard membership and same in-file line order, so a resumed training
+   * run re-reads the identical sequence.
+   */
+  def exportJsonlShards(docs: DataFrame, path: String, numShards: Int = 8,
+      seed: String = "graft"): Unit = {
+    require(!docs.columns.exists(Set("shard", "skey")),
+      "input must not already carry shard/skey columns")
+    val skey = md5(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    docs.withColumn("skey", skey)
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % numShards).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
+      .drop("skey")
+      .write.mode("overwrite").partitionBy("shard").json(path)
+  }
+
   // ---- global row ids ------------------------------------------------------------------
 
   /**

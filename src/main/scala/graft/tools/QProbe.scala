@@ -1,5 +1,6 @@
 package graft.tools
 import graft.GraftSession
+
 object QProbe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
@@ -7,10 +8,15 @@ object QProbe {
     spark.range(1000).selectExpr("sum(id)").count()
     // intentionally runs the SAME query twice: first pass is the cold (plan-compile)
     // time, second is steady-state — mirrors Bench's warm-up+timed structure
-    for (n <- Seq("dedup_components", "dedup_components")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_json_funcs", "q_json_funcs", "q_math", "q_math",
+        "q_null_semantics", "q_null_semantics", "q_label_prop", "q_label_prop")
+    for (n <- names) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
       println(f"[qprobe] $n%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -89,6 +89,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b, "split assignment must be retry-reproducible")
   }
 
+  test("jsonl shard export round-trips, matches shuffle assignment, is deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile.getAbsolutePath + "/out"
+    val docs = TableIO.documents(spark, sf).select("doc_id", "text", "source")
+    Sampling.exportJsonlShards(docs, dir, numShards = 4)
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+    // shard membership matches the canonical shuffle assignment
+    val want = Sampling.shuffleAssigned(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1) % 4 + 4) % 4).toMap
+    back.select("doc_id", "shard").collect().foreach { r =>
+      assert(want(r.getLong(0)) == r.getAs[Number](1).intValue)
+    }
+    // in-file order is the skey order: re-export produces byte-identical shard files
+    val dir2 = java.nio.file.Files.createTempDirectory("jsonl2").toFile.getAbsolutePath + "/out"
+    Sampling.exportJsonlShards(docs, dir2, numShards = 4)
+    def shardLines(d: String) = (0 until 4).map { s =>
+      val f = new java.io.File(s"$d/shard=$s")
+      f.listFiles().filter(_.getName.endsWith(".json")).sorted
+        .flatMap(x => scala.io.Source.fromFile(x).getLines().toSeq).toSeq
+    }
+    assert(shardLines(dir) == shardLines(dir2))
+  }
+
   test("grouped split is group-atomic: every source maps to exactly one fold") {
     val docs = TableIO.documents(spark, sf)
     val assigned = Sampling.splitAssignedGrouped(docs, "source")
