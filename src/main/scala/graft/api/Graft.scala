@@ -684,4 +684,9 @@ object Graft {
   def exportJsonlShards(docs: DataFrame, path: String, numShards: Int = 8,
       seed: String = "graft"): Unit =
     graft.pipeline.Sampling.exportJsonlShards(docsFrame(docs), path, numShards, seed)
+
+  /** Plan-fingerprint result cache: serve a DETERMINISTIC query from its materialized
+    * previous answer when the plan and every input file are unchanged. */
+  def cached(df: DataFrame, cacheDir: String): DataFrame =
+    graft.plans.ResultCache.run(df, cacheDir)
 }

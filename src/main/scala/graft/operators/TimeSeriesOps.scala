@@ -257,6 +257,51 @@ object TimeSeriesOps {
       |FROM contrib, mx WHERE rdd <= mx.max_dd
       |GROUP BY rdd ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------ q_seasonal_anomaly
+
+  /**
+   * Seasonality-adjusted volume anomalies: each (event_type, day) scored against its
+   * own WEEKDAY's mean volume — the deseasonalized residual that keeps a quiet Sunday
+   * from masquerading as an outage and a busy Monday as a spike (a raw global
+   * threshold does both). ratio = cnt·n_dow/s_dow evaluated over exact integers and
+   * ROUNDED BEFORE thresholding (both engines threshold identical numbers); days
+   * outside [0.82, 1.18]× their weekday norm are flagged (the band is a tuning
+   * knob; this default flags the ~10% tails on the driver corpus).
+   */
+  def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TableIO.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow",
+        ((datediff(col("day"), lit("1970-01-01")) % 7) + 4) % 7)
+    val norm = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("cnt")).as("s_dow"), count(lit(1)).as("n_dow"))
+    daily.join(norm, Seq("event_type", "dow"))
+      .withColumn("ratio4",
+        round((col("cnt") * col("n_dow")).cast("double") / col("s_dow"), 4))
+      .filter(col("ratio4") >= 1.18 || col("ratio4") <= 0.82)
+      .select(col("event_type"), col("day"), col("cnt"), col("ratio4"),
+        when(col("ratio4") >= 1.18, "spike").otherwise("drop").as("direction"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qSeasonalAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+      |    ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 4) % 7 AS dow
+      |  FROM events GROUP BY 1, 2, 4),
+      |norm AS (
+      |  SELECT event_type, dow, sum(cnt) AS s_dow, count(*) AS n_dow
+      |  FROM daily GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.event_type, d.day, d.cnt,
+      |    round(CAST(d.cnt * n.n_dow AS DOUBLE) / n.s_dow, 4) AS ratio4
+      |  FROM daily d JOIN norm n ON d.event_type = n.event_type AND d.dow = n.dow)
+      |SELECT event_type, day, cnt, ratio4,
+      |  CASE WHEN ratio4 >= 1.18 THEN 'spike' ELSE 'drop' END AS direction
+      |FROM scored WHERE ratio4 >= 1.18 OR ratio4 <= 0.82
+      |ORDER BY event_type, day""".stripMargin
+
   // ------------------------------------------------------ q_audience_overlap
 
   /**
@@ -304,6 +349,7 @@ object TimeSeriesOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wau" -> (qWau(_, _)),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly(_, _)),
     "q_acf" -> (qAcf(_, _)),
     "q_seasonality" -> (qSeasonality(_, _)),
     "q_running_distinct" -> (qRunningDistinct(_, _)),
@@ -312,6 +358,7 @@ object TimeSeriesOps {
 
   val oracles: Map[String, String] = Map(
     "q_wau" -> qWauSql,
+    "q_seasonal_anomaly" -> qSeasonalAnomalySql,
     "q_acf" -> qAcfSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_running_distinct" -> qRunningDistinctSql,

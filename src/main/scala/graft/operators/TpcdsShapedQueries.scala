@@ -465,7 +465,36 @@ object TpcdsShapedQueries {
       |  AND o_orderkey IN (SELECT l_orderkey FROM multi)
       |  AND o_orderkey IN (SELECT l_orderkey FROM ret)""".stripMargin
 
+  /**
+   * DS shape 13 (q34/q73 "frequent shopper" family): per-customer-per-month order
+   * counts restricted to a HAVING band, joined back to the customer dimension and
+   * profiled by market segment — the aggregate→band-filter→dimension-join signature.
+   * The band filter runs on the AGGREGATE (map-side combined count per (custkey,
+   * month)), so the join back to customer moves only band survivors.
+   */
+  def qDsHavingBand(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableIO.orders(spark, dir)
+    val c = TableIO.customer(spark, dir)
+    val band = o.groupBy(col("o_custkey"), month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2 && col("cnt") <= 5)
+    band.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("mon"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cnt")).as("n_orders"))
+      .orderBy(col("mon"), col("c_mktsegment"))
+  }
+
+  val qDsHavingBandSql: String =
+    """WITH band AS (
+      |  SELECT o_custkey, month(o_orderdate) AS mon, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 5)
+      |SELECT CAST(mon AS INT) AS mon, c_mktsegment,
+      |  count(*) AS n_customers, CAST(sum(cnt) AS BIGINT) AS n_orders
+      |FROM band JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_having_band" -> (qDsHavingBand(_, _)),
     "q_ds_snowflake" -> (qDsSnowflake(_, _)),
     "q_ds_yoy" -> (qDsYoy(_, _)),
     "q_ds_grouping" -> (qDsGrouping(_, _)),
@@ -480,6 +509,7 @@ object TpcdsShapedQueries {
     "q_ds_reachability" -> (qDsReachability(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_having_band" -> qDsHavingBandSql,
     "q_ds_snowflake" -> qDsSnowflakeSql,
     "q_ds_yoy" -> qDsYoySql,
     "q_ds_grouping" -> qDsGroupingSql,

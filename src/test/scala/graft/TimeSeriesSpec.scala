@@ -184,6 +184,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- q_seasonal_anomaly
+
+  test("seasonal anomaly flags exactly the rounded-ratio tails, labeled by direction") {
+    val daily = graft.sources.TableIO.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val flagged = TimeSeriesOps.qSeasonalAnomaly(spark, sf).collect()
+    flagged.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio >= 1.18 || ratio <= 0.82)
+      assert(r.getString(4) == (if (ratio >= 1.18) "spike" else "drop"))
+    }
+    assert(flagged.length < daily.count(), "band must not flag everything")
+  }
+
   // ---------------------------------------------------------- q_attribution
 
   test("attribution: attributed <= ever_clicked <= purchases, rate consistent") {

@@ -63,6 +63,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v1 == 1L && VersionedTable.readLatest(spark, dir).count() == 8)
   }
 
+  test("foreachBatch stream commits one version per micro-batch, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("vt-stream").toString
+    val dir = s"$root/tbl"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = stream.toDF().toDF("id").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        VersionedTable.commitBatch(batch, dir, batchId): Unit
+      }
+      .start()
+    try {
+      stream.addData(1, 2, 3); q.processAllAvailable()
+      stream.addData(4, 5); q.processAllAvailable()
+      assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L))
+      assert(VersionedTable.readLatest(spark, dir).count() == 5)
+      assert(VersionedTable.readVersion(spark, dir, 0).count() == 3)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("interrupted commit (data written, manifest missing) leaves prior version intact") {
     import spark.implicits._
     val dir = tmp("vt4")
