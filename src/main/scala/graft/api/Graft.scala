@@ -689,4 +689,14 @@ object Graft {
     * previous answer when the plan and every input file are unchanged. */
   def cached(df: DataFrame, cacheDir: String): DataFrame =
     graft.plans.ResultCache.run(df, cacheDir)
+
+  /** Column-level lineage of a frame: (out_col, src_table, src_col) rows traced
+    * through the analyzed plan — driver-side metadata, plan-sized cost. */
+  def lineage(df: DataFrame): DataFrame = graft.plans.Lineage.lineage(df)
+
+  /** Expectation-guarded write: land the batch only if every rule holds on every
+    * row (one aggregation pass); returns the per-rule violation report. */
+  def writeWithExpectations(df: DataFrame, path: String,
+      expectations: Map[String, org.apache.spark.sql.Column]): Seq[graft.sources.GuardedWrite.Violation] =
+    graft.sources.GuardedWrite.writeWithExpectations(df, path, expectations)
 }

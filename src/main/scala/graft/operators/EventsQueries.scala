@@ -565,7 +565,55 @@ object EventsQueries {
       |  round(CAST(sum(attributed) AS DOUBLE) / count(*), 4) AS attr_rate4
       |FROM purchases GROUP BY day ORDER BY day""".stripMargin
 
+  /**
+   * `q_ohlc`: daily OHLC bars per event type — open/high/low/close of `value` plus
+   * tick count, the time-series summarization every market/metrics store materializes.
+   * Open/close are picked by row_number over the TOTAL (ts, event_id) order (both
+   * engines pick the identical single row — no first_value/arg_min dialect or tie
+   * ambiguity), high/low/count are order-independent aggregates; no cross-row double
+   * accumulation anywhere, so the frame is hash-stable. One window + one groupBy on
+   * the (type, day) partitioning — the natural shuffle key.
+   */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = TableIO.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wd = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    byDay
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("day"), round(col("open"), 4).as("open"),
+        col("high"), col("low"), round(col("close"), 4).as("close"), col("n_ticks"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qOhlcSql: String =
+    """WITH seq AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, day,
+      |  round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+      |  round(max(value), 4) AS high,
+      |  round(min(value), 4) AS low,
+      |  round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+      |  count(*) AS n_ticks
+      |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> qOhlc _,
     "q_attribution" -> qAttribution _,
     "q_cusum" -> (qCusum(_, _)),
     "q_event_paths" -> (qEventPaths(_, _, 10)),
@@ -583,6 +631,7 @@ object EventsQueries {
     "q_retention" -> qRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc" -> qOhlcSql,
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
     "q_event_paths" -> qEventPathsSql,

@@ -211,6 +211,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q_ohlc
+
+  test("ohlc invariants: low <= open/close <= high, ticks sum to event count") {
+    val rows = graft.operators.EventsQueries.qOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= h && o >= l - 1e-9 && o <= h + 1e-9 && c >= l - 1e-9 && c <= h + 1e-9)
+    }
+    assert(rows.map(_.getLong(6)).sum ==
+      graft.sources.TableIO.events(spark, sf).count())
+  }
+
   // --------------------------------------------------------- q_recursive_cte
 
   test("recursive cte covers all 25 nations with binary-tree depths and paths") {
