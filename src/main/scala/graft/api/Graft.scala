@@ -694,6 +694,12 @@ object Graft {
     * through the analyzed plan — driver-side metadata, plan-sized cost. */
   def lineage(df: DataFrame): DataFrame = graft.plans.Lineage.lineage(df)
 
+  /** Targeted delete-by-key over a hive-partitioned table (right-to-be-forgotten):
+    * rewrites ONLY partitions holding a doomed key; returns rows deleted. */
+  def deleteByKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame, key: String, partitionCol: String): Long =
+    graft.sources.LayoutWriter.deleteByKeys(spark, path, keys, key, partitionCol)
+
   /** Expectation-guarded write: land the batch only if every rule holds on every
     * row (one aggregation pass); returns the per-rule violation report. */
   def writeWithExpectations(df: DataFrame, path: String,

@@ -269,4 +269,57 @@ object LayoutWriter {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
   }
+
+  /**
+   * Targeted delete-by-key over a hive-partitioned table — the right-to-be-forgotten /
+   * DELETE WHERE chore, rewriting ONLY the partitions that actually hold a doomed key
+   * (the same touched-partition discipline as [[upsertPartitioned]]): untouched
+   * partitions' files are never opened, so deleting a handful of users from a 100 TB
+   * table costs a handful of partition rewrites, not a table rewrite. A partition whose
+   * rows ALL die is removed (Hive-escaped dir, null-safe). Returns the number of rows
+   * deleted. Idempotent: re-running with the same keys is a no-op (0 deleted, no
+   * rewrites). `keys` is broadcast-sized by contract (a deletion list, not a corpus).
+   */
+  def deleteByKeys(spark: SparkSession, path: String, keys: DataFrame, key: String,
+      partitionCol: String): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val existing = spark.read.parquet(path)
+    val keyType = existing.schema(key).dataType
+    val doomed = keys.select(col(key).cast(keyType).as(key)).distinct()
+
+    // partitions currently holding a doomed key — the ONLY ones that need rewriting
+    val touched = existing.join(broadcast(doomed), Seq(key), "left_semi")
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("n_dead")).collect()
+    if (touched.isEmpty) return 0L
+    val touchedRaw = touched.map(_.get(0)).toSeq
+    val deadCount = touched.map(_.getLong(1)).sum
+
+    val touchedNonNull = touchedRaw.filter(_ != null)
+    val touchedPred =
+      if (touchedRaw.contains(null))
+        col(partitionCol).isNull || col(partitionCol).isInCollection(touchedNonNull)
+      else col(partitionCol).isInCollection(touchedNonNull)
+    // materialize survivors BEFORE the overwrite reads from the files it replaces
+    val survivors = existing.filter(touchedPred)
+      .join(broadcast(doomed), Seq(key), "left_anti")
+      .localCheckpoint(true)
+
+    val survivorRaw = survivors.select(partitionCol).distinct().collect().map(_.get(0))
+    val emptied = touchedRaw.toSet -- survivorRaw
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try {
+      if (survivorRaw.nonEmpty)
+        survivors.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, hiveDirName(partitionCol, v)), true)
+    }
+    deadCount
+  }
 }

@@ -48,6 +48,25 @@ object EventsStreaming {
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Streaming windowed DISTINCT users — the streaming twin of the batch reach curve
+   * (TimeSeriesOps 29an/29av): per tumbling window, how many distinct users were
+   * active. COUNT(DISTINCT) is not a streaming aggregate, so this CHAINS two stateful
+   * operators (Spark 4 multi-stateful pipeline): an event-time dedup on
+   * (user_id, window) collapses each user to one row per window, then a windowed
+   * count aggregates the survivors; both states evict at the shared watermark, output
+   * is append-mode final (a window emits once, when the watermark passes its end).
+   */
+  def windowedDistinctUsers(events: DataFrame, windowLen: String = "1 hour",
+      delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), window(col("ts"), windowLen).as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(col("w.start").as("window_start"), col("distinct_users"))
+
+  /**
    * Stream-stream interval join: purchases attributed to a same-user click in the
    * preceding 30 minutes. Both sides carry watermarks and the join condition bounds event
    * time in both directions, so Spark can expire join state — without the time bounds the

@@ -128,6 +128,39 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("delete-by-key rewrites only holding partitions, drops emptied ones, idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-delete").toString
+    val dir = s"$root/tbl"
+    try {
+      Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021), (4L, "d", 2022))
+        .toDF("id", "v", "yr").write.partitionBy("yr").parquet(dir)
+      def snapshot(yr: Int): Map[String, Long] = {
+        val d = new java.io.File(s"$dir/yr=$yr")
+        if (!d.exists()) Map.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val before2022 = snapshot(2022)
+
+      // delete key 1 (partial partition) and key 3 (the whole 2021 partition)
+      val deleted = graft.sources.LayoutWriter.deleteByKeys(
+        spark, dir, Seq(1L, 3L, 99L).toDF("id"), "id", "yr")
+      assert(deleted == 2L)
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(out == Map(2L -> ("b", 2020), 4L -> ("d", 2022)))
+      assert(!new java.io.File(s"$dir/yr=2021").exists(), "emptied partition removed")
+      assert(snapshot(2022) == before2022, "unaffected partition untouched")
+
+      // idempotent re-run: nothing deleted, no rewrites anywhere
+      val before2020 = snapshot(2020)
+      assert(graft.sources.LayoutWriter.deleteByKeys(
+        spark, dir, Seq(1L, 3L).toDF("id"), "id", "yr") == 0L)
+      assert(snapshot(2020) == before2020, "no-op delete must not rewrite")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("z-order layout skips row groups on BOTH filter columns; 1-D clustering only on one") {
     val dir = Files.createTempDirectory("graft-zorder").toString
     val orders = TableIO.orders(spark, sf)

@@ -104,6 +104,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("chained stateful ops: windowed distinct users (dedup then count), append-final") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventsStreaming.windowedDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("wdu_out").outputMode("append").start()
+    try {
+      // hour 10: users 1,1,2 (dup user 1 must collapse); hour 11: user 3
+      stream.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "view", 1.0),
+        Event(3, ts(20), 2, "click", 1.0),
+        Event(4, Timestamp.valueOf("2024-01-01 11:10:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past both windows so they finalize
+      stream.addData(Event(5, Timestamp.valueOf("2024-01-01 15:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wdu_out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got("2024-01-01 10:00:00.0") == 2, s"got $got")
+      assert(got("2024-01-01 11:00:00.0") == 1, s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
