@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The target box has 128 GiB; local[32] with 32-way shuffles needs real heap or the
   // block manager thrashes (round-2 bench ran at -Xmx8g → 4.6 GiB storage, evictions).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq

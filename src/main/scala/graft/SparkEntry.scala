@@ -12,7 +12,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
+      operators.PartsuppQueries.all ++
       operators.TpcdsShapedQueries.all ++
+      operators.TpcdsRealQueries.all ++
       operators.RelationalOps.all ++
       operators.MergeOps.all ++
       operators.TemporalOps.all ++
@@ -46,7 +48,9 @@ object SparkEntry {
     * tables. Omitted keys get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracles ++
+      operators.PartsuppQueries.oracles ++
       operators.TpcdsShapedQueries.oracles ++
+      operators.TpcdsRealQueries.oracles ++
       operators.RelationalOps.oracles ++
       operators.MergeOps.oracles ++
       operators.TemporalOps.oracles ++

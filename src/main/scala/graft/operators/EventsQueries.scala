@@ -560,8 +560,9 @@ object EventsQueries {
       |         THEN 1 ELSE 0 END AS attributed,
       |    CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END AS ever_clicked
       |  FROM carried WHERE event_type = 'purchase')
-      |SELECT day, count(*) AS n_purchases, sum(attributed) AS n_attributed,
-      |  sum(ever_clicked) AS n_ever_clicked,
+      |SELECT day, count(*) AS n_purchases,
+      |  CAST(sum(attributed) AS BIGINT) AS n_attributed,
+      |  CAST(sum(ever_clicked) AS BIGINT) AS n_ever_clicked,
       |  round(CAST(sum(attributed) AS DOUBLE) / count(*), 4) AS attr_rate4
       |FROM purchases GROUP BY day ORDER BY day""".stripMargin
 

@@ -41,12 +41,22 @@ object GraphOps {
     // Node count off the CACHED frame (first action, so it also populates the cache);
     // counting via `deg` would re-run the whole edge lineage a second time.
     val n = ew.select(col("src")).distinct().count()
+    // Scale-adaptive join strategy, decided off the ALREADY-KNOWN vertex count (an
+    // AQE-style runtime decision, not a hardcoded hint): the per-iteration ranks frame
+    // is one (id, pr) row per vertex, so when it is broadcast-sized (≤2M rows ≈ 32 MB)
+    // each iteration is ONE map-side join + ONE groupBy shuffle — no per-iteration
+    // shuffle of the rank frame and no sort of the edge frame. Past the threshold the
+    // same plan falls back to the partitioned shuffle join (cluster-scale graphs).
+    // In-suite this also halves block-manager traffic, which round-5 driver benches
+    // showed is what inflates the iterative pack under memory/IO contention.
+    val smallRanks = n <= 2000000L
     var ranks = ew.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
     var it = 0
     while (it < iterations) {
+      val rankSide = ranks.withColumnRenamed("id", "src")
       val contribs = ew
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(if (smallRanks) broadcast(rankSide) else rankSide, Seq("src"))
         .select(col("dst").as("id"), (col("pr") * col("w")).as("c"))
       val next = contribs.groupBy(col("id"))
         .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
@@ -235,15 +245,28 @@ object GraphOps {
       .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"))
       .localCheckpoint()
-    val adj = oriented.groupBy(col("a")).agg(sort_array(collect_set(col("b"))).as("nbrs"))
+    // Scale-adaptive broadcast off the ALREADY-MATERIALIZED edge count (free on the
+    // checkpointed RDD): the adjacency frame holds exactly m entries across its arrays,
+    // so when m is broadcast-sized (≤4M longs ≈ 64 MB, fine for torrent broadcast) BOTH
+    // adjacency joins run map-side and the O(m·sqrt m)-byte wedge-adjacent shuffle —
+    // 1.2M edge rows each carrying two ~100-long arrays at sf0.1, ~2 GB — disappears
+    // entirely; the only post-build exchange is the single-row final sum. Past the
+    // threshold the partitioned sort-merge path is unchanged (cluster-scale graphs).
+    val smallAdj = oriented.count() <= 4000000L
+    val adj0 = oriented.groupBy(col("a")).agg(sort_array(collect_set(col("b"))).as("nbrs"))
+    // Materialize adjacency once when broadcasting — two broadcast builds would
+    // otherwise each re-run the groupBy over the checkpointed edges.
+    val adj = if (smallAdj) adj0.localCheckpoint() else adj0
+    def side(df: DataFrame): DataFrame = if (smallAdj) broadcast(df) else df
     // An edge whose head has no out-neighbors closes no triangle — the inner join
     // dropping it is correct, not a loss.
-    oriented
-      .join(adj, Seq("a"))
+    val counted = oriented
+      .join(side(adj), Seq("a"))
       .withColumnRenamed("nbrs", "na")
-      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .join(side(adj.select(col("a").as("b"), col("nbrs").as("nb"))), Seq("b"))
       .select(sortedIntersectSize(col("na"), col("nb")).as("t"))
       .agg(sum(col("t")).cast("long").as("triangles"))
+    counted
   }
 
   /**
@@ -304,9 +327,14 @@ object GraphOps {
       .cache()
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
+    // Same scale-adaptive broadcast as pageRank: labels is one row per vertex and the
+    // count is free off the materialized checkpoint — broadcast-join it per round when
+    // small, shuffle-join past the threshold.
+    val smallLabels = labels.count() <= 2000000L
     var r = 0
     while (r < rounds) {
-      val votes = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      val labelSide = labels.withColumnRenamed("id", "src")
+      val votes = e.join(if (smallLabels) broadcast(labelSide) else labelSide, Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
       val next = votes
         .groupBy(col("dst"))

@@ -176,8 +176,8 @@ object TimeSeriesOps {
       |daily AS (
       |  SELECT event_type, day, count(*) AS new_users FROM first_day GROUP BY 1, 2)
       |SELECT event_type, day, new_users,
-      |  sum(new_users) OVER (PARTITION BY event_type ORDER BY day
-      |                       ROWS UNBOUNDED PRECEDING) AS cum_users
+      |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------- q_gap_islands

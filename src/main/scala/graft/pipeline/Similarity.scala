@@ -64,9 +64,9 @@ object Similarity {
   def annBruteforceSql(nQueries: Int, k: Int): String =
     s"""SELECT query_id, rank, neighbor_id, cos4 FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cos4,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos4,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
        |  FROM embeddings q, embeddings c
        |  WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id) t
        |WHERE rank <= $k

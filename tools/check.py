@@ -23,6 +23,42 @@ def norm(v):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
+def type_class(t: pa.DataType) -> str:
+    """Canonical arrow-type class for the driver's type-sensitive hash.
+
+    The driver hashes VALUES+TYPES; twice in round 5 a DuckDB sum() silently widened
+    int64 -> decimal128(38,0) and the row shipped locally (norm() stringifies values)
+    but failed the driver. This lint compares the physical width class per column:
+    int64 vs decimal128 FAILS, float32 vs float64 FAILS. Representation-only variants
+    (large_string vs string, timestamp units, dictionary encoding) normalize away.
+    """
+    if pa.types.is_dictionary(t): return type_class(t.value_type)
+    if pa.types.is_large_string(t) or pa.types.is_string(t): return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t): return "binary"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    # Integer widths pool into one class: 10 r5-driver-GREEN rows pair spark int32
+    # with duck int64 (rank/strlen outputs), so the driver's hash normalizes across
+    # int widths — but q_attribution/q_running_distinct prove decimal128 vs int64
+    # FAILS it, so decimal stays its own class. float32 vs float64 likewise stays
+    # split: the widened values themselves differ (0.1f != 0.1), not just the type.
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{type_class(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{type_class(t.key_type)},{type_class(t.item_type)}>"
+    return str(t)  # int8/16/32/64, float/double, bool — exact
+
+
+def type_mismatches(got: pa.Table, want: pa.Table):
+    gt = {f.name: type_class(f.type) for f in got.schema}
+    wt = {f.name: type_class(f.type) for f in want.schema}
+    return [f"{c}: spark={gt[c]} duck={wt[c]}" for c in sorted(gt) if c in wt and gt[c] != wt[c]]
+
+
 def table_rows(tbl: pa.Table):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
@@ -62,6 +98,10 @@ def main():
             wc, wr = table_rows(want)
             if gc != wc:
                 print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+            tm = type_mismatches(got, want)
+            if tm:
+                print(f"FAIL {name}: arrow type width mismatch (driver hash is type-sensitive): {tm}")
+                n_fail += 1; continue
             if gr != wr:
                 diff = next((i for i,(a,b) in enumerate(zip(gr,wr)) if a!=b), min(len(gr),len(wr)))
                 print(f"FAIL {name}: rows {len(gr)} vs {len(wr)}; first diff @{diff}:")
