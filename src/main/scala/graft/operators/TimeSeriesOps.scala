@@ -40,8 +40,20 @@ object TimeSeriesOps {
    * Syy = Σ y², ȳ = S/n — every S an exact BIGINT aggregate.
    */
   def acfDaily(daily: DataFrame, maxLag: Int): DataFrame = {
+    // Densify each key's series over its min..max day range with cnt=0 first: lag(k)
+    // is ROW-based, so a missing calendar day (zero-count days are absent from the
+    // daily aggregate) would silently misalign the lag-k pairs and the statistic would
+    // no longer be the lag-k autocorrelation IN TIME. The calendar frame is
+    // |keys|x|days| rows — aggregate-grain, never event-grain.
+    val spans = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("event_type"),
+      explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = calendar.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val lagged = daily.select(
+    val lagged = dense.select(
       col("event_type") +: col("cnt") +:
         (1 to maxLag).map(k => lag(col("cnt"), k).over(w).as(s"l$k")): _*)
     val lagAggs = (1 to maxLag).flatMap { k =>
@@ -89,10 +101,23 @@ object TimeSeriesOps {
     s"""WITH daily AS (
        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
        |  FROM events GROUP BY 1, 2),
+       |spans AS (
+       |  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       |bounds AS (SELECT min(day) AS g0, max(day) AS g1 FROM daily),
+       |nums AS (SELECT row_number() OVER () - 1 AS i FROM events LIMIT 20000),
+       |all_days AS (
+       |  SELECT g0 + CAST(i AS INT) AS day FROM bounds, nums
+       |  WHERE g0 + CAST(i AS INT) <= g1),
+       |calendar AS (
+       |  SELECT s.event_type, a.day
+       |  FROM spans s JOIN all_days a ON a.day BETWEEN s.d0 AND s.d1),
+       |dense AS (
+       |  SELECT c.event_type, c.day, coalesce(cnt, 0) AS cnt
+       |  FROM calendar c LEFT JOIN daily USING (event_type, day)),
        |lagged AS (
        |  SELECT event_type, cnt,
        |$lagSel
-       |  FROM daily),
+       |  FROM dense),
        |moments AS (
        |  SELECT event_type, count(*) AS n, sum(cnt) AS s, sum(cnt*cnt) AS syy,
        |$lagAgg

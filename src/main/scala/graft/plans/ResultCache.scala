@@ -25,10 +25,36 @@ import org.apache.spark.sql.DataFrame
  */
 object ResultCache {
 
+  /**
+   * Cacheable = every leaf is a file-backed relation. A LocalRelation's ROWS are not
+   * part of any plan rendering (two in-memory frames with the same schema but different
+   * data print identically), and Range/streaming leaves have no file inventory either —
+   * for those the fingerprint would collide across distinct queries, so the cache
+   * BYPASSES them instead of risking a silently-wrong served answer.
+   */
+  def cacheable(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+
   /** Stable content key for `df`'s current plan over its current inputs. */
   def fingerprint(df: DataFrame): String = {
     val spark = df.sparkSession
-    val plan = df.queryExecution.analyzed.canonicalized.toString
+    // Lossless rendering: plan toString truncates attribute/expression lists past
+    // spark.sql.debug.maxToStringFields (default 25), so two wide projections
+    // differing only past the 25th field would otherwise share a key. Raise the
+    // limit for the duration of the render (SQLConf is thread-local-session scoped).
+    val key = "spark.sql.debug.maxToStringFields"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Int.MaxValue.toString)
+    val plan =
+      try df.queryExecution.analyzed.canonicalized.toString
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     val inventory = df.inputFiles.sorted.map { f =>
       val p = new Path(f)
@@ -40,17 +66,20 @@ object ResultCache {
   }
 
   /** True if `df`'s answer is already materialized under `cacheDir`. */
-  def isCached(df: DataFrame, cacheDir: String): Boolean = {
+  def isCached(df: DataFrame, cacheDir: String): Boolean = cacheable(df) && {
     val p = new Path(s"$cacheDir/${fingerprint(df)}/_SUCCESS")
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /**
    * Serve `df` from the cache, computing and materializing it on first sight.
-   * The returned frame always reads the materialized parquet — identical rows on
-   * hit and miss, so callers cannot observe which path ran.
+   * For cacheable (all-file-input) plans the returned frame always reads the
+   * materialized parquet — identical rows on hit and miss, so callers cannot observe
+   * which path ran. Non-cacheable plans (LocalRelation/Range leaves) pass through
+   * untouched: correctness first, caching only where the key is sound.
    */
   def run(df: DataFrame, cacheDir: String): DataFrame = {
+    if (!cacheable(df)) return df // non-file inputs: execute directly, never cache
     val spark = df.sparkSession
     val entry = s"$cacheDir/${fingerprint(df)}"
     val success = new Path(s"$entry/_SUCCESS")

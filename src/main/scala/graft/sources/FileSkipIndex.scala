@@ -114,12 +114,17 @@ object FileSkipIndex {
   }
 
   /** Files whose bloom mask contains every probe bit of `value` (driver-side over the
-    * KB-scale manifest; the same metadata step as any FileIndex). */
-  private def bloomCandidates(spark: SparkSession, path: String, value: Column)
-      : Array[String] = {
+    * KB-scale manifest; the same metadata step as any FileIndex). The probe is CAST to
+    * the stored key column's type before hashing: xxhash64 is type-sensitive
+    * (IntegerType and LongType hash differently), so an uncast lit(42) probed against a
+    * BIGINT key would miss every file and silently return zero rows — the same implicit
+    * coercion the final `col(keyCol) === value` filter performs must happen here. */
+  private def bloomCandidates(spark: SparkSession, path: String, keyCol: String,
+      value: Column): Array[String] = {
     import spark.implicits._
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
     // evaluate the k probe positions once, via the engine's own hash expression
-    val pos = spark.range(1).select(bitPositions(value): _*).head()
+    val pos = spark.range(1).select(bitPositions(value.cast(keyType)): _*).head()
     val probes = (0 until BloomK).map(i => pos.getInt(i))
     spark.read.parquet(bloomManifestPath(path))
       .as[(String, Map[Int, Long])]
@@ -135,7 +140,7 @@ object FileSkipIndex {
    */
   def readPointLookup(spark: SparkSession, path: String, keyCol: String, value: Column)
       : DataFrame = {
-    val keep = bloomCandidates(spark, path, value)
+    val keep = bloomCandidates(spark, path, keyCol, value)
     val base =
       if (keep.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
@@ -143,6 +148,7 @@ object FileSkipIndex {
   }
 
   /** Bloom-candidate file count for a probe value (for plan audits/specs). */
-  def bloomFilesTouched(spark: SparkSession, path: String, value: Column): Long =
-    bloomCandidates(spark, path, value).length.toLong
+  def bloomFilesTouched(spark: SparkSession, path: String, keyCol: String,
+      value: Column): Long =
+    bloomCandidates(spark, path, keyCol, value).length.toLong
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -7,28 +9,38 @@ import org.apache.spark.sql.functions._
 /**
  * Versioned snapshots with time travel, self-hosted on plain parquet — the
  * transaction-log core of Delta/Iceberg (`_delta_log` / snapshot metadata) reduced to
- * its essence: data files are APPEND-ONLY under `path/data/commit-<v>/`, and each
- * version's manifest (`path/_versions/v<v>.parquet`) lists exactly the data files
- * visible at that version. A reader pins a version by reading its KB-scale manifest
- * and scanning only those files; history is never rewritten, so `readVersion(n)`
- * returns byte-identical results forever (until an explicit vacuum, not provided —
- * retention policy is an operational choice, not engine semantics).
+ * its essence: data files are APPEND-ONLY under `path/data/`, and each version's
+ * manifest (`path/_versions/v<v>.txt`) lists exactly the data files visible at that
+ * version. A reader pins a version by reading its KB-scale manifest and scanning only
+ * those files; history is never rewritten, so `readVersion(n)` returns byte-identical
+ * results forever (until an explicit vacuum, not provided — retention policy is an
+ * operational choice, not engine semantics).
+ *
+ * The MANIFEST RENAME IS THE COMMIT POINT, and it is a compare-and-swap: the manifest
+ * is staged as a temp file and atomically renamed to `v<v>.txt` (rename-no-overwrite —
+ * the same primitive Delta's HDFS log store builds on). Two racing writers both stage;
+ * exactly one rename wins; the loser re-reads the new latest version, recomputes its
+ * carried file list, and retries at v+1. Crash at ANY point leaves either the previous
+ * version (staged data/temp manifest are unreferenced debris, never a wedge — data
+ * dirs are nonce-named so no future commit collides with them) or the complete new
+ * version. No locks, no wedged states.
  *
  * Commits supported:
- *  - `commitAppend(df)`   — new version = previous files + the new commit's files.
+ *  - `commitAppend(df)`    — new version = previous files + the new commit's files.
  *  - `commitOverwrite(df)` — new version = ONLY the new commit's files (logical
  *    replace; old files stay on disk so older versions keep working).
+ *  - `commitBatch(df, batchId)` — exactly-once streaming commit: the batch id is
+ *    recorded IN the manifest, so the commit and its dedup marker are one atomic
+ *    rename; a foreachBatch retry after any partial state is a no-op.
  *
  * Scale: a commit writes its own data files (distributed) plus one file-list
  * manifest (file-count-sized metadata, same class as Spark's FileIndex listing);
- * version resolution is one driver read of one manifest. Single-writer assumed —
- * the same discipline as the compaction tool; a real multi-writer deployment puts
- * a lock/CAS in front of the version counter exactly as Delta's log store does.
+ * version resolution is one driver read of one manifest.
  */
 object VersionedTable {
 
   private def versionsDir(path: String) = s"$path/_versions"
-  private def manifestPath(path: String, v: Long) = s"${versionsDir(path)}/v$v.parquet"
+  private def manifestPath(path: String, v: Long) = s"${versionsDir(path)}/v$v.txt"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -39,8 +51,8 @@ object VersionedTable {
     val f = fs(spark, path)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".parquet") =>
-        n.stripPrefix("v").stripSuffix(".parquet").toLong }
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
       .sorted
   }
 
@@ -56,39 +68,66 @@ object VersionedTable {
       .sorted
   }
 
-  private def writeCommit(df: DataFrame, path: String, carry: Seq[String]): Long = {
+  private case class Manifest(batchId: Option[Long], files: Seq[String])
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): Manifest = {
+    val p = new Path(manifestPath(path, v))
+    val in = fs(spark, path).open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val batchId = lines.headOption.filter(_.startsWith("#batch="))
+      .map(_.stripPrefix("#batch=").trim.toLong)
+    Manifest(batchId, lines.filterNot(_.startsWith("#")).filter(_.nonEmpty).sorted)
+  }
+
+  /**
+   * Stage data, then CAS-claim the next version by atomic manifest rename.
+   * `carry` = true appends to the (retry-current) previous version's file list.
+   */
+  private def writeCommit(df: DataFrame, path: String, carry: Boolean,
+      batchId: Option[Long]): Long = {
     val spark = df.sparkSession
-    val v = latestVersion(spark, path) + 1
-    val commitDir = s"$path/data/commit-$v"
-    df.write.mode("errorifexists").parquet(commitDir)
-    val files = carry ++ dataFiles(spark, commitDir)
-    import spark.implicits._
-    // data first, manifest last: a crash before the manifest write leaves the table
-    // at the previous version (the new files are unreferenced, not half-visible)
-    files.toDF("file").coalesce(1).write.mode("errorifexists")
-      .parquet(manifestPath(path, v))
-    v
+    val f = fs(spark, path)
+    // Nonce-named data dir: unreferenced until a manifest wins, never a collision
+    // target for any other writer or any future commit (debris cannot wedge).
+    val nonce = java.util.UUID.randomUUID.toString.take(12)
+    val commitDir = s"$path/data/c-$nonce"
+    df.write.mode("overwrite").parquet(commitDir)
+    val newFiles = dataFiles(spark, commitDir)
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(spark, path)
+      val v = prev + 1
+      val carried = if (carry && prev >= 0) readManifest(spark, path, prev).files
+        else Seq.empty[String]
+      val content = (batchId.map(b => s"#batch=$b").toSeq ++ carried ++ newFiles)
+        .mkString("", "\n", "\n")
+      val tmp = new Path(s"${versionsDir(path)}/.tmp-$nonce")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      // Atomic CAS: rename fails iff another writer claimed v<v>.txt first; the
+      // loser loops, re-reading the NEW latest so its carried list stays correct.
+      if (f.rename(tmp, new Path(manifestPath(path, v)))) return v
+      f.delete(tmp, false)
+      attempt += 1
+      require(attempt < 1000, s"commit CAS did not converge after $attempt attempts at $path")
+    }
+    -1L // unreachable
   }
 
   /** Append `df` as a new version; returns the new version number. */
-  def commitAppend(df: DataFrame, path: String): Long = {
-    val prev = latestVersion(df.sparkSession, path)
-    val carry = if (prev < 0) Seq.empty[String]
-      else manifestFiles(df.sparkSession, path, prev)
-    writeCommit(df, path, carry)
-  }
+  def commitAppend(df: DataFrame, path: String): Long =
+    writeCommit(df, path, carry = true, batchId = None)
 
   /** Logically replace the table contents with `df` as a new version. */
   def commitOverwrite(df: DataFrame, path: String): Long =
-    writeCommit(df, path, Seq.empty)
-
-  private def manifestFiles(spark: SparkSession, path: String, v: Long): Seq[String] =
-    spark.read.parquet(manifestPath(path, v)).collect().map(_.getString(0)).toSeq.sorted
+    writeCommit(df, path, carry = false, batchId = None)
 
   /** Read the table as of version `v` (time travel). */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     require(versions(spark, path).contains(v), s"version $v does not exist at $path")
-    val files = manifestFiles(spark, path, v)
+    val files = readManifest(spark, path, v).files
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
@@ -101,30 +140,36 @@ object VersionedTable {
    * Exactly-once streaming commit: append `batch` as a new version keyed by the
    * micro-batch id. foreachBatch re-delivers a batch after a crash BETWEEN the sink
    * write and the checkpoint commit; a blind commitAppend would then version the same
-   * data twice. The batch-id marker (written AFTER the manifest, checked first) makes
-   * the retry a no-op — the foreachBatch analog of Delta's txn/appId dedup. Returns
-   * the committed (or already-committed) version.
+   * data twice. The batch id is recorded IN the manifest, so commit + dedup marker
+   * are one atomic rename — a retry after ANY partial state finds the id and no-ops
+   * (the foreachBatch analog of Delta's txn/appId dedup). Batch ids are monotonic
+   * under foreachBatch, so the already-committed check walks versions newest-first
+   * and stops at the first batch-tagged manifest. Returns the committed (or
+   * already-committed) version.
    */
   def commitBatch(batch: DataFrame, path: String, batchId: Long): Long = {
     val spark = batch.sparkSession
-    val marker = new Path(s"$path/_versions/batch-$batchId.committed")
-    val f = fs(spark, path)
-    if (f.exists(marker)) {
-      val in = f.open(marker)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
-      return v
+    val vs = versions(spark, path).reverse
+    val it = vs.iterator
+    var found = -1L
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      readManifest(spark, path, v).batchId match {
+        case Some(b) if b == batchId => found = v; done = true
+        case Some(b) if b < batchId  => done = true // ids monotonic: not committed
+        case _                       => () // non-batch commit interleaved; keep looking
+      }
     }
-    val v = commitAppend(batch, path)
-    val out = f.create(marker, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    v
+    if (found >= 0) found
+    else writeCommit(batch, path, carry = true, batchId = Some(batchId))
   }
 
   /** (version, n_files, n_rows) per version — the DESCRIBE HISTORY analog. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     versions(spark, path).map { v =>
-      val files = manifestFiles(spark, path, v)
+      val files = readManifest(spark, path, v).files
       val rows = if (files.isEmpty) 0L else spark.read.parquet(files: _*).count()
       (v, files.length.toLong, rows)
     }.toDF("version", "n_files", "n_rows").orderBy(col("version"))

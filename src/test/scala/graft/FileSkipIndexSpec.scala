@@ -60,7 +60,7 @@ class FileSkipIndexSpec extends AnyFunSuite {
     val want = spark.read.parquet(dir).filter(col("h") === probe)
     assert(got.count() == want.count() && got.count() >= 1)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
-    val touched = FileSkipIndex.bloomFilesTouched(spark, dir, lit(probe))
+    val touched = FileSkipIndex.bloomFilesTouched(spark, dir, "h", lit(probe))
     assert(touched >= 1 && touched < 8,
       s"bloom should prune most of 8 files for a single key, touched=$touched")
     assert(got.inputFiles.length.toLong == touched)
@@ -76,7 +76,7 @@ class FileSkipIndexSpec extends AnyFunSuite {
     val touched = (1 to 50).map { i =>
       val v = lit(s"missing_$i")
       assert(FileSkipIndex.readPointLookup(spark, dir, "k", v).count() == 0)
-      FileSkipIndex.bloomFilesTouched(spark, dir, v)
+      FileSkipIndex.bloomFilesTouched(spark, dir, "k", v)
     }
     // n/file = 500, m = 8192, k = 5 -> fpp ~ 2e-3; allow generous slack
     assert(touched.sum.toDouble / touched.length < 1.0,
@@ -86,5 +86,17 @@ class FileSkipIndexSpec extends AnyFunSuite {
       assert(FileSkipIndex.readPointLookup(spark, dir, "k", lit(s"key_${i * 97}"))
         .count() == 1)
     }
+  }
+
+  test("bloom index: probe literal narrower than the stored key type still matches") {
+    // regression: xxhash64 is type-sensitive — an IntegerType lit(42) probed against
+    // a BIGINT key hashed differently than the manifest and silently returned 0 rows
+    val dir = Files.createTempDirectory("bloomskip3").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v") // id: BIGINT
+    FileSkipIndex.writeWithBloomManifest(df, dir, "id", numFiles = 8)
+    val got = FileSkipIndex.readPointLookup(spark, dir, "id", lit(42)) // INT literal
+    assert(got.count() == 1, "int probe against bigint key must still find the row")
+    assert(got.head().getString(1) == "v42")
   }
 }

@@ -57,4 +57,27 @@ class ResultCacheSpec extends AnyFunSuite {
     val v2 = ResultCache.run(q(), cache).head().getLong(0)
     assert(v2 == 20100L)
   }
+
+  test("in-memory (LocalRelation) frames bypass the cache — same schema, different rows") {
+    import spark.implicits._
+    val cache = tmp("rc4")
+    val a = Seq(1, 2, 3).toDF("id").agg(sum(col("id")).as("s"))
+    val b = Seq(10, 20).toDF("id").agg(sum(col("id")).as("s"))
+    assert(!ResultCache.cacheable(a) && !ResultCache.cacheable(b))
+    assert(!ResultCache.isCached(a, cache))
+    assert(ResultCache.run(a, cache).head().getLong(0) == 6L)
+    // b must NOT be served a's answer (pre-fix both hashed to the same key)
+    assert(ResultCache.run(b, cache).head().getLong(0) == 30L)
+    assert(!ResultCache.isCached(b, cache), "bypassed plans never claim cached")
+  }
+
+  test("wide projections differing past the 25th field get distinct fingerprints") {
+    val base = TableIO.lineitem(spark, sf).limit(10)
+    // 30 identical columns, then one differing column at position 31
+    val cols = (1 to 30).map(i => lit(i).as(s"c$i"))
+    val wide1 = base.select(cols :+ lit(1).as("tail"): _*)
+    val wide2 = base.select(cols :+ lit(2).as("tail"): _*)
+    assert(ResultCache.fingerprint(wide1) != ResultCache.fingerprint(wide2),
+      "plan rendering must not truncate at spark.sql.debug.maxToStringFields")
+  }
 }

@@ -91,12 +91,36 @@ class VersionedTableSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmp("vt4")
     VersionedTable.commitAppend((1 to 10).toDF("id"), dir)
-    // simulate a crash between data write and manifest write: orphan commit dir
-    (11 to 20).toDF("id").write.parquet(s"$dir/data/commit-99")
+    // simulate a crash between data write and manifest rename: orphan nonce data dir
+    // AND a stranded temp manifest — exactly the state a kill -9 mid-commit leaves
+    (11 to 20).toDF("id").write.parquet(s"$dir/data/c-deadbeef")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/_versions"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_versions/.tmp-deadbeef"), "half-written")
     assert(VersionedTable.latestVersion(spark, dir) == 0L)
     assert(VersionedTable.readLatest(spark, dir).count() == 10) // orphans invisible
-    // and the next real commit proceeds normally
+    // and the next real commit proceeds normally — debris can never wedge the table
     val v = VersionedTable.commitAppend((21 to 25).toDF("id"), dir)
     assert(v == 1 && VersionedTable.readLatest(spark, dir).count() == 15)
+    // a follow-up commit after the recovery commit also works (regression: the old
+    // layout wedged every commit after a crash at commit-(latest+1))
+    val v2 = VersionedTable.commitAppend((26 to 30).toDF("id"), dir)
+    assert(v2 == 2 && VersionedTable.readLatest(spark, dir).count() == 20)
+  }
+
+  test("concurrent writers: every commit wins a distinct version, no rows lost") {
+    import spark.implicits._
+    val dir = tmp("vt6")
+    val ranges = Seq(1 to 10, 11 to 20, 21 to 30, 31 to 40)
+    val threads = ranges.map { r =>
+      new Thread(() => { VersionedTable.commitAppend(r.toDF("id"), dir): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // four racers, four distinct versions, each a superset of the one before
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, dir)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 40))
+    val h = VersionedTable.history(spark, dir).collect().map(_.getLong(2)).toSeq
+    assert(h == Seq(10L, 20L, 30L, 40L), "each version carries all prior rows")
   }
 }
