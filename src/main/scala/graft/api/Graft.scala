@@ -484,6 +484,14 @@ object Graft {
     graft.pipeline.Multimodal.decodeVideoMetas(
       requireCols(media, "media", "doc_id", "payload")).toDF()
 
+  /** Real video FRAME decode for MJPEG-in-AVI (RIFF walk -> per-frame JPEG ->
+    * javax.imageio pixels): (doc_id, frame_idx, width, height, mean_luma) for every
+    * `everyNth`-th frame; zero-shuffle, non-AVI payloads dropped. Inter-coded codecs
+    * (H.264/VP9/AV1) are metadata-only by contract — use decodeVideoMetas. */
+  def decodeVideoFrames(media: DataFrame, everyNth: Int = 1): DataFrame =
+    graft.pipeline.Multimodal.decodeVideoFrames(
+      requireCols(media, "media", "doc_id", "payload"), everyNth).toDF()
+
   /** Read Arrow-IPC (`.arrow` / Feather v2) files: one file per task, schema from the
     * file footer. The reference's namesake source format. */
   def readArrow(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

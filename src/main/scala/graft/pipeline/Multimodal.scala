@@ -16,9 +16,12 @@ import graft.sources.TableIO
  * PNG/JPEG/GIF/BMP; decodeAudios: javax.sound.sampled, WAV/AIFF/AU — both spec-driven
  * with in-test-generated media). Video CONTAINER metadata is REAL too (decodeVideoMetas:
  * MP4 box walk + Matroska EBML walk for duration/dims/track-count — the fields curation
- * filters on); video FRAME decode stays a deterministic STUB (no codec in this
- * container). The registered driver query uses the stub throughout because the driver
- * corpus has no real media bytes; everything Spark-side — binary schema, batched
+ * filters on), and video FRAME decode is REAL for MJPEG-in-AVI (decodeVideoFrames:
+ * RIFF walk extracts each intra-coded frame's complete JPEG, javax.imageio decodes
+ * pixels — spec-driven with an in-test-assembled AVI). Inter-coded codecs (H.264/VP9/
+ * AV1) need an entropy/transform decoder stack and are out of scope BY CONTRACT —
+ * container metadata only. The registered driver query uses the deterministic fake
+ * throughout because the driver corpus has no real media bytes; everything Spark-side — binary schema, batched
  * partition processing, typed output schema, partitioning — is identical across kernels.
  *
  * Scale notes: mapPartitions keeps decode zero-shuffle (runs inside the scan stage);
@@ -313,6 +316,92 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => decodeVideoMeta(id, bytes) })
+  }
+
+  // ------------------------------------------------------------ video FRAME decode
+
+  /** Typed row for a decoded video frame: real pixel statistics, not metadata. */
+  case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_luma: Double)
+
+  /**
+   * REAL video FRAME decode for MJPEG-in-AVI — the one codec a pure-JVM environment
+   * can decode end-to-end: AVI is a RIFF tree whose `movi` LIST carries one complete
+   * JPEG per `##dc`/`##db` chunk (every MJPEG frame is intra-coded), and javax.imageio
+   * decodes JPEG natively. Walks the RIFF chunks and returns the raw JPEG payload of
+   * each stream-0 video frame in storage order. Inter-coded codecs (H.264/VP9/AV1)
+   * need a full entropy/transform decoder stack and remain out of scope BY CONTRACT —
+   * callers get container metadata for those via decodeVideoMetas.
+   */
+  private[graft] def aviMjpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    def u32le(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = new String(b, off, 4, "ISO-8859-1")
+        val sz = u32le(off + 4).toInt
+        val p = off + 8
+        if (sz < 0 || p + sz > end) return // malformed: keep what we have
+        if (id == "RIFF" || id == "LIST") walk(p + 4, p + sz) // skip the form fourcc
+        else if (id.length == 4 && id.startsWith("00") &&
+            (id.endsWith("dc") || id.endsWith("db")) && sz >= 2 &&
+            (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xd8) {
+          out += java.util.Arrays.copyOfRange(b, p, p + sz)
+        }
+        off = p + sz + (sz & 1) // chunks pad to even length
+      }
+    }
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      walk(0, b.length)
+    out.toSeq
+  }
+
+  /**
+   * Frame decode over an arbitrary (doc_id, payload) frame: every `everyNth`-th MJPEG
+   * frame of each AVI payload is JPEG-decoded to pixels and reduced to (dims, mean
+   * luma) — the per-frame signal a sampling/quality gate filters on. Same zero-shuffle
+   * mapPartitions discipline as the image/audio kernels: one task decodes its own
+   * payloads, nothing but the bounded per-frame feature rows ever enters an exchange
+   * (frames themselves — the 1000x heavier bytes — stay inside the task). Non-AVI /
+   * non-MJPEG payloads yield no rows (flatMap), matching the other decode kernels.
+   */
+  def decodeVideoFrames(media: DataFrame, everyNth: Int = 1): Dataset[VideoFrame] = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aviMjpegFrames(bytes).zipWithIndex
+          .collect { case (jpeg, idx) if idx % everyNth == 0 =>
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+              if (img == null) None
+              else {
+                var sum = 0.0
+                val w = img.getWidth; val h = img.getHeight
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                      0.114 * (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(VideoFrame(id, idx, w, h, sum / (w.toLong * h)))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }.flatten
+      })
   }
 
   /**

@@ -160,4 +160,69 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = Multimodal.decodeVideoMetas(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"video metadata should be shuffle-free:\n$plan")
   }
+
+  // ---- MJPEG-in-AVI: a genuine end-to-end frame decode fixture --------------------
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++ pad
+  }
+
+  private def riffList(form: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", form.getBytes("ISO-8859-1") ++ children)
+
+  /** Minimal structurally-valid AVI: RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00dc*)). */
+  private def aviMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = riffChunk("avih", le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ new Array[Byte](36))
+    val movi = riffList("movi", frames.map(riffChunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ riffList("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("real MJPEG frame decode: true pixels per frame, sampling, non-AVI drop") {
+    import spark.implicits._
+    // 6 frames ramping black -> white: mean luma must increase monotonically
+    val levels = Seq(0, 51, 102, 153, 204, 255)
+    val avi = aviMjpeg(levels.map(l => jpeg(48, 32, (l << 16) | (l << 8) | l)))
+    val media = Seq(
+      (1L, avi),
+      (2L, "not an avi at all".getBytes("UTF-8")),
+      (3L, avi.take(60)) // truncated container: best-effort, never throws
+    ).toDF("doc_id", "payload")
+
+    val all = Multimodal.decodeVideoFrames(media).collect()
+      .filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(all.length == 6, s"6 intra-coded frames expected, got ${all.length}")
+    assert(all.forall(f => f.width == 48 && f.height == 32), "true decoded dims")
+    // JPEG is lossy but monotone ramps survive: each frame measurably brighter
+    all.sliding(2).foreach { case Array(a, b) =>
+      assert(b.mean_luma > a.mean_luma + 20,
+        s"luma ramp must rise: ${a.mean_luma} -> ${b.mean_luma}")
+    }
+    assert(all.head.mean_luma < 20 && all.last.mean_luma > 235,
+      s"black/white endpoints: ${all.head.mean_luma} / ${all.last.mean_luma}")
+    assert(!Multimodal.decodeVideoFrames(media).collect().exists(_.doc_id == 2L))
+
+    // every-2nd sampling keeps frames 0, 2, 4 only
+    val sampled = Multimodal.decodeVideoFrames(media, everyNth = 2).collect()
+      .filter(_.doc_id == 1L).map(_.frame_idx).sorted
+    assert(sampled.toSeq == Seq(0, 2, 4))
+
+    // decode stays in the scan stage — frames never enter an exchange
+    val plan = Multimodal.decodeVideoFrames(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame decode should be shuffle-free:\n$plan")
+  }
 }
