@@ -55,7 +55,9 @@ object Bench {
     "dedup_segments", "dedup_spans", "text_perplexity", "sample_shuffle",
     "ann_quantized", "ann_rrf", "q_ds_rollup_topn", "q_ds_cumulative",
     "q_ds_reachability",
-    "q_triangles", "q_pagerank", "q_bfs")
+    "q_triangles", "q_pagerank", "q_bfs",
+    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+    "tpcds_q6", "tpcds_q51", "tpcds_q67", "tpcds_q74", "tpcds_q27", "tpcds_q68")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

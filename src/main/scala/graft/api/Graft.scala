@@ -698,6 +698,24 @@ object Graft {
   def cached(df: DataFrame, cacheDir: String): DataFrame =
     graft.plans.ResultCache.run(df, cacheDir)
 
+  /** Materialize an aggregate view of `basePath` and register it for AUTOMATIC query
+    * rewrite: later groupBy aggregates over the base whose group cols are a subset of
+    * `groupCols` and whose aggregates are derivable (sum/count(*)/min/max/avg over
+    * `valueCols`) transparently scan the view instead — freshness-checked per query,
+    * so a stale view can never answer. */
+  def createMaterializedView(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      mvPath: String, groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    graft.plans.MaterializedViews.create(spark, basePath, mvPath, groupCols, valueCols)
+
+  /** Re-materialize a registered view after base changes (re-enables its rewrite). */
+  def refreshMaterializedView(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Unit =
+    graft.plans.MaterializedViews.refresh(spark, basePath)
+
+  /** Stop rewriting onto the view registered for `basePath` (files are kept). */
+  def dropMaterializedView(basePath: String): Unit =
+    graft.plans.MaterializedViews.deregister(basePath)
+
   /** Column-level lineage of a frame: (out_col, src_table, src_col) rows traced
     * through the analyzed plan — driver-side metadata, plan-sized cost. */
   def lineage(df: DataFrame): DataFrame = graft.plans.Lineage.lineage(df)

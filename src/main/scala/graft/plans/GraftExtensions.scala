@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // plan-rewrite route: rank/row_number <= k filters run on the native pre-limit operator
     ext.injectOptimizerRule(_ => RankLimitRule)
+    // materialized-view route: derivable aggregates over registered bases are rewritten
+    // onto their (freshness-checked) pre-aggregated views
+    ext.injectOptimizerRule(_ => MaterializedViews.MvRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       FunctionRegistryBase.expressionInfo[CosineSimilarity]("cosine_similarity", None),
