@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coales
   Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average,
   Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
  * [[ResultCache]], enforced the same way (file-inventory comparison, driver-side,
  * metadata-class cost).
  *
- * Scope guards (bail -> no rewrite, never a wrong plan): no filter between the
- * aggregate and the scan, no distinct aggregates, no count(col), no decimal inputs
+ * Scope guards (bail -> no rewrite, never a wrong plan): a filter between the
+ * aggregate and the scan rewrites ONLY when it references group columns exclusively
+ * (value-uniform within a fine group, so filtering view rows filters exactly the
+ * same base rows); no distinct aggregates, no count(col), no decimal inputs
  * (partial-sum precision widening would change the result type), and the rewritten
  * plan's schema must equal the original's exactly — checked, not assumed.
  *
@@ -109,31 +111,42 @@ object MaterializedViews {
     * fresh materialized views. Injected via [[GraftExtensions]]. */
   object MvRewriteRule extends Rule[LogicalPlan] {
 
-    private def basePathOf(plan: LogicalPlan): Option[(String, LogicalPlan)] = {
-      val stripped = plan match {
-        case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) => child
-        case other => other
-      }
-      stripped match {
-        case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          fs.location.rootPaths.map(p => norm(p.toString)).distinct match {
-            case Seq(single) if registry.contains(single) => Some((single, lr))
-            case _ => None
-          }
-        case _ => None
-      }
+    private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(p => norm(p.toString)).distinct match {
+          case Seq(single) if registry.contains(single) => Some(single)
+          case _ => None
+        }
+      case _ => None
     }
+
+    private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[Attribute]) => stripProjects(c)
+      case o => o
+    }
+
+    /** Match `[Project?] [Filter?] [Project?] scan-of-registered-base`, returning the
+      * base path and the (optional) filter condition. A filter is rewritable only if
+      * it references GROUP columns exclusively — every row of a fine group shares
+      * those values, so filtering the view's group rows filters exactly the same base
+      * rows — and is deterministic. */
+    private def basePathOf(plan: LogicalPlan): Option[(String, Option[Expression])] =
+      stripProjects(plan) match {
+        case Filter(cond, c) => pathOf(stripProjects(c)).map(p => (p, Some(cond)))
+        case other => pathOf(other).map(p => (p, None))
+      }
 
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
       else plan.transformUp {
         case agg @ Aggregate(_, _, child, _) =>
-          basePathOf(child).flatMap { case (base, _) =>
-            tryRewrite(agg, base, registry(base))
+          basePathOf(child).flatMap { case (base, cond) =>
+            tryRewrite(agg, base, cond, registry(base))
           }.getOrElse(agg)
       }
 
-    private def tryRewrite(agg: Aggregate, basePath: String, d: MvDef): Option[Aggregate] = {
+    private def tryRewrite(agg: Aggregate, basePath: String, cond: Option[Expression],
+        d: MvDef): Option[Aggregate] = {
       val spark = SparkSession.active
       // grouping must be plain columns forming a subset of the view's group columns
       val groupAttrs = agg.groupingExpressions.map {
@@ -141,6 +154,11 @@ object MaterializedViews {
         case _ => return None
       }
       if (!groupAttrs.forall(a => d.groupCols.contains(a.name))) return None
+      // a filter must touch only group columns (value-uniform within a fine group)
+      cond.foreach { c =>
+        if (!c.deterministic) return None
+        if (!c.references.forall(a => d.groupCols.contains(a.name))) return None
+      }
       if (!fresh(spark, basePath, d)) return None // stale view must never answer
 
       val mvPlan = spark.read.parquet(d.mvPath).queryExecution.analyzed
@@ -181,7 +199,12 @@ object MaterializedViews {
         case None => return None // any non-derivable output bails the whole rewrite
       })
       val newGrouping = groupAttrs.map(a => mv(a.name))
-      val newAgg = Aggregate(newGrouping, newAggExprs, mvPlan, None)
+      val newChild = cond match {
+        case Some(c) =>
+          Filter(c.transform { case a: Attribute => mv(a.name) }, mvPlan)
+        case None => mvPlan
+      }
+      val newAgg = Aggregate(newGrouping, newAggExprs, newChild, None)
       // hard guard: the rewritten plan must expose the IDENTICAL schema
       val same = newAgg.schema.fields.map(f => (f.name, f.dataType))
         .sameElements(agg.schema.fields.map(f => (f.name, f.dataType)))

@@ -58,10 +58,20 @@ class MaterializedViewsSpec extends AnyFunSuite {
       val cd = spark.read.parquet(base).groupBy(col("g"))
         .agg(countDistinct(col("v_long")).as("d"))
       assert(cd.inputFiles.forall(_.contains("/base")), "distinct agg must NOT rewrite")
-      // a filter between aggregate and scan -> base scan
+      // a filter on a NON-group column -> base scan (not derivable from group rows)
       val filt = spark.read.parquet(base).filter(col("v_long") > 100)
         .groupBy(col("g")).agg(sum(col("v_long")).as("s"))
-      assert(filt.inputFiles.forall(_.contains("/base")), "filtered agg must NOT rewrite")
+      assert(filt.inputFiles.forall(_.contains("/base")), "value-col filter must NOT rewrite")
+      // a filter on GROUP columns IS derivable: it rewrites and matches the base
+      val gFilt = spark.read.parquet(base)
+        .filter(col("h") =!= "h0" && col("g").isin("g1", "g2", "g3"))
+        .groupBy(col("g")).agg(sum(col("v_long")).as("s"), count(lit(1)).as("n"))
+      assert(gFilt.inputFiles.forall(_.contains("/mv")), "group-col filter must rewrite")
+      val expectF = (1 to 3000).filter(i => i % 3 != 0 && Seq(1, 2, 3).contains(i % 7))
+        .groupBy(i => s"g${i % 7}")
+        .map { case (k, v) => k -> (v.map(_.toLong).sum, v.size.toLong) }
+      assert(gFilt.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap == expectF, "filtered rewrite must be value-identical to the base")
     } finally MaterializedViews.deregister(base)
   }
 
