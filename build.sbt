@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default logger strategy
+// wraps every forked-process line in "[info] ", which breaks line-oriented JSON
+// consumers of `runMain graft.Bench` (the emitted bench line must parse as-is).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,10 +104,9 @@ object TimeSeriesOps {
        |spans AS (
        |  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
        |bounds AS (SELECT min(day) AS g0, max(day) AS g1 FROM daily),
-       |nums AS (SELECT row_number() OVER () - 1 AS i FROM events LIMIT 20000),
        |all_days AS (
-       |  SELECT g0 + CAST(i AS INT) AS day FROM bounds, nums
-       |  WHERE g0 + CAST(i AS INT) <= g1),
+       |  SELECT CAST(unnest(generate_series(CAST(g0 AS TIMESTAMP),
+       |    CAST(g1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
        |calendar AS (
        |  SELECT s.event_type, a.day
        |  FROM spans s JOIN all_days a ON a.day BETWEEN s.d0 AND s.d1),

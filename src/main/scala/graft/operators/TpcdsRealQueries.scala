@@ -273,8 +273,10 @@ SELECT i_category, i_class, i_brand, i_item_id, d_year, d_qoy, d_moy, s_store_sk
 FROM (
   SELECT i_category, i_class, i_brand, i_item_id, d_year, d_qoy, d_moy, s_store_sk,
     sumsales,
-    rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC, i_class, i_brand,
-                 i_item_id, d_year, d_qoy, d_moy, s_store_sk) rk
+    rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC NULLS LAST,
+                 i_class NULLS FIRST, i_brand NULLS FIRST, i_item_id NULLS FIRST,
+                 d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+                 s_store_sk NULLS FIRST) rk
   FROM (
     SELECT i_category, i_class, i_brand, i_item_id, d_year, d_qoy, d_moy, s_store_sk,
       round(sum(coalesce(ss_sales_price * ss_quantity, 0)), 2) sumsales

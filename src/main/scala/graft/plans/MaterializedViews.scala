@@ -7,7 +7,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce,
-  Divide, Expression, Literal, NamedExpression}
+  Divide, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average,
   Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -19,26 +19,43 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 /**
  * Materialized aggregate views with AUTOMATIC query rewrite — the Calcite/BigQuery/
  * Snowflake MV behavior self-hosted on parquet and a Catalyst optimizer rule: a
- * registered view pre-aggregates (cnt, sum/min/max per value column) by its group
- * columns; any later `base.groupBy(G).agg(...)` whose G is a SUBSET of the view's
- * group columns and whose aggregates are derivable (sum = sum of partial sums,
- * count(*) = sum of partial counts, min/max = min/max of partials, avg = Σsum/Σcnt)
- * is rewritten to scan the KB-to-MB-scale view instead of the full base table —
- * transparently, preserving output names, exprIds and types exactly.
+ * registered view pre-aggregates (cnt, and per value column cnt_/sum_/min_/max_) by
+ * its group columns; any later `base.groupBy(G).agg(...)` whose G is a SUBSET of the
+ * view's group columns and whose aggregates are derivable (sum = sum of partial sums,
+ * count(*) = sum of partial counts, count(col) = sum of partial non-null counts,
+ * min/max = min/max of partials, avg = Σsum_col/Σcnt_col — the per-COLUMN non-null
+ * count, so NULL-bearing value columns average correctly) is rewritten to scan the
+ * KB-to-MB-scale view instead of the full base table — transparently, preserving
+ * output names, exprIds and types exactly.
  *
- * STALENESS IS A CORRECTNESS GATE, not advisory: the view records the base's max
- * (mtime, file count) at materialization; the rule re-checks that inventory before
- * every rewrite and silently falls back to the base scan when the base has changed.
- * A stale view can therefore never serve a wrong answer — the same contract as
- * [[ResultCache]], enforced the same way (file-inventory comparison, driver-side,
- * metadata-class cost).
+ * VALUE determinism caveat (the one place "exactly" is bit-qualified): rewriting
+ * `sum(double)`/`avg(double)` re-associates floating-point addition (partial sums are
+ * added in view-row order, not base-row order), so a rewritten double aggregate can
+ * differ from the base scan in the last ULP — the same contract every industrial MV
+ * engine ships. Integer/long aggregates are bit-identical; decimal inputs are
+ * excluded outright (partial-sum precision widening would change the result TYPE).
+ *
+ * STALENESS IS A CORRECTNESS GATE, not advisory: the view records the base's file
+ * inventory (count, max mtime, total bytes over a RECURSIVE listing — so
+ * hive-partitioned bases with files under `part=…/` subdirectories are stamped by
+ * their leaf data files, and appending a new partition changes the stamp) at
+ * materialization; the rule re-checks that inventory before every rewrite and
+ * silently falls back to the base scan when the base has changed. A stale view can
+ * therefore never serve a wrong answer — the same contract as [[ResultCache]],
+ * enforced the same way (file-inventory comparison, driver-side, metadata-class cost).
  *
  * Scope guards (bail -> no rewrite, never a wrong plan): a filter between the
  * aggregate and the scan rewrites ONLY when it references group columns exclusively
  * (value-uniform within a fine group, so filtering view rows filters exactly the
- * same base rows); no distinct aggregates, no count(col), no decimal inputs
- * (partial-sum precision widening would change the result type), and the rewritten
+ * same base rows); no distinct aggregates, no decimal inputs, and the rewritten
  * plan's schema must equal the original's exactly — checked, not assumed.
+ *
+ * REGISTRATIONS PERSIST: `create` writes the definition (base path, group/value
+ * columns) to `_mv_def` next to the view data; a NEW session re-enables the rewrite
+ * with `attach(spark, mvPath)` — one call, no re-materialization (the staleness gate
+ * still applies, so an attach over a changed base simply never rewrites until
+ * `refresh`). The in-memory registry itself is process-local by design: an optimizer
+ * rule consulting remote state on every plan would be a scale bug, not a feature.
  *
  * Scale: this is the 100 TB pattern where it matters most — a dashboard aggregate
  * over an append-mostly fact table runs against gigabytes of view instead of the
@@ -54,20 +71,45 @@ object MaterializedViews {
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  /** Base-table inventory stamp: (n files, max mtime, total bytes) — any append,
-    * overwrite or delete changes it. */
+  /** Base-table inventory stamp: (n files, max mtime, total bytes) over a RECURSIVE
+    * listing — any append, overwrite, delete, or new/changed PARTITION changes it.
+    * (A non-recursive listing would see only directories under a hive-partitioned
+    * root and stamp every state identically — defeating the staleness gate for
+    * exactly the layout a 100 TB fact table uses.) */
   private def stamp(spark: SparkSession, basePath: String): String = {
     val p = new Path(basePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.isFile).filter(_.getPath.getName.endsWith(".parquet"))
-    s"${files.length}:${files.map(_.getModificationTime).maxOption.getOrElse(0L)}:${files.map(_.getLen).sum}"
+    var n = 0L; var maxM = 0L; var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        n += 1
+        if (st.getModificationTime > maxM) maxM = st.getModificationTime
+        bytes += st.getLen
+      }
+    }
+    s"$n:$maxM:$bytes"
   }
 
   private def metaPath(mvPath: String) = new Path(s"$mvPath/_mv_meta")
+  private def defPath(mvPath: String) = new Path(s"$mvPath/_mv_def")
+
+  private def writeFile(spark: SparkSession, p: Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readFile(spark: SparkSession, p: Path): String = {
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
 
   /**
    * Materialize (or re-materialize) the view: one partial-aggregate pass over the base
-   * producing `cnt` + `sum_/min_/max_<col>` per group, then register it for rewrite.
+   * producing `cnt` + `cnt_/sum_/min_/max_<col>` per group, then register it for
+   * rewrite and persist the definition next to the view data.
    */
   def create(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], valueCols: Seq[String]): Unit = {
@@ -76,14 +118,24 @@ object MaterializedViews {
     registry.remove(norm(basePath))
     val base = spark.read.parquet(basePath)
     val aggs = count(lit(1)).as("cnt") +: valueCols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"), // per-column NON-NULL count: avg's true divisor
       sum(col(c)).as(s"sum_$c"), min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
-    val fs = metaPath(mvPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath(mvPath), true)
-    try out.write(stamp(spark, basePath).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeFile(spark, metaPath(mvPath), stamp(spark, basePath))
+    // persisted definition: one line per field, tab-joined column lists
+    writeFile(spark, defPath(mvPath), Seq(norm(basePath),
+      groupCols.mkString("\t"), valueCols.mkString("\t")).mkString("\n"))
     registry.put(norm(basePath), MvDef(mvPath, groupCols, valueCols))
+  }
+
+  /** Re-enable the rewrite in a NEW session from the definition [[create]] persisted
+    * at `mvPath` — no re-materialization; staleness is still re-checked per query. */
+  def attach(spark: SparkSession, mvPath: String): Unit = {
+    val lines = readFile(spark, defPath(mvPath)).split("\n", -1).toSeq
+    require(lines.length == 3, s"malformed _mv_def at $mvPath")
+    val split = (s: String) => if (s.isEmpty) Seq.empty[String] else s.split("\t").toSeq
+    registry.put(lines(0), MvDef(mvPath, split(lines(1)), split(lines(2)))): Unit
   }
 
   /** Alias of [[create]] — re-materializes after base changes. */
@@ -97,13 +149,8 @@ object MaterializedViews {
   def deregister(basePath: String): Unit = registry.remove(norm(basePath)): Unit
 
   private def fresh(spark: SparkSession, basePath: String, d: MvDef): Boolean =
-    try {
-      val fs = metaPath(d.mvPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(metaPath(d.mvPath))
-      val recorded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-      recorded == stamp(spark, basePath)
-    } catch { case scala.util.control.NonFatal(_) => false }
+    try readFile(spark, metaPath(d.mvPath)) == stamp(spark, basePath)
+    catch { case scala.util.control.NonFatal(_) => false }
 
   // ------------------------------------------------------------------ the rule
 
@@ -163,6 +210,8 @@ object MaterializedViews {
 
       val mvPlan = spark.read.parquet(d.mvPath).queryExecution.analyzed
       val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+      // older views (pre cnt_<col>) lack the avg/count(col) divisor columns; the
+      // attr lookup bails those rewrites rather than failing analysis
       def mv(name: String): Attribute = mvAttr(name)
       def reAgg(f: Expression): Expression = AggregateExpression(
         f.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction],
@@ -183,11 +232,21 @@ object MaterializedViews {
             case Count(Seq(Literal(1, _))) =>
               // count(*): sum of partial counts; Coalesce keeps the non-null type
               Some(Coalesce(Seq(reAgg(Sum(mv("cnt"))), Literal(0L))))
+            case Count(Seq(x: Attribute)) if d.valueCols.contains(x.name) &&
+                mvAttr.contains(s"cnt_${x.name}") =>
+              // count(col): sum of partial NON-NULL counts
+              Some(Coalesce(Seq(reAgg(Sum(mv(s"cnt_${x.name}"))), Literal(0L))))
             case Average(x: Attribute, _) if d.valueCols.contains(x.name) &&
-                al.dataType == DoubleType =>
-              Some(Divide(
-                Cast(reAgg(Sum(mv(s"sum_${x.name}"))), DoubleType),
-                Cast(reAgg(Sum(mv("cnt"))), DoubleType)))
+                al.dataType == DoubleType && mvAttr.contains(s"cnt_${x.name}") =>
+              // avg ignores NULLs: divide by the per-COLUMN non-null count, and
+              // return NULL (not 0/0 = NaN) for an all-NULL group, exactly as the
+              // base-scan Average does
+              val sumCnt = reAgg(Sum(mv(s"cnt_${x.name}")))
+              Some(If(EqualTo(Coalesce(Seq(sumCnt, Literal(0L))), Literal(0L)),
+                Literal(null, DoubleType),
+                Divide(
+                  Cast(reAgg(Sum(mv(s"sum_${x.name}"))), DoubleType),
+                  Cast(sumCnt, DoubleType))))
             case _ => None
           }
           rewritten.map(e => Alias(e, name)(exprId = al.exprId))

@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
  * results forever (until an explicit vacuum, not provided — retention policy is an
  * operational choice, not engine semantics).
  *
- * The MANIFEST RENAME IS THE COMMIT POINT, and it is a compare-and-swap: the manifest
- * is staged as a temp file and atomically renamed to `v<v>.txt` (rename-no-overwrite —
- * the same primitive Delta's HDFS log store builds on). Two racing writers both stage;
- * exactly one rename wins; the loser re-reads the new latest version, recomputes its
- * carried file list, and retries at v+1. Crash at ANY point leaves either the previous
+ * The MANIFEST CLAIM IS THE COMMIT POINT, and it is a compare-and-swap: the manifest
+ * is staged as a temp file and atomically claimed as `v<v>.txt` — a hard link on the
+ * local scheme (`link(2)` is atomic no-overwrite; POSIX rename REPLACES and cannot be
+ * a CAS), `FileContext.rename(…, Options.Rename.NONE)` elsewhere (the primitive
+ * Delta's HDFS log store builds on) — and then VERIFIED: the winner re-reads the
+ * claimed manifest and checks its own writer nonce, so even a non-atomic rename
+ * implementation cannot silently lose a committed version. Two racing writers both
+ * stage; exactly one claim survives verification; the loser re-reads the new latest
+ * version, recomputes its carried file list, and retries at v+1. Crash at ANY point
+ * leaves either the previous
  * version (staged data/temp manifest are unreferenced debris, never a wedge — data
  * dirs are nonce-named so no future commit collides with them) or the complete new
  * version. No locks, no wedged states.
@@ -68,7 +73,8 @@ object VersionedTable {
       .sorted
   }
 
-  private case class Manifest(batchId: Option[Long], files: Seq[String])
+  private case class Manifest(batchId: Option[Long], writer: Option[String],
+      files: Seq[String])
 
   private def readManifest(spark: SparkSession, path: String, v: Long): Manifest = {
     val p = new Path(manifestPath(path, v))
@@ -76,9 +82,44 @@ object VersionedTable {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val batchId = lines.headOption.filter(_.startsWith("#batch="))
+    val batchId = lines.find(_.startsWith("#batch="))
       .map(_.stripPrefix("#batch=").trim.toLong)
-    Manifest(batchId, lines.filterNot(_.startsWith("#")).filter(_.nonEmpty).sorted)
+    val writer = lines.find(_.startsWith("#writer=")).map(_.stripPrefix("#writer=").trim)
+    Manifest(batchId, writer, lines.filterNot(_.startsWith("#")).filter(_.nonEmpty).sorted)
+  }
+
+  /**
+   * Atomically claim `dst` with the staged manifest at `tmp` — rename-NO-OVERWRITE.
+   * Hadoop's `FileSystem.rename` is NOT that primitive on every implementation:
+   * LocalFileSystem delegates to POSIX rename(2), which silently REPLACES an existing
+   * destination — two racing writers could then both "win" the same version, the
+   * second overwriting (losing) the first's committed manifest. So:
+   *  - local scheme: claim via a HARD LINK (`link(2)` — atomic, fails EEXIST if dst
+   *    exists; the same trick mail spools have used for decades), then unlink tmp;
+   *  - other schemes: `FileContext.rename(src, dst, Options.Rename.NONE)` (what
+   *    Delta's HDFSLogStore builds on — atomic no-overwrite on HDFS), and the CALLER
+   *    verifies the winning manifest's writer nonce after the claim, closing the
+   *    residual check-then-rename window of any non-atomic implementation.
+   * Returns true iff the claim apparently succeeded (caller still nonce-verifies).
+   */
+  private def claim(spark: SparkSession, tmp: Path, dst: Path): Boolean = {
+    val f = fs(spark, dst.toString)
+    if (f.getUri.getScheme == "file") {
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, src); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(f.getUri,
+          spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch { case _: java.io.IOException => false }
+    }
   }
 
   /**
@@ -101,15 +142,21 @@ object VersionedTable {
       val v = prev + 1
       val carried = if (carry && prev >= 0) readManifest(spark, path, prev).files
         else Seq.empty[String]
-      val content = (batchId.map(b => s"#batch=$b").toSeq ++ carried ++ newFiles)
-        .mkString("", "\n", "\n")
+      val content = (batchId.map(b => s"#batch=$b").toSeq ++ Seq(s"#writer=$nonce") ++
+        carried ++ newFiles).mkString("", "\n", "\n")
       val tmp = new Path(s"${versionsDir(path)}/.tmp-$nonce")
       val out = f.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      // Atomic CAS: rename fails iff another writer claimed v<v>.txt first; the
+      // Atomic CAS: the claim fails iff another writer took v<v>.txt first; the
       // loser loops, re-reading the NEW latest so its carried list stays correct.
-      if (f.rename(tmp, new Path(manifestPath(path, v)))) return v
+      // Belt + suspenders: even after an apparently-won claim, re-read the winning
+      // manifest and verify OUR writer nonce is in it — a non-atomic FS whose rename
+      // overwrote a racer (or was overwritten by one) is detected here and retried,
+      // never silently dropped.
+      val won = claim(spark, tmp, new Path(manifestPath(path, v))) &&
+        readManifest(spark, path, v).writer.contains(nonce)
       f.delete(tmp, false)
+      if (won) return v
       attempt += 1
       require(attempt < 1000, s"commit CAS did not converge after $attempt attempts at $path")
     }

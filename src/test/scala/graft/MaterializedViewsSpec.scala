@@ -75,6 +75,73 @@ class MaterializedViewsSpec extends AnyFunSuite {
     } finally MaterializedViews.deregister(base)
   }
 
+  test("PARTITIONED base staleness: appending a new partition disables the rewrite") {
+    import spark.implicits._
+    val root = tmp("mvp"); val base = s"$root/base"; val mv = s"$root/mv"
+    // hive-partitioned layout: data files live under month=…/ subdirectories, the
+    // base root holds only directories — the exact layout a 100 TB fact table uses
+    (1 to 2000).map(i => (s"g${i % 7}", i.toLong, s"m${i % 4}"))
+      .toDF("g", "v_long", "month")
+      .write.mode("overwrite").partitionBy("month").parquet(base)
+    MaterializedViews.create(spark, base, mv, Seq("g"), Seq("v_long"))
+    try {
+      def q() = spark.read.parquet(base).groupBy(col("g")).agg(sum(col("v_long")).as("s"))
+      assert(q().inputFiles.forall(_.contains("/mv")), "fresh partitioned base must rewrite")
+      val before = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Thread.sleep(1100)
+      // append a brand-NEW partition (month=m9): only a recursive stamp can see it
+      Seq(("g0", 1000000L, "m9")).toDF("g", "v_long", "month")
+        .write.mode("append").partitionBy("month").parquet(base)
+      assert(q().inputFiles.forall(_.contains("/base")),
+        "a new partition must disable the rewrite (stale view must never answer)")
+      val after = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after("g0") == before("g0") + 1000000L, "fallback answer must see the new partition")
+      MaterializedViews.refresh(spark, base)
+      assert(q().inputFiles.forall(_.contains("/mv")), "refresh re-enables the rewrite")
+      assert(q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == after)
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("avg over a NULL-bearing column divides by the non-null count; count(col) derivable") {
+    import spark.implicits._
+    val root = tmp("mvn"); val base = s"$root/base"; val mv = s"$root/mv"
+    // v is NULL for every third row; group g2 is ALL-NULL (avg must stay NULL, not NaN)
+    (1 to 3000).map { i =>
+      val g = s"g${i % 5}"
+      val v: Option[Double] = if (g == "g2" || i % 3 == 0) None else Some(i.toDouble)
+      (g, v)
+    }.toDF("g", "v").write.mode("overwrite").parquet(base)
+    def q() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(avg(col("v")).as("a"), count(col("v")).as("nn"), count(lit(1)).as("n"))
+    val expect = q().collect().map(r =>
+      r.getString(0) -> (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    MaterializedViews.create(spark, base, mv, Seq("g"), Seq("v"))
+    try {
+      val rw = q()
+      assert(rw.inputFiles.forall(_.contains("/mv")), "avg/count(col) must rewrite")
+      val got = rw.collect().map(r =>
+        r.getString(0) -> (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expect,
+        s"NULL-aware avg/count must match the base scan exactly: $got vs $expect")
+      assert(got("g2")._1.isEmpty, "all-NULL group's avg must be NULL, not NaN")
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("attach re-enables the rewrite in a fresh session from the persisted _mv_def") {
+    val root = tmp("mva"); val base = s"$root/base"; val mv = s"$root/mv"
+    mkBase(base, 2000)
+    MaterializedViews.create(spark, base, mv, Seq("g"), Seq("v_long"))
+    def q() = spark.read.parquet(base).groupBy(col("g")).agg(sum(col("v_long")).as("s"))
+    val expect = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    MaterializedViews.deregister(base) // simulate a brand-new session: empty registry
+    assert(q().inputFiles.forall(_.contains("/base")), "deregistered -> base scan")
+    MaterializedViews.attach(spark, mv)
+    try {
+      assert(q().inputFiles.forall(_.contains("/mv")), "attach must restore the rewrite")
+      assert(q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    } finally MaterializedViews.deregister(base)
+  }
+
   test("stale view never answers: base change disables the rewrite until refresh") {
     import spark.implicits._
     val root = tmp("mv3"); val base = s"$root/base"; val mv = s"$root/mv"

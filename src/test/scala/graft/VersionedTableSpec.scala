@@ -123,4 +123,24 @@ class VersionedTableSpec extends AnyFunSuite {
     val h = VersionedTable.history(spark, dir).collect().map(_.getLong(2)).toSeq
     assert(h == Seq(10L, 20L, 30L, 40L), "each version carries all prior rows")
   }
+
+  test("CAS stress: 12 racers all aiming at the SAME version number, none lost") {
+    import spark.implicits._
+    val dir = tmp("vt7")
+    VersionedTable.commitAppend(Seq(0).toDF("id"), dir) // v0 exists for all racers
+    // Pre-stage nothing; release all racers at once so most of them compute the same
+    // target version and collide on the claim — the local-FS overwrite-rename hazard.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 12).map { i =>
+      new Thread(() => {
+        gate.await()
+        VersionedTable.commitAppend(Seq(i * 100).toDF("id"), dir): Unit
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(VersionedTable.versions(spark, dir) == (0L to 12L),
+      "12 racers => exactly versions 1..12, no gaps, no lost commits")
+    assert(VersionedTable.readLatest(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+      == (0 +: (1 to 12).map(_ * 100)).sorted, "every racer's rows survive")
+  }
 }
