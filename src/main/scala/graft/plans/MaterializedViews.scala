@@ -75,7 +75,31 @@ object MaterializedViews {
     * listing — any append, overwrite, delete, or new/changed PARTITION changes it.
     * (A non-recursive listing would see only directories under a hive-partitioned
     * root and stamp every state identically — defeating the staleness gate for
-    * exactly the layout a 100 TB fact table uses.) */
+    * exactly the layout a 100 TB fact table uses.)
+    *
+    * Cost control: the listing is O(files in the base) per call. By default every
+    * rewrite decision re-lists (strict freshness). On a very large base set
+    * `spark.graft.mv.stampTtlMs` to a small positive value to reuse a stamp for that
+    * many milliseconds — bounded staleness ≤ TTL, the standard trade metadata caches
+    * make; [[create]]/[[refresh]] invalidate the cache for their base uncondition-
+    * ally, so the engine's own re-materializations are always seen immediately. */
+  private val stampCache = TrieMap.empty[String, (Long, String)]
+
+  private def cachedStamp(spark: SparkSession, basePath: String): String = {
+    val ttl = spark.conf.getOption("spark.graft.mv.stampTtlMs").map(_.toLong).getOrElse(0L)
+    if (ttl <= 0L) stamp(spark, basePath)
+    else {
+      val now = System.currentTimeMillis()
+      stampCache.get(basePath) match {
+        case Some((at, s)) if now - at < ttl => s
+        case _ =>
+          val s = stamp(spark, basePath)
+          stampCache.put(basePath, (now, s))
+          s
+      }
+    }
+  }
+
   private def stamp(spark: SparkSession, basePath: String): String = {
     val p = new Path(basePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,6 +150,7 @@ object MaterializedViews {
     // persisted definition: one line per field, tab-joined column lists
     writeFile(spark, defPath(mvPath), Seq(norm(basePath),
       groupCols.mkString("\t"), valueCols.mkString("\t")).mkString("\n"))
+    stampCache.remove(norm(basePath))
     registry.put(norm(basePath), MvDef(mvPath, groupCols, valueCols))
   }
 
@@ -149,7 +174,7 @@ object MaterializedViews {
   def deregister(basePath: String): Unit = registry.remove(norm(basePath)): Unit
 
   private def fresh(spark: SparkSession, basePath: String, d: MvDef): Boolean =
-    try readFile(spark, metaPath(d.mvPath)) == stamp(spark, basePath)
+    try readFile(spark, metaPath(d.mvPath)) == cachedStamp(spark, basePath)
     catch { case scala.util.control.NonFatal(_) => false }
 
   // ------------------------------------------------------------------ the rule
@@ -188,7 +213,12 @@ object MaterializedViews {
       else plan.transformUp {
         case agg @ Aggregate(_, _, child, _) =>
           basePathOf(child).flatMap { case (base, cond) =>
-            tryRewrite(agg, base, cond, registry(base))
+            // Bail, never a wrong plan OR a broken one: any defect in the view's
+            // on-disk state (data deleted under a surviving _mv_meta, an attach()ed
+            // _mv_def whose columns disagree with the actual view schema) must fall
+            // back to the base scan, not fail the user's query inside the optimizer.
+            try tryRewrite(agg, base, cond, registry(base))
+            catch { case scala.util.control.NonFatal(_) => None }
           }.getOrElse(agg)
       }
 

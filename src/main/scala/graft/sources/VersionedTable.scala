@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
  * is staged as a temp file and atomically claimed as `v<v>.txt` — a hard link on the
  * local scheme (`link(2)` is atomic no-overwrite; POSIX rename REPLACES and cannot be
  * a CAS), `FileContext.rename(…, Options.Rename.NONE)` elsewhere (the primitive
- * Delta's HDFS log store builds on) — and then VERIFIED: the winner re-reads the
- * claimed manifest and checks its own writer nonce, so even a non-atomic rename
- * implementation cannot silently lose a committed version. Two racing writers both
- * stage; exactly one claim survives verification; the loser re-reads the new latest
- * version, recomputes its carried file list, and retries at v+1. Crash at ANY point
- * leaves either the previous
+ * Delta's HDFS log store builds on) — and then VERIFIED symmetrically: every writer
+ * re-reads the claimed manifest and trusts the nonce found there over the rename's
+ * return value (a retried rename RPC can report failure after committing; a racer's
+ * report of success can be stale). SAFETY RESTS ON THE CLAIM PRIMITIVE BEING ATOMIC
+ * NO-OVERWRITE — `link(2)` on `file:`, `Rename.NONE` on HDFS; those two schemes are
+ * the supported ones. On a scheme whose rename can overwrite (e.g. raw object-store
+ * renames), verification narrows but does not close the race window (an overwriting
+ * rename can land after the verification read), as with Delta's non-S3 log stores.
+ * Two racing writers both stage; exactly one claim survives verification; the loser
+ * re-reads the new latest version, recomputes its carried file list, and retries at
+ * v+1. Crash at ANY point leaves either the previous
  * version (staged data/temp manifest are unreferenced debris, never a wedge — data
  * dirs are nonce-named so no future commit collides with them) or the complete new
  * version. No locks, no wedged states.
@@ -149,11 +154,15 @@ object VersionedTable {
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
       // Atomic CAS: the claim fails iff another writer took v<v>.txt first; the
       // loser loops, re-reading the NEW latest so its carried list stays correct.
-      // Belt + suspenders: even after an apparently-won claim, re-read the winning
-      // manifest and verify OUR writer nonce is in it — a non-atomic FS whose rename
-      // overwrote a racer (or was overwritten by one) is detected here and retried,
-      // never silently dropped.
-      val won = claim(spark, tmp, new Path(manifestPath(path, v))) &&
+      // Nonce verification is SYMMETRIC (the Delta HDFSLogStore FileAlreadyExists
+      // recovery): whatever `claim` returned, the truth is whose nonce sits in the
+      // claimed manifest. An apparent WIN with a foreign nonce means a non-atomic
+      // rename overwrote us → retry. An apparent LOSS with OUR nonce means a retried
+      // rename RPC threw after the first attempt actually committed (HDFS can do
+      // this) → treat as won; retrying at v+1 would list our own newFiles twice via
+      // the carried list (duplicate rows).
+      claim(spark, tmp, new Path(manifestPath(path, v)))
+      val won = f.exists(new Path(manifestPath(path, v))) &&
         readManifest(spark, path, v).writer.contains(nonce)
       f.delete(tmp, false)
       if (won) return v

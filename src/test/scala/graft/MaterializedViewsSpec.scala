@@ -142,6 +142,56 @@ class MaterializedViewsSpec extends AnyFunSuite {
     } finally MaterializedViews.deregister(base)
   }
 
+  test("corrupt view state falls back to the base scan instead of failing the query") {
+    val root = tmp("mvc"); val base = s"$root/base"; val mv = s"$root/mv"
+    mkBase(base, 1500)
+    MaterializedViews.create(spark, base, mv, Seq("g"), Seq("v_long"))
+    def q() = spark.read.parquet(base).groupBy(col("g")).agg(sum(col("v_long")).as("s"))
+    val expect = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      assert(q().inputFiles.forall(_.contains("/mv")))
+      // delete the view's DATA but leave _mv_meta/_mv_def: fresh() still says yes,
+      // the view read then blows up — the rule must swallow it and use the base
+      new java.io.File(mv).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete()))
+      val fallback = q()
+      assert(fallback.inputFiles.forall(_.contains("/base")),
+        "a view whose data vanished must fall back to the base scan, not throw")
+      assert(fallback.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("stamp TTL bounds listing cost; create/refresh invalidate their base's cache") {
+    import spark.implicits._
+    val root = tmp("mvt"); val base = s"$root/base"; val mv = s"$root/mv"
+    mkBase(base, 1000)
+    spark.conf.set("spark.graft.mv.stampTtlMs", "600000")
+    MaterializedViews.create(spark, base, mv, Seq("g"), Seq("v_long"))
+    def q() = spark.read.parquet(base).groupBy(col("g")).agg(sum(col("v_long")).as("s"))
+    try {
+      assert(q().inputFiles.forall(_.contains("/mv")), "fresh view rewrites under TTL")
+      val before = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Thread.sleep(1100)
+      (1 to 100).map(i => (s"g${i % 7}", "hX", 5000000L + i, 0.0))
+        .toDF("g", "h", "v_long", "v_dbl").write.mode("append").parquet(base)
+      // within the TTL the cached stamp still matches: BOUNDED staleness by contract
+      assert(q().inputFiles.forall(_.contains("/mv")),
+        "within the TTL the cached stamp is reused (documented bounded staleness)")
+      assert(q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == before)
+      // refresh re-materializes AND invalidates the cache: answers are current again
+      MaterializedViews.refresh(spark, base)
+      val after = q()
+      assert(after.inputFiles.forall(_.contains("/mv")))
+      val got = after.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got != before && got.values.sum == before.values.sum
+        + (1 to 100).map(_ + 5000000L).sum,
+        "post-refresh rewrite must include the appended rows")
+    } finally {
+      spark.conf.unset("spark.graft.mv.stampTtlMs")
+      MaterializedViews.deregister(base)
+    }
+  }
+
   test("stale view never answers: base change disables the rewrite until refresh") {
     import spark.implicits._
     val root = tmp("mv3"); val base = s"$root/base"; val mv = s"$root/mv"
