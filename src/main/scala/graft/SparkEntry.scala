@@ -15,6 +15,7 @@ object SparkEntry {
       operators.PartsuppQueries.all ++
       operators.TpcdsShapedQueries.all ++
       operators.TpcdsRealQueries.all ++
+      operators.SsbQueries.all ++
       operators.RelationalOps.all ++
       operators.MergeOps.all ++
       operators.TemporalOps.all ++
@@ -51,6 +52,7 @@ object SparkEntry {
       operators.PartsuppQueries.oracles ++
       operators.TpcdsShapedQueries.oracles ++
       operators.TpcdsRealQueries.oracles ++
+      operators.SsbQueries.oracles ++
       operators.RelationalOps.oracles ++
       operators.MergeOps.oracles ++
       operators.TemporalOps.oracles ++

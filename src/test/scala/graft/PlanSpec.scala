@@ -189,4 +189,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
     assert(plan.contains("LeftSemi"), s"reachability probes must be semi joins:\n$plan")
   }
+
+  test("ssb_q4_1: star join broadcasts every dimension, fact never re-shuffles for dims") {
+    // SSB's whole point is the star shape: one fact table, four small dims. At 100 TB
+    // the only viable plan keeps lineorder streaming through BHJs — a sort-merge join
+    // against any dim would shuffle the full fact once per dim.
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==" (which still holds
+    // the cost-based SMJs AQE replaced); judge only the final plan section.
+    val plan = executedPlan(SparkEntry.queries("ssb_q4_1")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast star join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no dim join may sort-merge the fact table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("partial"), s"final agg must map-side combine:\n$plan")
+  }
 }
