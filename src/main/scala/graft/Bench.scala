@@ -57,7 +57,18 @@ object Bench {
     "q_ds_reachability",
     "q_triangles", "q_pagerank", "q_bfs",
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
-    "tpcds_q6", "tpcds_q51", "tpcds_q67", "tpcds_q74", "tpcds_q27", "tpcds_q68")
+    "tpcds_q6", "tpcds_q51", "tpcds_q67", "tpcds_q74", "tpcds_q27", "tpcds_q68",
+    "tpcds_q10", "tpcds_q43", "tpcds_q46", "tpcds_q53", "tpcds_q59", "tpcds_q63",
+    "tpcds_q65", "tpcds_q89", "tpcds_ss_max",
+    "tpcds_q1", "tpcds_q2", "tpcds_q9", "tpcds_q21", "tpcds_q25", "tpcds_q29",
+    "tpcds_q31", "tpcds_q37", "tpcds_q50", "tpcds_q82", "tpcds_q88", "tpcds_q93",
+    "tpcds_q97",
+    "tpcds_q13", "tpcds_q15", "tpcds_q20", "tpcds_q22", "tpcds_q32", "tpcds_q45",
+    "tpcds_q48", "tpcds_q58", "tpcds_q69", "tpcds_q86", "tpcds_q87", "tpcds_q96",
+    "tpcds_q5", "tpcds_q26", "tpcds_q30", "tpcds_q33", "tpcds_q40", "tpcds_q56",
+    "tpcds_q60", "tpcds_q61", "tpcds_q71", "tpcds_q77", "tpcds_q78", "tpcds_q80",
+    "tpcds_q81", "tpcds_q83", "tpcds_q85", "tpcds_q91", "tpcds_q92",
+    "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1", "ssb_q4_2", "ssb_q4_3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,10 +12,21 @@ import graft.sources.TableIO
  * DS query at. This object closes that: a deterministic DS star schema is derived from
  * the driver tables as views (store_sales/web_sales from lineitem x orders, date_dim a
  * generated calendar, item/customer/customer_address/demographics/store from the dims),
- * and 18 genuine TPC-DS query bodies (q3, q6, q7, q12, q19, q27, q34, q36, q42, q51,
- * q52, q55, q67, q68, q73, q74, q79, q98) run UNMODIFIED except for documented
- * parameter fits to this data's domains plus the repo's standard round-at-the-edge
- * hash discipline.
+ * and 69 genuine TPC-DS query bodies run UNMODIFIED except for documented parameter
+ * fits to this data's domains plus the repo's standard round-at-the-edge hash
+ * discipline: the full 21-query store-channel "modifiedQueries" subset the reference
+ * actually drives (q3, q7, q10, q19, q27, q34, q42, q43, q46, q52, q53, q55, q59,
+ * q63, q65, q68, q73, q79, q89, q98, ss_max), plus q6, q12, q36, q51, q67, q74 from
+ * the full set, plus the returns/inventory/time_dim tranche (q1, q2, q9, q21, q25,
+ * q29, q31, q37, q50, q82, q88, q93, q97) over store_returns (the lineitem
+ * l_returnflag='R' slice of the store channel), a generated weekly
+ * part x warehouse inventory grid, and a generated 86400-second time_dim, plus a
+ * twelve-query breadth tranche over the existing views (q13, q15, q20, q22, q32,
+ * q45, q48, q58, q69, q86, q87, q96), plus a seventeen-query catalog/web returns
+ * tranche (q5, q26, q30, q33, q40, q56, q60, q61, q71, q77, q78, q80, q81, q83,
+ * q85, q91, q92) over catalog_returns/web_returns (the catalog/web slices'
+ * l_returnflag='R' rows) and small generated web_page/call_center/catalog_page/
+ * web_site dims.
  *
  * Money columns in the synthetic fact views are QUANTIZED to whole currency units
  * (floor(x+0.5), engine-identical including at .5): every money sum is then an exact
@@ -46,6 +57,9 @@ object TpcdsRealQueries {
     val series =
       if (spark) "(SELECT explode(sequence(DATE '1995-01-01', DATE '2002-12-31')) AS d) t"
       else "generate_series(DATE '1995-01-01', DATE '2002-12-31', INTERVAL 1 DAY) t(d)"
+    val timeSeries =
+      if (spark) "(SELECT explode(sequence(0, 86399)) AS t) tt"
+      else "generate_series(0, 86399) tt(t)"
     s"""WITH date_dim AS (
        |  SELECT ${days("d")} AS d_date_sk, CAST(d AS DATE) AS d_date,
        |    CAST(extract(year FROM d) AS INT) AS d_year, CAST(extract(month FROM d) AS INT) AS d_moy,
@@ -63,6 +77,8 @@ object TpcdsRealQueries {
        |    CAST(p_partkey % 50 AS INT) AS i_brand_id, p_brand AS i_brand,
        |    p_name AS i_class, p_type AS i_category, p_name AS i_item_desc,
        |    CAST(p_partkey % 100 AS INT) AS i_manufact_id,
+       |    'PROD' || CAST(p_partkey AS $str) AS i_product_name,
+       |    substr(p_name, 1, instr(p_name, ' ') - 1) AS i_color,
        |    CAST(p_partkey % 100 AS INT) AS i_manager_id,
        |    CAST(floor(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * (100 + p_partkey % 200) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS i_current_price,
        |    CAST(floor(p_retailprice * 0.7 + 0.5) AS DOUBLE) AS i_wholesale_cost
@@ -70,7 +86,18 @@ object TpcdsRealQueries {
        |customer_ds AS (
        |  SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,
        |    c_name AS c_first_name, 'LN' || CAST(c_custkey % 997 AS $str) AS c_last_name,
-       |    c_custkey AS c_current_addr_sk, c_custkey AS c_current_cdemo_sk
+       |    c_custkey AS c_current_addr_sk, c_custkey AS c_current_cdemo_sk,
+       |    c_custkey AS c_current_hdemo_sk,
+       |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Ms.'
+       |         WHEN 2 THEN 'Dr.' ELSE 'Miss' END AS c_salutation,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+       |    CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+       |    CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+       |    CAST(1930 + c_custkey % 60 AS INT) AS c_birth_year,
+       |    'COUNTRY' || CAST(c_custkey % 20 AS $str) AS c_birth_country,
+       |    'login' || CAST(c_custkey AS $str) AS c_login,
+       |    'c' || CAST(c_custkey AS $str) || '@example.com' AS c_email_address,
+       |    CAST(2450000 + c_custkey % 1000 AS INT) AS c_last_review_date
        |  FROM customer),
        |customer_address AS (
        |  SELECT c_custkey AS ca_address_sk,
@@ -78,6 +105,14 @@ object TpcdsRealQueries {
        |    'CTY' || CAST(c_custkey % 30 AS $str) AS ca_county,
        |    'CITY' || CAST(c_custkey % 100 AS $str) AS ca_city,
        |    lpad(CAST(10000 + (c_custkey * 7) % 90000 AS $str), 5, '0') AS ca_zip,
+       |    'United States' AS ca_country,
+       |    CAST(100 + c_custkey % 900 AS $str) AS ca_street_number,
+       |    'Street' || CAST(c_custkey % 7 AS $str) AS ca_street_name,
+       |    CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Ave' WHEN 1 THEN 'Blvd'
+       |         ELSE 'Way' END AS ca_street_type,
+       |    'Suite ' || CAST(c_custkey % 50 AS $str) AS ca_suite_number,
+       |    CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+       |         ELSE 'single family' END AS ca_location_type,
        |    CAST(-5 - (c_custkey % 3) AS INT) AS ca_gmt_offset
        |  FROM customer),
        |household_demographics AS (
@@ -105,12 +140,60 @@ object TpcdsRealQueries {
        |    'CTY' || CAST(n_nationkey % 30 AS $str) AS s_county,
        |    'CITY' || CAST(n_nationkey % 100 AS $str) AS s_city,
        |    'COMPANY' || CAST(n_nationkey % 3 AS $str) AS s_company_name,
+       |    CAST(n_nationkey % 3 AS INT) AS s_company_id,
+       |    CAST(100 + n_nationkey AS $str) AS s_street_number,
+       |    'Street' || CAST(n_nationkey % 7 AS $str) AS s_street_name,
+       |    CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'Ave' WHEN 1 THEN 'Blvd'
+       |         ELSE 'Way' END AS s_street_type,
+       |    'Suite ' || CAST(n_nationkey * 10 AS $str) AS s_suite_number,
        |    CAST(-5 - (n_nationkey % 3) AS INT) AS s_gmt_offset,
        |    CAST(50 + n_nationkey * 7 AS INT) AS s_number_employees,
        |    lpad(CAST(20000 + n_nationkey * 137 AS $str), 5, '0') AS s_zip
        |  FROM nation WHERE n_nationkey < 10),
+       |warehouse AS (
+       |  SELECT n_nationkey AS w_warehouse_sk,
+       |    'WH' || CAST(n_nationkey AS $str) AS w_warehouse_name,
+       |    'ST' || CAST(n_nationkey % 10 AS $str) AS w_state
+       |  FROM nation WHERE n_nationkey < 5),
+       |reason AS (
+       |  SELECT p_partkey AS r_reason_sk,
+       |    'reason ' || CAST(p_partkey AS $str) AS r_reason_desc
+       |  FROM part WHERE p_partkey BETWEEN 1 AND 35),
+       |web_page AS (
+       |  SELECT n_nationkey AS wp_web_page_sk,
+       |    'WP' || CAST(n_nationkey AS $str) AS wp_web_page_id,
+       |    CAST(1000 + n_nationkey * 500 AS INT) AS wp_char_count
+       |  FROM nation WHERE n_nationkey < 10),
+       |call_center AS (
+       |  SELECT n_nationkey AS cc_call_center_sk,
+       |    'CC' || CAST(n_nationkey AS $str) AS cc_call_center_id,
+       |    'Call Center ' || CAST(n_nationkey AS $str) AS cc_name,
+       |    'MGR' || CAST(n_nationkey AS $str) AS cc_manager
+       |  FROM nation WHERE n_nationkey < 3),
+       |catalog_page AS (
+       |  SELECT n_nationkey AS cp_catalog_page_sk,
+       |    'CP' || CAST(n_nationkey AS $str) AS cp_catalog_page_id
+       |  FROM nation WHERE n_nationkey < 20),
+       |web_site AS (
+       |  SELECT n_nationkey AS web_site_sk,
+       |    'SITE' || CAST(n_nationkey AS $str) AS web_site_id
+       |  FROM nation WHERE n_nationkey < 5),
+       |time_dim AS (
+       |  SELECT t AS t_time_sk, CAST(floor(t / 3600.0) AS INT) AS t_hour,
+       |    CAST(floor(t / 60.0) AS INT) % 60 AS t_minute,
+       |    CASE WHEN CAST(floor(t / 3600.0) AS INT) BETWEEN 6 AND 8 THEN 'breakfast'
+       |         WHEN CAST(floor(t / 3600.0) AS INT) BETWEEN 17 AND 19 THEN 'dinner'
+       |         END AS t_meal_time
+       |  FROM $timeSeries),
+       |inventory AS (
+       |  SELECT d_date_sk AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    w_warehouse_sk AS inv_warehouse_sk,
+       |    CAST((p_partkey * 7 + w_warehouse_sk * 13 + d_date_sk) % 1000 AS INT)
+       |      AS inv_quantity_on_hand
+       |  FROM date_dim, part, warehouse WHERE d_date_sk % 7 = 0),
        |promotion AS (
        |  SELECT p_partkey AS p_promo_sk,
+       |    CASE WHEN p_partkey % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
        |    CASE WHEN p_partkey % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
        |    CASE WHEN p_partkey % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
        |    CASE WHEN p_partkey % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
@@ -138,6 +221,13 @@ object TpcdsRealQueries {
        |web_sales AS (
        |  SELECT ${days("o_orderdate")} AS ws_sold_date_sk, l_partkey AS ws_item_sk,
        |    o_custkey AS ws_bill_customer_sk,
+       |    (o_custkey + o_orderkey * 13) % (SELECT count(*) FROM customer) AS ws_bill_addr_sk,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS ws_sales_price,
+       |    (o_orderkey * 7 + l_partkey) % 86400 AS ws_sold_time_sk,
+       |    CAST(floor(l_extendedprice * l_discount + 0.5) AS DOUBLE) AS ws_ext_discount_amt,
+       |    l_partkey % 100 AS ws_promo_sk, o_orderkey % 10 AS ws_web_page_sk,
+       |    o_orderkey % 5 AS ws_web_site_sk,
+       |    CAST(floor(l_extendedprice * 0.7 + 0.5) AS DOUBLE) AS ws_wholesale_cost,
        |    o_orderkey AS ws_order_number, CAST(l_quantity AS INT) AS ws_quantity,
        |    l_suppkey % 5 AS ws_warehouse_sk,
        |    CAST(floor(l_extendedprice + 0.5) AS DOUBLE) AS ws_ext_list_price,
@@ -149,6 +239,14 @@ object TpcdsRealQueries {
        |catalog_sales AS (
        |  SELECT ${days("o_orderdate")} AS cs_sold_date_sk, l_partkey AS cs_item_sk,
        |    o_custkey AS cs_bill_customer_sk, o_custkey AS cs_ship_customer_sk,
+       |    o_custkey AS cs_bill_cdemo_sk, l_partkey % 100 AS cs_promo_sk,
+       |    (o_custkey + o_orderkey * 13) % (SELECT count(*) FROM customer) AS cs_bill_addr_sk,
+       |    (o_orderkey * 7 + l_partkey) % 86400 AS cs_sold_time_sk,
+       |    l_suppkey % 5 AS cs_warehouse_sk, o_orderkey % 3 AS cs_call_center_sk,
+       |    l_partkey % 20 AS cs_catalog_page_sk,
+       |    CAST(floor(l_extendedprice + 0.5) AS DOUBLE) AS cs_list_price,
+       |    CAST(floor(l_extendedprice * l_discount + 0.5) AS DOUBLE) AS cs_coupon_amt,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS cs_sales_price,
        |    o_orderkey AS cs_order_number, CAST(l_quantity AS INT) AS cs_quantity,
        |    CAST(floor(l_extendedprice * 0.7 + 0.5) AS DOUBLE) AS cs_wholesale_cost,
        |    CAST(floor(l_extendedprice + 0.5) AS DOUBLE) AS cs_ext_list_price,
@@ -157,7 +255,51 @@ object TpcdsRealQueries {
        |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS cs_net_paid,
        |    CAST(floor(l_extendedprice * (1 - l_discount) - l_extendedprice * 0.7 + 0.5) AS DOUBLE) AS cs_net_profit
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  WHERE o_orderkey % 4 = 3)
+       |  WHERE o_orderkey % 4 = 3),
+       |store_returns AS (
+       |  SELECT ${days("o_orderdate")} + CAST(1 + (o_orderkey * 3 + l_partkey) % 150 AS INT)
+       |      AS sr_returned_date_sk,
+       |    l_partkey AS sr_item_sk, o_custkey AS sr_customer_sk,
+       |    o_orderkey % 10 AS sr_store_sk, o_orderkey AS sr_ticket_number,
+       |    (o_orderkey + l_partkey) % 35 + 1 AS sr_reason_sk,
+       |    CAST(1 + l_partkey % CAST(l_quantity AS INT) AS INT) AS sr_return_quantity,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS sr_return_amt,
+       |    CAST(floor(l_extendedprice * 0.3 + 0.5) AS DOUBLE) AS sr_net_loss
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderkey % 4 <> 1 AND l_returnflag = 'R'),
+       |catalog_returns AS (
+       |  SELECT ${days("o_orderdate")} + CAST(1 + (o_orderkey * 3 + l_partkey) % 150 AS INT)
+       |      AS cr_returned_date_sk,
+       |    l_partkey AS cr_item_sk, o_orderkey AS cr_order_number,
+       |    o_custkey AS cr_returning_customer_sk,
+       |    (o_custkey + o_orderkey * 13) % (SELECT count(*) FROM customer) AS cr_returning_addr_sk,
+       |    o_orderkey % 3 AS cr_call_center_sk, l_partkey % 20 AS cr_catalog_page_sk,
+       |    (o_orderkey + l_partkey) % 35 + 1 AS cr_reason_sk,
+       |    CAST(1 + l_partkey % CAST(l_quantity AS INT) AS INT) AS cr_return_quantity,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS cr_return_amount,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 0.5) AS DOUBLE)
+       |      AS cr_return_amt_inc_tax,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) * 0.5 + 0.5) AS DOUBLE) AS cr_refunded_cash,
+       |    CAST(floor(l_extendedprice * 0.3 + 0.5) AS DOUBLE) AS cr_net_loss
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderkey % 4 = 3 AND l_returnflag = 'R'),
+       |web_returns AS (
+       |  SELECT ${days("o_orderdate")} + CAST(1 + (o_orderkey * 3 + l_partkey) % 150 AS INT)
+       |      AS wr_returned_date_sk,
+       |    l_partkey AS wr_item_sk, o_orderkey AS wr_order_number,
+       |    o_custkey AS wr_returning_customer_sk, o_custkey AS wr_refunded_cdemo_sk,
+       |    o_custkey AS wr_returning_cdemo_sk,
+       |    (o_custkey + o_orderkey * 13) % (SELECT count(*) FROM customer) AS wr_refunded_addr_sk,
+       |    (o_custkey + o_orderkey * 13) % (SELECT count(*) FROM customer) AS wr_returning_addr_sk,
+       |    (o_orderkey + l_partkey) % 35 + 1 AS wr_reason_sk,
+       |    o_orderkey % 10 AS wr_web_page_sk,
+       |    CAST(1 + l_partkey % CAST(l_quantity AS INT) AS INT) AS wr_return_quantity,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS wr_return_amt,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) * 0.5 + 0.5) AS DOUBLE) AS wr_refunded_cash,
+       |    CAST(floor(l_extendedprice * 0.02 + 0.5) AS DOUBLE) AS wr_fee,
+       |    CAST(floor(l_extendedprice * 0.3 + 0.5) AS DOUBLE) AS wr_net_loss
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderkey % 4 = 1 AND l_returnflag = 'R')
        |""".stripMargin
   }
 
@@ -739,6 +881,1863 @@ SELECT
   max(ss_promo_sk) AS max_ss_promo_sk
 FROM store_sales"""
 
+  // ---- round 8: the returns/inventory/time_dim tranche (verbatim official texts;
+  // parameter fits documented inline per query) ----
+
+  // q1: s_state 'TN' -> 'ST1' (derived store states are ST0..ST9)
+  private val q1 = """
+WITH customer_total_return AS
+( SELECT
+    sr_customer_sk AS ctr_customer_sk,
+    sr_store_sk AS ctr_store_sk,
+    sum(sr_return_amt) AS ctr_total_return
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer_ds
+WHERE ctr1.ctr_total_return >
+  (SELECT avg(ctr_total_return) * 1.2
+  FROM customer_total_return ctr2
+  WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'ST1'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100"""
+
+  // q2: year 2001 -> 2000 (this data's orders end 2001-08, so the official 2001/2002
+  // pair would leave z empty); the seven bare round() output columns gain aliases
+  // (driver compare matches columns by name) and the int-sums are cast BIGINT at the
+  // edge (DuckDB sum(int) widens to HUGEINT, the driver hash is type-sensitive)
+  private val q2 = """
+WITH wscs AS
+( SELECT
+    sold_date_sk,
+    sales_price
+  FROM (SELECT
+    ws_sold_date_sk sold_date_sk,
+    ws_ext_sales_price sales_price
+  FROM web_sales) x
+  UNION ALL
+  (SELECT
+    cs_sold_date_sk sold_date_sk,
+    cs_ext_sales_price sales_price
+  FROM catalog_sales)),
+    wswscs AS
+  ( SELECT
+    d_week_seq,
+    sum(CASE WHEN (d_day_name = 'Sunday') THEN sales_price ELSE NULL END) sun_sales,
+    sum(CASE WHEN (d_day_name = 'Monday') THEN sales_price ELSE NULL END) mon_sales,
+    sum(CASE WHEN (d_day_name = 'Tuesday') THEN sales_price ELSE NULL END) tue_sales,
+    sum(CASE WHEN (d_day_name = 'Wednesday') THEN sales_price ELSE NULL END) wed_sales,
+    sum(CASE WHEN (d_day_name = 'Thursday') THEN sales_price ELSE NULL END) thu_sales,
+    sum(CASE WHEN (d_day_name = 'Friday') THEN sales_price ELSE NULL END) fri_sales,
+    sum(CASE WHEN (d_day_name = 'Saturday') THEN sales_price ELSE NULL END) sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT
+  d_week_seq1,
+  round(sun_sales1 / sun_sales2, 2) AS sun_ratio,
+  round(mon_sales1 / mon_sales2, 2) AS mon_ratio,
+  round(tue_sales1 / tue_sales2, 2) AS tue_ratio,
+  round(wed_sales1 / wed_sales2, 2) AS wed_ratio,
+  round(thu_sales1 / thu_sales2, 2) AS thu_ratio,
+  round(fri_sales1 / fri_sales2, 2) AS fri_ratio,
+  round(sat_sales1 / sat_sales2, 2) AS sat_ratio
+FROM
+  (SELECT
+    wswscs.d_week_seq d_week_seq1,
+    sun_sales sun_sales1, mon_sales mon_sales1, tue_sales tue_sales1,
+    wed_sales wed_sales1, thu_sales thu_sales1, fri_sales fri_sales1,
+    sat_sales sat_sales1
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000) y,
+  (SELECT
+    wswscs.d_week_seq d_week_seq2,
+    sun_sales sun_sales2, mon_sales mon_sales2, tue_sales tue_sales2,
+    wed_sales wed_sales2, thu_sales thu_sales2, fri_sales fri_sales2,
+    sat_sales sat_sales2
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1"""
+
+  // q9: thresholds verbatim (all exceed this scale's counts, so every bucket takes the
+  // ELSE branch); quantity buckets beyond this data's 1..50 domain yield NULL averages,
+  // exactly as the official query does on an undersized bucket
+  private val q9 = """
+SELECT
+  CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN 1 AND 20) > 62316685
+    THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+    WHERE ss_quantity BETWEEN 1 AND 20)
+  ELSE (SELECT avg(ss_net_paid) FROM store_sales
+  WHERE ss_quantity BETWEEN 1 AND 20) END bucket1,
+  CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN 21 AND 40) > 19045798
+    THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+    WHERE ss_quantity BETWEEN 21 AND 40)
+  ELSE (SELECT avg(ss_net_paid) FROM store_sales
+  WHERE ss_quantity BETWEEN 21 AND 40) END bucket2,
+  CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN 41 AND 60) > 365541424
+    THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+    WHERE ss_quantity BETWEEN 41 AND 60)
+  ELSE (SELECT avg(ss_net_paid) FROM store_sales
+  WHERE ss_quantity BETWEEN 41 AND 60) END bucket3,
+  CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN 61 AND 80) > 216357808
+    THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+    WHERE ss_quantity BETWEEN 61 AND 80)
+  ELSE (SELECT avg(ss_net_paid) FROM store_sales
+  WHERE ss_quantity BETWEEN 61 AND 80) END bucket4,
+  CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN 81 AND 100) > 184483884
+    THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+    WHERE ss_quantity BETWEEN 81 AND 100)
+  ELSE (SELECT avg(ss_net_paid) FROM store_sales
+  WHERE ss_quantity BETWEEN 81 AND 100) END bucket5
+FROM reason
+WHERE r_reason_sk = 1"""
+
+  // q21: i_current_price band 0.99..1.49 -> 990..1049 (derived price domain is
+  // 900..2990); the +/-30 day INTERVAL arithmetic is pre-resolved to date literals,
+  // the same fit tpcds_q12/q98 use
+  private val q21 = """
+SELECT *
+FROM (
+       SELECT
+         w_warehouse_name,
+         i_item_id,
+         CAST(sum(CASE WHEN (cast(d_date AS DATE) < cast('2000-03-11' AS DATE))
+           THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+         CAST(sum(CASE WHEN (cast(d_date AS DATE) >= cast('2000-03-11' AS DATE))
+           THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+       FROM inventory, warehouse, item, date_dim
+       WHERE i_current_price BETWEEN 990 AND 1049
+         AND i_item_sk = inv_item_sk
+         AND inv_warehouse_sk = w_warehouse_sk
+         AND inv_date_sk = d_date_sk
+         AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+       GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0
+  THEN inv_after / inv_before
+       ELSE NULL
+       END) BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100"""
+
+  // q25: verbatim (April 2001 exists in the derived calendar and fact data)
+  private val q25 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  s_store_id,
+  s_store_name,
+  sum(ss_net_profit) AS store_sales_profit,
+  sum(sr_net_loss) AS store_returns_loss,
+  sum(cs_net_profit) AS catalog_sales_profit
+FROM
+  store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2, date_dim d3,
+  store, item
+WHERE
+  d1.d_moy = 4
+    AND d1.d_year = 2001
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND i_item_sk = ss_item_sk
+    AND s_store_sk = ss_store_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND d2.d_moy BETWEEN 4 AND 10
+    AND d2.d_year = 2001
+    AND sr_customer_sk = cs_bill_customer_sk
+    AND sr_item_sk = cs_item_sk
+    AND cs_sold_date_sk = d3.d_date_sk
+    AND d3.d_moy BETWEEN 4 AND 10
+    AND d3.d_year = 2001
+GROUP BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""
+
+  // q29: verbatim (September 1999)
+  private val q29 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  s_store_id,
+  s_store_name,
+  CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+  CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+  CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM
+  store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+  date_dim d3, store, item
+WHERE
+  d1.d_moy = 9
+    AND d1.d_year = 1999
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND i_item_sk = ss_item_sk
+    AND s_store_sk = ss_store_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND d2.d_moy BETWEEN 9 AND 9 + 3
+    AND d2.d_year = 1999
+    AND sr_customer_sk = cs_bill_customer_sk
+    AND sr_item_sk = cs_item_sk
+    AND cs_sold_date_sk = d3.d_date_sk
+    AND d3.d_year IN (1999, 1999 + 1, 1999 + 2)
+GROUP BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""
+
+  // q31: verbatim (year 2000; ws_bill_addr_sk added to the web_sales view)
+  private val q31 = """
+WITH ss AS
+(SELECT
+    ca_county,
+    d_qoy,
+    d_year,
+    sum(ss_ext_sales_price) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+    ws AS
+  (SELECT
+    ca_county,
+    d_qoy,
+    d_year,
+    sum(ws_ext_sales_price) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk
+    AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT
+  ss1.ca_county,
+  ss1.d_year,
+  ws2.web_sales / ws1.web_sales web_q1_q2_increase,
+  ss2.store_sales / ss1.store_sales store_q1_q2_increase,
+  ws3.web_sales / ws2.web_sales web_q2_q3_increase,
+  ss3.store_sales / ss2.store_sales store_q2_q3_increase
+FROM
+  ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE
+  ss1.d_qoy = 1
+    AND ss1.d_year = 2000
+    AND ss1.ca_county = ss2.ca_county
+    AND ss2.d_qoy = 2
+    AND ss2.d_year = 2000
+    AND ss2.ca_county = ss3.ca_county
+    AND ss3.d_qoy = 3
+    AND ss3.d_year = 2000
+    AND ss1.ca_county = ws1.ca_county
+    AND ws1.d_qoy = 1
+    AND ws1.d_year = 2000
+    AND ws1.ca_county = ws2.ca_county
+    AND ws2.d_qoy = 2
+    AND ws2.d_year = 2000
+    AND ws1.ca_county = ws3.ca_county
+    AND ws3.d_qoy = 3
+    AND ws3.d_year = 2000
+    AND CASE WHEN ws1.web_sales > 0
+    THEN ws2.web_sales / ws1.web_sales
+        ELSE NULL END
+    > CASE WHEN ss1.store_sales > 0
+    THEN ss2.store_sales / ss1.store_sales
+      ELSE NULL END
+    AND CASE WHEN ws2.web_sales > 0
+    THEN ws3.web_sales / ws2.web_sales
+        ELSE NULL END
+    > CASE WHEN ss2.store_sales > 0
+    THEN ss3.store_sales / ss2.store_sales
+      ELSE NULL END
+ORDER BY ss1.ca_county"""
+
+  // q37: price band 68..98 -> 1680..1710; manufact ids folded into this schema's
+  // 0..99 domain (677,940,694,808 -> 67,94,69,80); interval arithmetic pre-resolved
+  private val q37 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 1680 AND 1710
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND i_manufact_id IN (67, 94, 69, 80)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""
+
+  // q50: the five bucket aliases lose their trailing-space backtick names (parquet
+  // field names can't carry spaces) -> days_30/days_31_60/...; otherwise verbatim
+  private val q50 = """
+SELECT
+  s_store_name,
+  s_company_id,
+  s_street_number,
+  s_street_name,
+  s_street_type,
+  s_suite_number,
+  s_city,
+  s_county,
+  s_state,
+  s_zip,
+  CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+  CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 60)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+  CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 90)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+  CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+  CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_over_120
+FROM
+  store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE
+  d2.d_year = 2001
+    AND d2.d_moy = 8
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_store_sk = s_store_sk
+GROUP BY
+  s_store_name, s_company_id, s_street_number, s_street_name, s_street_type,
+  s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY
+  s_store_name, s_company_id, s_street_number, s_street_name, s_street_type,
+  s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100"""
+
+  // q82: price band fitted to 1150..1350 (i_current_price is p_retailprice scaled by
+  // a partkey-correlated multiplier, so the band must intersect the chosen manufact
+  // ids' price lattice); manufact ids folded to 0..99 (129,270,821,423 -> 29,70,21,23);
+  // interval arithmetic pre-resolved
+  private val q82 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 1150 AND 1350
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-07-24'
+  AND i_manufact_id IN (29, 70, 21, 23)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""
+
+  // q88: s_store_name 'ese' -> 'STORE1' (derived store names); the eight half-hour
+  // count subqueries and their cartesian combine run verbatim
+  private def q88Slot(alias: String, hour: Int, minuteCond: String): String = s"""
+  (SELECT count(*) $alias
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = $hour
+    AND time_dim.t_minute $minuteCond
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'STORE1')"""
+
+  private val q88 = "SELECT *\nFROM\n" + Seq(
+    q88Slot("h8_30_to_9", 8, ">= 30") + " s1",
+    q88Slot("h9_to_9_30", 9, "< 30") + " s2",
+    q88Slot("h9_30_to_10", 9, ">= 30") + " s3",
+    q88Slot("h10_to_10_30", 10, "< 30") + " s4",
+    q88Slot("h10_30_to_11", 10, ">= 30") + " s5",
+    q88Slot("h11_to_11_30", 11, "< 30") + " s6",
+    q88Slot("h11_30_to_12", 11, ">= 30") + " s7",
+    q88Slot("h12_to_12_30", 12, "< 30") + " s8").mkString(",")
+
+  // q93: verbatim ('reason 28' exists in the derived reason dimension by construction)
+  private val q93 = """
+SELECT
+  ss_customer_sk,
+  sum(act_sales) sumsales
+FROM (SELECT
+  ss_item_sk,
+  ss_ticket_number,
+  ss_customer_sk,
+  CASE WHEN sr_return_quantity IS NOT NULL
+    THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+  ELSE (ss_quantity * ss_sales_price) END act_sales
+FROM store_sales
+  LEFT OUTER JOIN store_returns
+    ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number)
+  ,
+  reason
+WHERE sr_reason_sk = r_reason_sk AND r_reason_desc = 'reason 28') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100"""
+
+  // q97: month_seq window 1200..1211 -> 360..371 (this calendar's year 2000)
+  private val q97 = """
+WITH ssci AS (
+  SELECT
+    ss_customer_sk customer_sk,
+    ss_item_sk item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 360 AND 360 + 11
+  GROUP BY ss_customer_sk, ss_item_sk),
+    csci AS (
+    SELECT
+      cs_bill_customer_sk customer_sk,
+      cs_item_sk item_sk
+    FROM catalog_sales, date_dim
+    WHERE cs_sold_date_sk = d_date_sk
+      AND d_month_seq BETWEEN 360 AND 360 + 11
+    GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT
+  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+    THEN 1 ELSE 0 END) AS BIGINT) store_only,
+  CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) catalog_only,
+  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) store_and_catalog
+FROM ssci
+  FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+    AND ssci.item_sk = csci.item_sk)
+LIMIT 100"""
+
+  // ---- round 8 batch B: twelve more verbatim bodies over the existing views ----
+
+  // q13: education values fitted to the derived demographics domain ('Advanced
+  // Degree'/'2 yr Degree' -> '4 yr Degree'/'Secondary'), price/profit bands scaled
+  // into this data's quantized domains, states 'TX/OH/...' -> 'ST<k>'; the four bare
+  // aggregates gain aliases
+  private val q13 = """
+SELECT
+  avg(ss_quantity) AS avg_quantity,
+  avg(ss_ext_sales_price) AS avg_sales_price,
+  avg(ss_ext_wholesale_cost) AS avg_wholesale_cost,
+  sum(ss_ext_wholesale_cost) AS sum_wholesale_cost
+FROM store_sales
+  , store
+  , customer_demographics
+  , household_demographics
+  , customer_address
+  , date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk
+  AND cd_demo_sk = ss_cdemo_sk
+  AND cd_marital_status = 'M'
+  AND cd_education_status = '4 yr Degree'
+  AND ss_sales_price BETWEEN 10000.00 AND 15000.00
+  AND hd_dep_count = 3
+) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'S'
+    AND cd_education_status = 'College'
+    AND ss_sales_price BETWEEN 5000.00 AND 10000.00
+    AND hd_dep_count = 1
+  ) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'D'
+    AND cd_education_status = 'Secondary'
+    AND ss_sales_price BETWEEN 15000.00 AND 20000.00
+    AND hd_dep_count = 1
+  ))
+  AND ((ss_addr_sk = ca_address_sk
+  AND ca_country = 'United States'
+  AND ca_state IN ('ST1', 'ST2', 'ST1')
+  AND ss_net_profit BETWEEN 1000 AND 2000
+) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('ST3', 'ST4', 'ST5')
+    AND ss_net_profit BETWEEN 1500 AND 3000
+  ) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('ST6', 'ST7', 'ST8')
+    AND ss_net_profit BETWEEN 500 AND 2500
+  ))"""
+
+  // q15: zip list fitted to the derived lpad(10000+7k) lattice, states -> 'ST<k>',
+  // the bare sum aliased
+  private val q15 = """
+SELECT
+  ca_zip,
+  sum(cs_sales_price) AS total_sales
+FROM catalog_sales, customer_ds, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('10000', '10007', '10014', '10021', '10028',
+                                '10035', '10042', '10049', '10056')
+  OR ca_state IN ('ST2', 'ST3', 'ST4')
+  OR cs_sales_price > 500)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100"""
+
+  // q20: category list fitted to the derived p_type domain; interval pre-resolved
+  private val q20 = """
+SELECT
+  i_item_desc,
+  i_category,
+  i_class,
+  i_current_price,
+  sum(cs_ext_sales_price) AS itemrevenue,
+  sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price))
+  OVER
+  (PARTITION BY i_class) AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('LARGE', 'MEDIUM', 'SMALL')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""
+
+  // q22: month_seq window -> this calendar's year 2000; explicit NULLS FIRST on the
+  // rollup name columns (Spark's ASC default; DuckDB defaults NULLS LAST, and the
+  // LIMIT makes the tie order part of the answer)
+  private val q22 = """
+SELECT
+  i_product_name,
+  i_brand,
+  i_class,
+  i_category,
+  avg(inv_quantity_on_hand) qoh
+FROM inventory, date_dim, item, warehouse
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND inv_warehouse_sk = w_warehouse_sk
+  AND d_month_seq BETWEEN 360 AND 360 + 11
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST, i_class NULLS FIRST,
+  i_category NULLS FIRST
+LIMIT 100"""
+
+  // q32: manufact id folded to the 0..99 domain (977 -> 77); interval pre-resolved;
+  // the backtick alias becomes a plain identifier (parquet field names)
+  private val q32 = """
+SELECT 1 AS excess_discount_amount
+FROM
+  catalog_sales, item, date_dim
+WHERE
+  i_manufact_id = 77
+    AND i_item_sk = cs_item_sk
+    AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+    AND d_date_sk = cs_sold_date_sk
+    AND cs_ext_discount_amt > (
+    SELECT 1.3 * avg(cs_ext_discount_amt)
+    FROM catalog_sales, date_dim
+    WHERE cs_item_sk = i_item_sk
+      AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+      AND d_date_sk = cs_sold_date_sk)
+LIMIT 100"""
+
+  // q45: zip list fitted to the derived lattice; the bare sum aliased
+  private val q45 = """
+SELECT
+  ca_zip,
+  ca_city,
+  sum(ws_sales_price) AS total_sales
+FROM web_sales, customer_ds, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN
+  ('10000', '10007', '10014', '10021', '10028', '10035', '10042', '10049', '10056')
+  OR
+  i_item_id IN (SELECT i_item_id
+  FROM item
+  WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+  )
+)
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100"""
+
+  // q48: education/state/price/profit fits as in q13; sum cast BIGINT and aliased
+  private val q48 = """
+SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_quantity
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND
+  (
+    (
+      cd_demo_sk = ss_cdemo_sk
+        AND
+        cd_marital_status = 'M'
+        AND
+        cd_education_status = '4 yr Degree'
+        AND
+        ss_sales_price BETWEEN 10000.00 AND 15000.00
+    )
+      OR
+      (
+        cd_demo_sk = ss_cdemo_sk
+          AND
+          cd_marital_status = 'D'
+          AND
+          cd_education_status = 'Secondary'
+          AND
+          ss_sales_price BETWEEN 5000.00 AND 10000.00
+      )
+      OR
+      (
+        cd_demo_sk = ss_cdemo_sk
+          AND
+          cd_marital_status = 'S'
+          AND
+          cd_education_status = 'College'
+          AND
+          ss_sales_price BETWEEN 15000.00 AND 20000.00
+      )
+  )
+  AND
+  (
+    (
+      ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('ST1', 'ST2', 'ST3')
+        AND ss_net_profit BETWEEN 0 AND 20000
+    )
+      OR
+      (ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('ST4', 'ST5', 'ST6')
+        AND ss_net_profit BETWEEN 1500 AND 30000
+      )
+      OR
+      (ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('ST7', 'ST8', 'ST9')
+        AND ss_net_profit BETWEEN 500 AND 25000
+      )
+  )"""
+
+  // q58: date fitted to '1996-07-15' (densest cross-channel week probed). The query is
+  // inherently ultra-selective — per-item ONE-WEEK revenue within +/-10% across all
+  // three channels — so at sf0.01's ~175 fact rows/week it returns 0 rows by
+  // construction; at sf0.1 it returns rows (3 probed), which is what the bench runs.
+  private val q58 = """
+WITH ss_items AS
+(SELECT
+    i_item_id item_id,
+    sum(ss_ext_sales_price) ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '1996-07-15'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    cs_items AS
+  (SELECT
+    i_item_id item_id,
+    sum(cs_ext_sales_price) cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '1996-07-15'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    ws_items AS
+  (SELECT
+    i_item_id item_id,
+    sum(ws_ext_sales_price) ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '1996-07-15'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT
+  ss_items.item_id,
+  ss_item_rev,
+  ss_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ss_dev,
+  cs_item_rev,
+  cs_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 cs_dev,
+  ws_item_rev,
+  ws_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ws_dev,
+  (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100"""
+
+  // q69: states -> 'ST<k>'
+  private val q69 = """
+SELECT
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3
+FROM
+  customer_ds c, customer_address ca, customer_demographics
+WHERE
+  c.c_current_addr_sk = ca.ca_address_sk AND
+    ca_state IN ('ST1', 'ST2', 'ST3') AND
+    cd_demo_sk = c.c_current_cdemo_sk AND
+    exists(SELECT *
+           FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk AND
+             ss_sold_date_sk = d_date_sk AND
+             d_year = 2001 AND
+             d_moy BETWEEN 4 AND 4 + 2) AND
+    (NOT exists(SELECT *
+                FROM web_sales, date_dim
+                WHERE c.c_customer_sk = ws_bill_customer_sk AND
+                  ws_sold_date_sk = d_date_sk AND
+                  d_year = 2001 AND
+                  d_moy BETWEEN 4 AND 4 + 2) AND
+      NOT exists(SELECT *
+                 FROM catalog_sales, date_dim
+                 WHERE c.c_customer_sk = cs_ship_customer_sk AND
+                   cs_sold_date_sk = d_date_sk AND
+                   d_year = 2001 AND
+                   d_moy BETWEEN 4 AND 4 + 2))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating
+LIMIT 100"""
+
+  // q86: month_seq window -> this calendar's year 2000
+  private val q86 = """
+SELECT
+  sum(ws_net_paid) AS total_sum,
+  i_category,
+  i_class,
+  grouping(i_category) + grouping(i_class) AS lochierarchy,
+  rank()
+  OVER (
+    PARTITION BY grouping(i_category) + grouping(i_class),
+      CASE WHEN grouping(i_class) = 0
+        THEN i_category END
+    ORDER BY sum(ws_net_paid) DESC) AS rank_within_parent
+FROM
+  web_sales, date_dim d1, item
+WHERE
+  d1.d_month_seq BETWEEN 360 AND 360 + 11
+    AND d1.d_date_sk = ws_sold_date_sk
+    AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY
+  lochierarchy DESC,
+  CASE WHEN lochierarchy = 0
+    THEN i_category END,
+  rank_within_parent
+LIMIT 100"""
+
+  // q87: month_seq window -> year 2000; the bare count(*) aliased
+  private val q87 = """
+SELECT count(*) AS num_cool_cust
+FROM ((SELECT DISTINCT
+  c_last_name,
+  c_first_name,
+  d_date
+FROM store_sales, date_dim, customer_ds
+WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  AND store_sales.ss_customer_sk = customer_ds.c_customer_sk
+  AND d_month_seq BETWEEN 360 AND 360 + 11)
+      EXCEPT
+      (SELECT DISTINCT
+        c_last_name,
+        c_first_name,
+        d_date
+      FROM catalog_sales, date_dim, customer_ds
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer_ds.c_customer_sk
+        AND d_month_seq BETWEEN 360 AND 360 + 11)
+      EXCEPT
+      (SELECT DISTINCT
+        c_last_name,
+        c_first_name,
+        d_date
+      FROM web_sales, date_dim, customer_ds
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer_ds.c_customer_sk
+        AND d_month_seq BETWEEN 360 AND 360 + 11)
+     ) cool_cust"""
+
+  // q96: s_store_name 'ese' -> 'STORE1'; the bare count aliased
+  private val q96 = """
+SELECT count(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20
+  AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'STORE1'
+ORDER BY count(*)
+LIMIT 100"""
+
+  // ---- round 8 batch C: the catalog/web returns tranche (17 more verbatim bodies) ----
+
+  // q5: 3-channel sales-and-returns rollup; intervals pre-resolved; rollup NULLs get
+  // explicit NULLS FIRST in the final ORDER BY (Spark's ASC default, under a LIMIT)
+  private val q5 = """
+WITH ssr AS
+( SELECT
+    s_store_id,
+    sum(sales_price) AS sales,
+    sum(profit) AS profit,
+    sum(return_amt) AS returns,
+    sum(net_loss) AS profit_loss
+  FROM
+    (SELECT
+       ss_store_sk AS store_sk,
+       ss_sold_date_sk AS date_sk,
+       ss_ext_sales_price AS sales_price,
+       ss_net_profit AS profit,
+       cast(0 AS DECIMAL(7, 2)) AS return_amt,
+       cast(0 AS DECIMAL(7, 2)) AS net_loss
+     FROM store_sales
+     UNION ALL
+     SELECT
+       sr_store_sk AS store_sk,
+       sr_returned_date_sk AS date_sk,
+       cast(0 AS DECIMAL(7, 2)) AS sales_price,
+       cast(0 AS DECIMAL(7, 2)) AS profit,
+       sr_return_amt AS return_amt,
+       sr_net_loss AS net_loss
+     FROM store_returns)
+    salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+    csr AS
+  ( SELECT
+    cp_catalog_page_id,
+    sum(sales_price) AS sales,
+    sum(profit) AS profit,
+    sum(return_amt) AS returns,
+    sum(net_loss) AS profit_loss
+  FROM
+    (SELECT
+       cs_catalog_page_sk AS page_sk,
+       cs_sold_date_sk AS date_sk,
+       cs_ext_sales_price AS sales_price,
+       cs_net_profit AS profit,
+       cast(0 AS DECIMAL(7, 2)) AS return_amt,
+       cast(0 AS DECIMAL(7, 2)) AS net_loss
+     FROM catalog_sales
+     UNION ALL
+     SELECT
+       cr_catalog_page_sk AS page_sk,
+       cr_returned_date_sk AS date_sk,
+       cast(0 AS DECIMAL(7, 2)) AS sales_price,
+       cast(0 AS DECIMAL(7, 2)) AS profit,
+       cr_return_amount AS return_amt,
+       cr_net_loss AS net_loss
+     FROM catalog_returns
+    ) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+    wsr AS
+  ( SELECT
+    web_site_id,
+    sum(sales_price) AS sales,
+    sum(profit) AS profit,
+    sum(return_amt) AS returns,
+    sum(net_loss) AS profit_loss
+  FROM
+    (SELECT
+       ws_web_site_sk AS wsr_web_site_sk,
+       ws_sold_date_sk AS date_sk,
+       ws_ext_sales_price AS sales_price,
+       ws_net_profit AS profit,
+       cast(0 AS DECIMAL(7, 2)) AS return_amt,
+       cast(0 AS DECIMAL(7, 2)) AS net_loss
+     FROM web_sales
+     UNION ALL
+     SELECT
+       ws_web_site_sk AS wsr_web_site_sk,
+       wr_returned_date_sk AS date_sk,
+       cast(0 AS DECIMAL(7, 2)) AS sales_price,
+       cast(0 AS DECIMAL(7, 2)) AS profit,
+       wr_return_amt AS return_amt,
+       wr_net_loss AS net_loss
+     FROM web_returns
+       LEFT OUTER JOIN web_sales ON
+                                   (wr_item_sk = ws_item_sk
+                                     AND wr_order_number = ws_order_number)
+    ) salesreturns, date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)
+SELECT
+  channel,
+  id,
+  sum(sales) AS sales,
+  sum(returns) AS returns,
+  sum(profit) AS profit
+FROM
+  (SELECT
+     'store channel' AS channel,
+     concat('store', s_store_id) AS id,
+     sales,
+     returns,
+     (profit - profit_loss) AS profit
+   FROM ssr
+   UNION ALL
+   SELECT
+     'catalog channel' AS channel,
+     concat('catalog_page', cp_catalog_page_id) AS id,
+     sales,
+     returns,
+     (profit - profit_loss) AS profit
+   FROM csr
+   UNION ALL
+   SELECT
+     'web channel' AS channel,
+     concat('web_site', web_site_id) AS id,
+     sales,
+     returns,
+     (profit - profit_loss) AS profit
+   FROM wsr
+  ) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""
+
+  // q26: verbatim (the derived demographics carry 'College'; year 2000 in domain)
+  private val q26 = """
+SELECT
+  i_item_id,
+  avg(cs_quantity) agg1,
+  avg(cs_list_price) agg2,
+  avg(cs_coupon_amt) agg3,
+  avg(cs_sales_price) agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk AND
+  cs_item_sk = i_item_sk AND
+  cs_bill_cdemo_sk = cd_demo_sk AND
+  cs_promo_sk = p_promo_sk AND
+  cd_gender = 'M' AND
+  cd_marital_status = 'S' AND
+  cd_education_status = 'College' AND
+  (p_channel_email = 'N' OR p_channel_event = 'N') AND
+  d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100"""
+
+  // q30: d_year 2002 -> 2001 (returns reach at most sold+150 days, and sales end
+  // 2001-08); state 'GA' -> 'ST1'
+  private val q30 = """
+WITH customer_total_return AS
+(SELECT
+    wr_returning_customer_sk AS ctr_customer_sk,
+    ca_state AS ctr_state,
+    sum(wr_return_amt) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_year = 2001
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT
+  c_customer_id,
+  c_salutation,
+  c_first_name,
+  c_last_name,
+  c_preferred_cust_flag,
+  c_birth_day,
+  c_birth_month,
+  c_birth_year,
+  c_birth_country,
+  c_login,
+  c_email_address,
+  c_last_review_date,
+  ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer_ds
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+FROM customer_total_return ctr2
+WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'ST1'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name, c_preferred_cust_flag
+  , c_birth_day, c_birth_month, c_birth_year, c_birth_country, c_login, c_email_address
+  , c_last_review_date, ctr_total_return
+LIMIT 100"""
+
+  // q33: category 'Electronics' -> 'LARGE' (derived p_type domain); -5 gmt exists
+  private val q33 = """
+WITH ss AS (
+  SELECT
+    i_manufact_id,
+    sum(ss_ext_sales_price) total_sales
+  FROM
+    store_sales, date_dim, customer_address, item
+  WHERE
+    i_manufact_id IN (SELECT i_manufact_id
+    FROM item
+    WHERE i_category IN ('LARGE'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id), cs AS
+(SELECT
+    i_manufact_id,
+    sum(cs_ext_sales_price) total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE
+    i_manufact_id IN (
+      SELECT i_manufact_id
+      FROM item
+      WHERE
+        i_category IN ('LARGE'))
+      AND cs_item_sk = i_item_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND cs_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id),
+    ws AS (
+    SELECT
+      i_manufact_id,
+      sum(ws_ext_sales_price) total_sales
+    FROM
+      web_sales, date_dim, customer_address, item
+    WHERE
+      i_manufact_id IN (SELECT i_manufact_id
+      FROM item
+      WHERE i_category IN ('LARGE'))
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1998
+        AND d_moy = 5
+        AND ws_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_manufact_id)
+SELECT
+  i_manufact_id,
+  sum(total_sales) total_sales
+FROM (SELECT *
+      FROM ss
+      UNION ALL
+      SELECT *
+      FROM cs
+      UNION ALL
+      SELECT *
+      FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales
+LIMIT 100"""
+
+  // q40: price band 0.99..1.49 -> 990..1049; intervals pre-resolved
+  private val q40 = """
+SELECT
+  w_state,
+  i_item_id,
+  sum(CASE WHEN (cast(d_date AS DATE) < cast('2000-03-11' AS DATE))
+    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+      ELSE 0 END) AS sales_before,
+  sum(CASE WHEN (cast(d_date AS DATE) >= cast('2000-03-11' AS DATE))
+    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+      ELSE 0 END) AS sales_after
+FROM
+  catalog_sales
+  LEFT OUTER JOIN catalog_returns ON
+                                    (cs_order_number = cr_order_number
+                                      AND cs_item_sk = cr_item_sk)
+  , warehouse, item, date_dim
+WHERE
+  i_current_price BETWEEN 990 AND 1049
+    AND i_item_sk = cs_item_sk
+    AND cs_warehouse_sk = w_warehouse_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100"""
+
+  // q56: colors fitted to the derived p_name first tokens
+  private val q56 = """
+WITH ss AS (
+  SELECT
+    i_item_id,
+    sum(ss_ext_sales_price) total_sales
+  FROM
+    store_sales, date_dim, customer_address, item
+  WHERE
+    i_item_id IN (SELECT i_item_id
+    FROM item
+    WHERE i_color IN ('blue', 'cold', 'hot'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND d_moy = 2
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+    cs AS (
+    SELECT
+      i_item_id,
+      sum(cs_ext_sales_price) total_sales
+    FROM
+      catalog_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_color IN ('blue', 'cold', 'hot'))
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year = 2001
+        AND d_moy = 2
+        AND cs_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id),
+    ws AS (
+    SELECT
+      i_item_id,
+      sum(ws_ext_sales_price) total_sales
+    FROM
+      web_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_color IN ('blue', 'cold', 'hot'))
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 2001
+        AND d_moy = 2
+        AND ws_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id)
+SELECT
+  i_item_id,
+  sum(total_sales) total_sales
+FROM (SELECT *
+      FROM ss
+      UNION ALL
+      SELECT *
+      FROM cs
+      UNION ALL
+      SELECT *
+      FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales
+LIMIT 100"""
+
+  // q60: category 'Music' -> 'MEDIUM'
+  private val q60 = """
+WITH ss AS (
+  SELECT
+    i_item_id,
+    sum(ss_ext_sales_price) total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE
+    i_item_id IN (SELECT i_item_id
+    FROM item
+    WHERE i_category IN ('MEDIUM'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 9
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+    cs AS (
+    SELECT
+      i_item_id,
+      sum(cs_ext_sales_price) total_sales
+    FROM catalog_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_category IN ('MEDIUM'))
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year = 1998
+        AND d_moy = 9
+        AND cs_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id),
+    ws AS (
+    SELECT
+      i_item_id,
+      sum(ws_ext_sales_price) total_sales
+    FROM web_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_category IN ('MEDIUM'))
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1998
+        AND d_moy = 9
+        AND ws_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id)
+SELECT
+  i_item_id,
+  sum(total_sales) total_sales
+FROM (SELECT *
+      FROM ss
+      UNION ALL
+      SELECT *
+      FROM cs
+      UNION ALL
+      SELECT *
+      FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100"""
+
+  // q61: category 'Jewelry' -> 'PROMO'; the unaliased ratio column gains an alias
+  // and an edge DOUBLE cast (Spark and DuckDB disagree on decimal-division scale
+  // rules, and both sums are exact integers so the double division is deterministic)
+  private val q61 = """
+SELECT
+  promotions,
+  total,
+  CAST(cast(promotions AS DECIMAL(15, 4)) / cast(total AS DECIMAL(15, 4)) * 100
+    AS DOUBLE) AS promo_pct
+FROM
+  (SELECT sum(ss_ext_sales_price) promotions
+  FROM store_sales, store, promotion, date_dim, customer_ds, customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_promo_sk = p_promo_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5
+    AND i_category = 'PROMO'
+    AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+    AND s_gmt_offset = -5
+    AND d_year = 1998
+    AND d_moy = 11) promotional_sales,
+  (SELECT sum(ss_ext_sales_price) total
+  FROM store_sales, store, date_dim, customer_ds, customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5
+    AND i_category = 'PROMO'
+    AND s_gmt_offset = -5
+    AND d_year = 1998
+    AND d_moy = 11) all_sales
+ORDER BY promotions, total
+LIMIT 100"""
+
+  // q71: verbatim (time_dim carries breakfast/dinner meal bands)
+  private val q71 = """
+SELECT
+  i_brand_id brand_id,
+  i_brand brand,
+  t_hour,
+  t_minute,
+  sum(ext_price) ext_price
+FROM item,
+  (SELECT
+     ws_ext_sales_price AS ext_price,
+     ws_sold_date_sk AS sold_date_sk,
+     ws_item_sk AS sold_item_sk,
+     ws_sold_time_sk AS time_sk
+   FROM web_sales, date_dim
+   WHERE d_date_sk = ws_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+   UNION ALL
+   SELECT
+     cs_ext_sales_price AS ext_price,
+     cs_sold_date_sk AS sold_date_sk,
+     cs_item_sk AS sold_item_sk,
+     cs_sold_time_sk AS time_sk
+   FROM catalog_sales, date_dim
+   WHERE d_date_sk = cs_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+   UNION ALL
+   SELECT
+     ss_ext_sales_price AS ext_price,
+     ss_sold_date_sk AS sold_date_sk,
+     ss_item_sk AS sold_item_sk,
+     ss_sold_time_sk AS time_sk
+   FROM store_sales, date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+  ) AS tmp, time_dim
+WHERE
+  sold_item_sk = i_item_sk
+    AND i_manager_id = 1
+    AND time_sk = t_time_sk
+    AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, brand_id"""
+
+  // q77: intervals pre-resolved; rollup NULLs get explicit NULLS FIRST under the LIMIT
+  private val q77 = """
+WITH ss AS
+(SELECT
+    s_store_sk,
+    sum(ss_ext_sales_price) AS sales,
+    sum(ss_net_profit) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+    sr AS
+  (SELECT
+    s_store_sk,
+    sum(sr_return_amt) AS returns_amt,
+    sum(sr_net_loss) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+    cs AS
+  (SELECT
+    cs_call_center_sk,
+    sum(cs_ext_sales_price) AS sales,
+    sum(cs_net_profit) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+  GROUP BY cs_call_center_sk),
+    cr AS
+  (SELECT
+    sum(cr_return_amount) AS returns_amt,
+    sum(cr_net_loss) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'),
+    ws AS
+  (SELECT
+    wp_web_page_sk,
+    sum(ws_ext_sales_price) AS sales,
+    sum(ws_net_profit) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+    wr AS
+  (SELECT
+    wp_web_page_sk,
+    sum(wr_return_amt) AS returns_amt,
+    sum(wr_net_loss) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk)
+SELECT
+  channel,
+  id,
+  sum(sales) AS sales,
+  sum(returns) AS returns,
+  sum(profit) AS profit
+FROM
+  (SELECT
+     'store channel' AS channel,
+     ss.s_store_sk AS id,
+     sales,
+     coalesce(returns_amt, 0) AS returns,
+     (profit - coalesce(profit_loss, 0)) AS profit
+   FROM ss
+     LEFT JOIN sr
+       ON ss.s_store_sk = sr.s_store_sk
+   UNION ALL
+   SELECT
+     'catalog channel' AS channel,
+     cs_call_center_sk AS id,
+     sales,
+     returns_amt AS returns,
+     (profit - profit_loss) AS profit
+   FROM cs, cr
+   UNION ALL
+   SELECT
+     'web channel' AS channel,
+     ws.wp_web_page_sk AS id,
+     sales,
+     coalesce(returns_amt, 0) AS returns,
+     (profit - coalesce(profit_loss, 0)) AS profit
+   FROM ws
+     LEFT JOIN wr
+       ON ws.wp_web_page_sk = wr.wp_web_page_sk
+  ) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""
+
+  // q78: verbatim (year 2000); int qty sums cast BIGINT at the edge. Inherently
+  // ultra-selective — the same (customer, item, year) must appear un-returned in all
+  // THREE channels — so sf0.01 yields 0 rows by construction; sf0.1 (the bench scale)
+  // yields rows (2 probed).
+  private val q78 = """
+WITH ws AS
+(SELECT
+    d_year AS ws_sold_year,
+    ws_item_sk,
+    ws_bill_customer_sk ws_customer_sk,
+    CAST(sum(ws_quantity) AS BIGINT) ws_qty,
+    sum(ws_wholesale_cost) ws_wc,
+    sum(ws_sales_price) ws_sp
+  FROM web_sales
+    LEFT JOIN web_returns ON wr_order_number = ws_order_number AND ws_item_sk = wr_item_sk
+    JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk
+),
+    cs AS
+  (SELECT
+    d_year AS cs_sold_year,
+    cs_item_sk,
+    cs_bill_customer_sk cs_customer_sk,
+    CAST(sum(cs_quantity) AS BIGINT) cs_qty,
+    sum(cs_wholesale_cost) cs_wc,
+    sum(cs_sales_price) cs_sp
+  FROM catalog_sales
+    LEFT JOIN catalog_returns ON cr_order_number = cs_order_number AND cs_item_sk = cr_item_sk
+    JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk
+  ),
+    ss AS
+  (SELECT
+    d_year AS ss_sold_year,
+    ss_item_sk,
+    ss_customer_sk,
+    CAST(sum(ss_quantity) AS BIGINT) ss_qty,
+    sum(ss_wholesale_cost) ss_wc,
+    sum(ss_sales_price) ss_sp
+  FROM store_sales
+    LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk
+  )
+SELECT
+  round(ss_qty / (coalesce(ws_qty + cs_qty, 1)), 2) ratio,
+  ss_qty store_qty,
+  ss_wc store_wholesale_cost,
+  ss_sp store_sales_price,
+  coalesce(ws_qty, 0) + coalesce(cs_qty, 0) other_chan_qty,
+  coalesce(ws_wc, 0) + coalesce(cs_wc, 0) other_chan_wholesale_cost,
+  coalesce(ws_sp, 0) + coalesce(cs_sp, 0) other_chan_sales_price
+FROM ss
+  LEFT JOIN ws
+    ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk AND ws_customer_sk = ss_customer_sk)
+  LEFT JOIN cs
+    ON (cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk AND cs_customer_sk = ss_customer_sk)
+WHERE coalesce(ws_qty, 0) > 0 AND coalesce(cs_qty, 0) > 0 AND ss_sold_year = 2000
+ORDER BY
+  ratio,
+  ss_qty DESC, ss_wc DESC, ss_sp DESC,
+  other_chan_qty,
+  other_chan_wholesale_cost,
+  other_chan_sales_price,
+  round(ss_qty / (coalesce(ws_qty + cs_qty, 1)), 2)
+LIMIT 100"""
+
+  // q80: price filter fitted (> 1800, the derived price domain's upper half);
+  // intervals pre-resolved; rollup NULLs get explicit NULLS FIRST
+  private val q80 = """
+WITH ssr AS
+(SELECT
+    s_store_id AS store_id,
+    sum(ss_ext_sales_price) AS sales,
+    sum(coalesce(sr_return_amt, 0)) AS returns,
+    sum(ss_net_profit - coalesce(sr_net_loss, 0)) AS profit
+  FROM store_sales
+    LEFT OUTER JOIN store_returns ON
+                                    (ss_item_sk = sr_item_sk AND
+                                      ss_ticket_number = sr_ticket_number)
+    ,
+    date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk
+    AND ss_item_sk = i_item_sk
+    AND i_current_price > 1800
+    AND ss_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+    csr AS
+  (SELECT
+    cp_catalog_page_id AS catalog_page_id,
+    sum(cs_ext_sales_price) AS sales,
+    sum(coalesce(cr_return_amount, 0)) AS returns,
+    sum(cs_net_profit - coalesce(cr_net_loss, 0)) AS profit
+  FROM catalog_sales
+    LEFT OUTER JOIN catalog_returns ON
+                                      (cs_item_sk = cr_item_sk AND
+                                        cs_order_number = cr_order_number)
+    ,
+    date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND cs_catalog_page_sk = cp_catalog_page_sk
+    AND cs_item_sk = i_item_sk
+    AND i_current_price > 1800
+    AND cs_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+    wsr AS
+  (SELECT
+    web_site_id,
+    sum(ws_ext_sales_price) AS sales,
+    sum(coalesce(wr_return_amt, 0)) AS returns,
+    sum(ws_net_profit - coalesce(wr_net_loss, 0)) AS profit
+  FROM web_sales
+    LEFT OUTER JOIN web_returns ON
+                                  (ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number)
+    ,
+    date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_site_sk = web_site_sk
+    AND ws_item_sk = i_item_sk
+    AND i_current_price > 1800
+    AND ws_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT
+  channel,
+  id,
+  sum(sales) AS sales,
+  sum(returns) AS returns,
+  sum(profit) AS profit
+FROM (SELECT
+        'store channel' AS channel,
+        concat('store', store_id) AS id,
+        sales,
+        returns,
+        profit
+      FROM ssr
+      UNION ALL
+      SELECT
+        'catalog channel' AS channel,
+        concat('catalog_page', catalog_page_id) AS id,
+        sales,
+        returns,
+        profit
+      FROM csr
+      UNION ALL
+      SELECT
+        'web channel' AS channel,
+        concat('web_site', web_site_id) AS id,
+        sales,
+        returns,
+        profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""
+
+  // q81: state 'GA' -> 'ST1'
+  private val q81 = """
+WITH customer_total_return AS
+(SELECT
+    cr_returning_customer_sk AS ctr_customer_sk,
+    ca_state AS ctr_state,
+    sum(cr_return_amt_inc_tax) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_year = 2000
+    AND cr_returning_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state )
+SELECT
+  c_customer_id,
+  c_salutation,
+  c_first_name,
+  c_last_name,
+  ca_street_number,
+  ca_street_name,
+  ca_street_type,
+  ca_suite_number,
+  ca_city,
+  ca_county,
+  ca_state,
+  ca_zip,
+  ca_country,
+  ca_gmt_offset,
+  ca_location_type,
+  ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer_ds
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+FROM customer_total_return ctr2
+WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'ST1'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name, ca_street_number, ca_street_name
+  , ca_street_type, ca_suite_number, ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset
+  , ca_location_type, ctr_total_return
+LIMIT 100"""
+
+  // q83: verbatim dates (return dates extend ~150 days past each sale); the three
+  // int quantity sums cast BIGINT at the edge. Tri-channel intersection is sparse:
+  // 0 rows at sf0.01 by construction, 10 rows probed at sf0.1 (the bench scale).
+  private val q83 = """
+WITH sr_items AS
+(SELECT
+    i_item_id item_id,
+    CAST(sum(sr_return_quantity) AS BIGINT) sr_item_qty
+  FROM store_returns, item, date_dim
+  WHERE sr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq IN
+    (SELECT d_week_seq
+    FROM date_dim
+    WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+    AND sr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    cr_items AS
+  (SELECT
+    i_item_id item_id,
+    CAST(sum(cr_return_quantity) AS BIGINT) cr_item_qty
+  FROM catalog_returns, item, date_dim
+  WHERE cr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq IN
+    (SELECT d_week_seq
+    FROM date_dim
+    WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+    AND cr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    wr_items AS
+  (SELECT
+    i_item_id item_id,
+    CAST(sum(wr_return_quantity) AS BIGINT) wr_item_qty
+  FROM web_returns, item, date_dim
+  WHERE wr_item_sk = i_item_sk AND d_date IN
+    (SELECT d_date
+    FROM date_dim
+    WHERE d_week_seq IN
+      (SELECT d_week_seq
+      FROM date_dim
+      WHERE d_date IN ('2000-06-30', '2000-09-27', '2000-11-17')))
+    AND wr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT
+  sr_items.item_id,
+  sr_item_qty,
+  sr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 sr_dev,
+  cr_item_qty,
+  cr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 cr_dev,
+  wr_item_qty,
+  wr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 wr_dev,
+  CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3.0 average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100"""
+
+  // q85: demographics/states/price/profit fits as in q13 ('W' -> 'D', the derived
+  // marital domain); the four bare outputs gain aliases
+  private val q85 = """
+SELECT
+  substr(r_reason_desc, 1, 20) AS reason_prefix,
+  avg(ws_quantity) AS avg_quantity,
+  avg(wr_refunded_cash) AS avg_refunded_cash,
+  avg(wr_fee) AS avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+  customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND
+  (
+    (
+      cd1.cd_marital_status = 'M'
+        AND
+        cd1.cd_marital_status = cd2.cd_marital_status
+        AND
+        cd1.cd_education_status = '4 yr Degree'
+        AND
+        cd1.cd_education_status = cd2.cd_education_status
+        AND
+        ws_sales_price BETWEEN 10000.00 AND 15000.00
+    )
+      OR
+      (
+        cd1.cd_marital_status = 'S'
+          AND
+          cd1.cd_marital_status = cd2.cd_marital_status
+          AND
+          cd1.cd_education_status = 'College'
+          AND
+          cd1.cd_education_status = cd2.cd_education_status
+          AND
+          ws_sales_price BETWEEN 5000.00 AND 10000.00
+      )
+      OR
+      (
+        cd1.cd_marital_status = 'D'
+          AND
+          cd1.cd_marital_status = cd2.cd_marital_status
+          AND
+          cd1.cd_education_status = 'Secondary'
+          AND
+          cd1.cd_education_status = cd2.cd_education_status
+          AND
+          ws_sales_price BETWEEN 15000.00 AND 20000.00
+      )
+  )
+  AND
+  (
+    (
+      ca_country = 'United States'
+        AND
+        ca_state IN ('ST1', 'ST2', 'ST3')
+        AND ws_net_profit BETWEEN 1000 AND 2000
+    )
+      OR
+      (
+        ca_country = 'United States'
+          AND
+          ca_state IN ('ST4', 'ST5', 'ST6')
+          AND ws_net_profit BETWEEN 1500 AND 3000
+      )
+      OR
+      (
+        ca_country = 'United States'
+          AND
+          ca_state IN ('ST7', 'ST8', 'ST9')
+          AND ws_net_profit BETWEEN 500 AND 2500
+      )
+  )
+GROUP BY r_reason_desc
+ORDER BY substr(r_reason_desc, 1, 20)
+  , avg(ws_quantity)
+  , avg(wr_refunded_cash)
+  , avg(wr_fee)
+LIMIT 100"""
+
+  // q91: demographics pairs fitted to the derived domains ('Unknown' education does
+  // not exist -> 'Primary'; 'W' -> 'D'); hd_buy_potential LIKE fitted to 'unknown%'
+  private val q91 = """
+SELECT
+  cc_call_center_id Call_Center,
+  cc_name Call_Center_Name,
+  cc_manager Manager,
+  sum(cr_net_loss) Returns_Loss
+FROM
+  call_center, catalog_returns, date_dim, customer_ds, customer_address,
+  customer_demographics, household_demographics
+WHERE
+  cr_call_center_sk = cc_call_center_sk
+    AND cr_returned_date_sk = d_date_sk
+    AND cr_returning_customer_sk = c_customer_sk
+    AND cd_demo_sk = c_current_cdemo_sk
+    AND hd_demo_sk = c_current_hdemo_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND d_year = 1998
+    AND d_moy = 11
+    AND ((cd_marital_status = 'M' AND cd_education_status = 'Primary')
+    OR (cd_marital_status = 'D' AND cd_education_status = '4 yr Degree'))
+    AND hd_buy_potential LIKE 'unknown%'
+    AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status, cd_education_status
+ORDER BY sum(cr_net_loss) DESC"""
+
+  // q92: manufact id folded to 0..99 (350 -> 50); interval pre-resolved; the
+  // backtick alias becomes a plain identifier
+  private val q92 = """
+SELECT sum(ws_ext_discount_amt) AS excess_discount_amount
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 50
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt >
+  (
+    SELECT 1.3 * avg(ws_ext_discount_amt)
+    FROM web_sales, date_dim
+    WHERE ws_item_sk = i_item_sk
+      AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+      AND d_date_sk = ws_sold_date_sk
+  )
+ORDER BY sum(ws_ext_discount_amt)
+LIMIT 100"""
+
   private val bodies: Map[String, String] = Map(
     "tpcds_q3" -> q3, "tpcds_q6" -> q6, "tpcds_q27" -> q27, "tpcds_q34" -> q34,
     "tpcds_q42" -> q42, "tpcds_q51" -> q51, "tpcds_q52" -> q52, "tpcds_q55" -> q55,
@@ -747,7 +2746,19 @@ FROM store_sales"""
     "tpcds_q79" -> q79, "tpcds_q98" -> q98,
     "tpcds_q10" -> q10m, "tpcds_q43" -> q43, "tpcds_q46" -> q46, "tpcds_q53" -> q53,
     "tpcds_q59" -> q59, "tpcds_q63" -> q63, "tpcds_q65" -> q65, "tpcds_q89" -> q89,
-    "tpcds_ss_max" -> ssMax)
+    "tpcds_ss_max" -> ssMax,
+    "tpcds_q1" -> q1, "tpcds_q2" -> q2, "tpcds_q9" -> q9, "tpcds_q21" -> q21,
+    "tpcds_q25" -> q25, "tpcds_q29" -> q29, "tpcds_q31" -> q31, "tpcds_q37" -> q37,
+    "tpcds_q50" -> q50, "tpcds_q82" -> q82, "tpcds_q88" -> q88, "tpcds_q93" -> q93,
+    "tpcds_q97" -> q97,
+    "tpcds_q13" -> q13, "tpcds_q15" -> q15, "tpcds_q20" -> q20, "tpcds_q22" -> q22,
+    "tpcds_q32" -> q32, "tpcds_q45" -> q45, "tpcds_q48" -> q48, "tpcds_q58" -> q58,
+    "tpcds_q69" -> q69, "tpcds_q86" -> q86, "tpcds_q87" -> q87, "tpcds_q96" -> q96,
+    "tpcds_q5" -> q5, "tpcds_q26" -> q26, "tpcds_q30" -> q30, "tpcds_q33" -> q33,
+    "tpcds_q40" -> q40, "tpcds_q56" -> q56, "tpcds_q60" -> q60, "tpcds_q61" -> q61,
+    "tpcds_q71" -> q71, "tpcds_q77" -> q77, "tpcds_q78" -> q78, "tpcds_q80" -> q80,
+    "tpcds_q81" -> q81, "tpcds_q83" -> q83, "tpcds_q85" -> q85, "tpcds_q91" -> q91,
+    "tpcds_q92" -> q92)
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>
