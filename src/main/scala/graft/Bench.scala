@@ -68,6 +68,12 @@ object Bench {
     "tpcds_q5", "tpcds_q26", "tpcds_q30", "tpcds_q33", "tpcds_q40", "tpcds_q56",
     "tpcds_q60", "tpcds_q61", "tpcds_q71", "tpcds_q77", "tpcds_q78", "tpcds_q80",
     "tpcds_q81", "tpcds_q83", "tpcds_q85", "tpcds_q91", "tpcds_q92",
+    "tpcds_q4", "tpcds_q11", "tpcds_q16", "tpcds_q17", "tpcds_q18", "tpcds_q28",
+    "tpcds_q35", "tpcds_q38", "tpcds_q39a", "tpcds_q44", "tpcds_q47", "tpcds_q49",
+    "tpcds_q57", "tpcds_q62", "tpcds_q70", "tpcds_q75", "tpcds_q90", "tpcds_q94",
+    "tpcds_q99",
+    "tpcds_q8", "tpcds_q41", "tpcds_q54", "tpcds_q66", "tpcds_q72", "tpcds_q84",
+    "tpcds_q95",
     "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1", "ssb_q4_2", "ssb_q4_3")
 
   def main(args: Array[String]): Unit = {
