@@ -74,6 +74,11 @@ object Bench {
     "tpcds_q99",
     "tpcds_q8", "tpcds_q41", "tpcds_q54", "tpcds_q66", "tpcds_q72", "tpcds_q84",
     "tpcds_q95",
+    "tpcds_q14a", "tpcds_q14b", "tpcds_q23a", "tpcds_q23b", "tpcds_q24a",
+    "tpcds_q24b", "tpcds_q64", "tpcds_q76", "tpcds_q39b",
+    "tpcds_q5a", "tpcds_q10a", "tpcds_q18a", "tpcds_q22a", "tpcds_q27a",
+    "tpcds_q35a", "tpcds_q36a", "tpcds_q51a", "tpcds_q67a", "tpcds_q70a",
+    "tpcds_q77a", "tpcds_q80a", "tpcds_q86a",
     "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1", "ssb_q4_2", "ssb_q4_3")
 
   def main(args: Array[String]): Unit = {
