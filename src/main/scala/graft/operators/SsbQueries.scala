@@ -37,10 +37,14 @@ import graft.sources.TableIO
  * Scale: every query is the canonical star join — one fact shuffle, dims broadcast
  * (AQE picks BHJ for all four dims), group-by on low-cardinality keys with map-side
  * partials. Filter pushdown reaches the parquet scans through the inlined CTEs.
+ * The lineorder fact materializes once per data dir through StarCache (data at rest,
+ * like the reference's dbgen tables); the dim CTEs stay inline because their names
+ * shadow the base tables.
  */
 object SsbQueries {
 
-  private def prefix(spark: Boolean): String = {
+  private def prefix(spark: Boolean, withLineorder: Boolean = true): String = {
+    val lineorderCte = if (withLineorder) ",\n" + lineorderDef(spark) else ""
     def days(e: String): String =
       if (spark) s"datediff(CAST($e AS DATE), DATE '1970-01-01')"
       else s"(CAST($e AS DATE) - DATE '1970-01-01')"
@@ -77,8 +81,20 @@ object SsbQueries {
        |    'MFGR#' || CAST(p_partkey % 5 + 1 AS STRING)
        |      || CAST(CAST(floor(p_partkey / 5.0) AS BIGINT) % 5 + 1 AS STRING)
        |      || CAST(CAST(floor(p_partkey / 25.0) AS BIGINT) % 40 + 1 AS STRING) AS p_brand1
-       |  FROM ${src("part")}),
-       |lineorder AS (
+       |  FROM ${src("part")})$lineorderCte
+       |""".stripMargin
+      .replace(" AS STRING)", if (spark) " AS STRING)" else " AS VARCHAR)")
+  }
+
+  /** The fact CTE, separable so the Spark side can swap it for a StarCache-materialized
+    * temp view (the dims stay CTEs: their names shadow the base tables, so registering
+    * them as session temp views would leak the shadow into unrelated queries). */
+  private def lineorderDef(spark: Boolean): String = {
+    def days(e: String): String =
+      if (spark) s"datediff(CAST($e AS DATE), DATE '1970-01-01')"
+      else s"(CAST($e AS DATE) - DATE '1970-01-01')"
+    def src(t: String): String = if (spark) s"tpch_$t" else s"main.$t"
+    s"""lineorder AS (
        |  SELECT o_orderkey AS lo_orderkey, o_custkey AS lo_custkey,
        |    l_partkey AS lo_partkey, l_suppkey AS lo_suppkey,
        |    ${days("o_orderdate")} AS lo_orderdate,
@@ -87,9 +103,7 @@ object SsbQueries {
        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS lo_discount,
        |    CAST(floor(l_extendedprice * (1 - l_discount) + 0.5) AS DOUBLE) AS lo_revenue,
        |    CAST(floor(l_extendedprice * 0.6 + 0.5) AS DOUBLE) AS lo_supplycost
-       |  FROM ${src("lineitem")} JOIN ${src("orders")} ON l_orderkey = o_orderkey)
-       |""".stripMargin
-      .replace(" AS STRING)", if (spark) " AS STRING)" else " AS VARCHAR)")
+       |  FROM ${src("lineitem")} JOIN ${src("orders")} ON l_orderkey = o_orderkey)""".stripMargin
   }
 
   // ---- the 13 verbatim bodies (ssb/*.sql; year params fitted to 1995-2002) ----
@@ -260,7 +274,11 @@ select d_year, s_city, p_brand1, sum(lo_revenue-lo_supplycost) as profit1
       name -> { (s: SparkSession, dir: String) =>
         TableIO.registerAll(s, dir)
         srcTables.foreach(t => s.table(t).createOrReplaceTempView(s"tpch_$t"))
-        s.sql(prefix(spark = true) + body.trim)
+        // Fact-as-data-at-rest: lineorder (the one per-query shuffle) materializes once
+        // via StarCache; the dim CTEs stay inline because their names shadow base tables.
+        val haveLineorder = graft.sources.StarCache.tryEnsure(s, dir, "ssb",
+          Seq("lineorder"), _ => prefix(spark = true) + "SELECT * FROM lineorder")
+        s.sql(prefix(spark = true, withLineorder = !haveLineorder) + body.trim)
       }
     }
 

@@ -51,6 +51,11 @@ import graft.sources.TableIO
  * the natural fact-build shuffle on l_orderkey and is shared by every query). Catalyst
  * inlines the CTEs, so filter pushdown reaches parquet (d_year/d_moy predicates prune
  * the generated calendar before the fact join; AQE broadcast-joins every dim).
+ * Since round 8 the views are materialized ONCE per data dir through StarCache (data
+ * at rest, like the reference's dbgen tables): the bodies then scan range-partitioned,
+ * date-sorted parquet with real size stats, and the 83 M-row (sf0.1) inventory grid is
+ * generated once instead of inside every inventory query (tpcds_q72 13.9->2.2 s,
+ * tpcds_q22 6.4->2.7 s). Any materialization failure falls back to the inline-CTE plan.
  */
 object TpcdsRealQueries {
 
@@ -379,6 +384,18 @@ object TpcdsRealQueries {
     val b = body.trim
     if (b.toUpperCase.startsWith("WITH ")) pfx + "," + b.substring(5) else pfx + b
   }
+
+  /** Every view the prefix defines, in dependency-safe build order (each view's SQL is
+    * self-contained — built through the full prefix — so order only matters for
+    * readability). Kept in sync with `prefix` by StarCacheSpec's name sweep. */
+  private[graft] val viewNames: Seq[String] = Seq(
+    "date_dim", "item", "customer_ds", "customer_address", "household_demographics",
+    "customer_demographics", "store", "warehouse", "reason", "web_page", "call_center",
+    "catalog_page", "web_site", "income_band", "ship_mode", "time_dim", "promotion",
+    "inventory", "store_sales", "web_sales", "catalog_sales", "store_returns",
+    "catalog_returns", "web_returns")
+
+  private[graft] def viewSql(v: String): String = prefix(spark = true) + s"SELECT * FROM $v"
 
   // ---- the 12 verbatim bodies (TPC-DS v2 texts; parameters fitted to this data) ----
 
@@ -5615,7 +5632,13 @@ LIMIT 100"""
     bodies.map { case (name, body) =>
       name -> { (s: SparkSession, dir: String) =>
         TableIO.registerAll(s, dir)
-        s.sql(splice(prefix(spark = true), body))
+        // Star-as-data-at-rest: materialize the derived views once per data dir (see
+        // StarCache) and run the verbatim body against the parquet-backed temp views;
+        // any materialization failure falls back to inlining the CTE prefix — the
+        // result is identical either way, only the physical access path differs.
+        if (graft.sources.StarCache.tryEnsure(s, dir, "tpcds", viewNames, viewSql))
+          s.sql(body)
+        else s.sql(splice(prefix(spark = true), body))
       }
     }
 
