@@ -100,6 +100,11 @@ object StarCache {
           if (!fs.rename(tmp, basePath)) fs.delete(tmp, true)
         }
         if (fs.exists(done)) {
+          // Plain temp views over the parquet. Measured dead end, for the record: CBO
+          // (catalog tables + ANALYZE FOR ALL COLUMNS + cbo.joinReorder) was tried here
+          // and REGRESSED the pack — tpcds_q72 2.1->4.9 s, tpcds_q22 2.7->3.6 s at
+          // sf0.1, plus ~25 s/session of stats collection — so the file-stats +
+          // AQE-runtime planning Spark does by default stays.
           views.foreach { v =>
             spark.read.parquet(new Path(basePath, v).toString).createOrReplaceTempView(v)
           }
