@@ -22,6 +22,10 @@ object GraftSession {
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // AQE starts wide and coalesces: big shuffles keep 8x cores partitions (smaller
+      // per-task sorts -> less spill on 100 TB-class SMJs), small ones coalesce back to
+      // ~advisory size so the extra granularity costs nothing when data is small.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus * 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
