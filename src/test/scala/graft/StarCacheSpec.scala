@@ -42,6 +42,60 @@ class StarCacheSpec extends AnyFunSuite {
       TpcdsRealQueries.viewSql))
   }
 
+  test("a changed source listing rotates the cache instead of serving stale rows") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_starstamp")
+    for (t <- TableIO.tableNames)
+      copyTree(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    TableIO.registerAll(spark, dir.toString)
+    assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+      TpcdsRealQueries.viewSql))
+    val before = spark.table("item").count()
+    // halve part -> item must shrink after re-ensure, because the stamp (name, length,
+    // mtime of every file) rotates the cache path; a stale cache would keep serving
+    // the old count
+    val partDir = dir.resolve("part.parquet")
+    val halved = TableIO.part(spark, dir.toString).where("p_partkey % 2 = 0")
+      .localCheckpoint() // detach from the files about to be overwritten
+    deleteTree(partDir)
+    halved.write.parquet(partDir.toString)
+    TableIO.registerAll(spark, dir.toString)
+    assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+      TpcdsRealQueries.viewSql))
+    val after = spark.table("item").count()
+    assert(after < before, s"item count $before -> $after: cache did not rotate")
+    deleteTree(dir)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(p => copyTree(p, dst.resolve(p.getFileName)))
+    } else Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteTree)
+    Files.deleteIfExists(p)
+  }
+
+  test("SSB's materialized lineorder serves the same aggregate as its CTE body") {
+    // ssb_q1_1 runs through SsbQueries.all, which materializes lineorder via StarCache;
+    // cross-check the revenue against a direct recomputation from the base tables
+    val viaStar = SparkEntry.queries("ssb_q1_1")(spark, sf).head().getDouble(0)
+    TableIO.registerAll(spark, sf)
+    val direct = spark.sql(
+      """SELECT sum(CAST(floor(l_extendedprice + 0.5) AS DOUBLE)
+        |         * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE extract(year FROM o_orderdate) = 1996
+        |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 1 AND 3
+        |  AND CAST(l_quantity AS INT) < 25""".stripMargin).head().getDouble(0)
+    assert(viaStar == direct)
+  }
+
   test("tryEnsure is fail-soft: bad input reports false instead of throwing") {
     assert(!StarCache.tryEnsure(spark, "/nonexistent/dir", "tpcds",
       TpcdsRealQueries.viewNames, TpcdsRealQueries.viewSql))
