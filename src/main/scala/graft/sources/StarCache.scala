@@ -59,11 +59,17 @@ object StarCache {
   private def stamp(spark: SparkSession, sfDir: String): String = {
     val p = new Path(sfDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).sortBy(_.getPath.getName).map { st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    // RECURSIVE listing: a source table that is a directory of part-files must rotate
+    // the stamp when any file inside changes, even if the directory entry itself keeps
+    // its mtime — the same staleness class the MV freshness gate was bitten by (r6).
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      files += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
     }
     java.security.MessageDigest.getInstance("MD5")
-      .digest((sfDir + "|" + parts.mkString(",")).getBytes("UTF-8"))
+      .digest((sfDir + "|" + files.sorted.mkString(",")).getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
   }
 
