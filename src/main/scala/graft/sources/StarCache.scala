@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
 import scala.util.control.NonFatal
@@ -20,43 +21,89 @@ import org.apache.spark.sql.SparkSession
  * charges every inventory query a full grid regeneration through a row-by-row
  * nested-loop generator; materialized once, the same rows come back through the
  * vectorized parquet reader with column pruning, predicate pushdown, and row-group
- * min/max skipping (facts are range-partitioned and sorted on their date key), and
- * the scan carries real file-size statistics for AQE's broadcast/skew decisions.
+ * min/max skipping, and the scan carries real file-size statistics for AQE's
+ * broadcast/skew decisions.
  *
- * Cache layout: `<java.io.tmpdir>/graft_star/v<Version>_<star>_<stamp>/<view>/`,
- * where `stamp` hashes the source directory listing (name, length, mtime of every
- * file) — regenerated test data or a changed view definition (bump [[Version]])
- * lands in a fresh directory rather than silently serving stale rows. Builds are
- * atomic: views are written under a nonce-named sibling that is renamed into place
- * only after a `_STAR_COMPLETE` marker is written inside it; a lost rename race
- * discards the duplicate build and reuses the winner's.
+ * Physical layout, chosen per view:
+ *  - `inventory` and `catalog_sales` are BUCKETED tables: 128 buckets hashed on the
+ *    item surrogate key, one file per bucket, sorted inside each file on
+ *    (item, date). The biggest single join in the whole TPC-DS pack — q72's
+ *    catalog_sales x inventory on cs_item_sk = inv_item_sk, written FIRST in the
+ *    query's join order so no dim reduces either side — then arrives co-partitioned
+ *    AND pre-sorted: no exchange and no sort on an ~830 M-row (sf1) side that
+ *    previously sort-spilled. One file per bucket is load-bearing: Spark only
+ *    trusts bucket sort order when each bucket is a single file (see
+ *    GraftSession's spark.sql.legacy.bucketedTableScan.outputOrdering). Scans that
+ *    gain nothing from the bucket layout are released from it at plan time by
+ *    spark.sql.sources.bucketing.autoBucketedScan (on by default), so full-table
+ *    aggregates keep normal split parallelism.
+ *  - the remaining fact views are range-partitioned + sorted on their date key
+ *    (date-band predicates skip whole files and row groups);
+ *  - dims are a single file each.
+ *
+ * Cache layout: `<java.io.tmpdir>/graft_star/v<Version>_<star>_<sfHash>_<stamp>/<view>/`,
+ * where `sfHash` identifies the source directory (several scale factors coexist) and
+ * `stamp` hashes its recursive listing (name, length, mtime of every file) —
+ * regenerated test data or a changed view definition (bump [[Version]]) lands in a
+ * fresh directory rather than silently serving stale rows. The stamp listing is
+ * cached per source dir for `spark.graft.star.stampTtlMs` (default 60 s): one
+ * O(files) metadata scan per TTL window instead of one per query call, the same
+ * bounded-staleness trade the MV freshness gate makes (plans.MaterializedViews).
+ * Builds are atomic: views are written under a nonce-named sibling that is renamed
+ * into place only after a `_STAR_COMPLETE` marker is written inside it; a lost
+ * rename race discards the duplicate build and reuses the winner's. Superseded
+ * stamps for the same (star, source dir), dead layout versions, and crash-stranded
+ * build nonces older than an hour are swept on the build path, so debris does not
+ * accumulate across stamp rotations.
  *
  * Fail-soft by contract: [[tryEnsure]] returns false on ANY failure and the caller
  * keeps its inline-CTE plan — materialization is an optimization, never a
  * correctness dependency.
  */
 object StarCache {
-  /** Bump when any materialized view's defining SQL changes. */
-  private val Version = 1
+  /** Bump when any materialized view's defining SQL OR the physical layout changes
+    * (v2: inventory/catalog_sales became item-bucketed tables). */
+  private val Version = 2
 
-  // (session identity, cache base) pairs already registered as temp views — the
-  // per-query fast path must not pay 24 parquet footer reads per call.
-  private val registered = TrieMap.empty[(Int, String), Boolean]
+  /** Buckets for the item-clustered facts. 128 = 4 waves on local[32]; at the
+    * 1000-executor design point the same layout still co-partitions the q72-class
+    * item joins (bucket count is a one-line rev with a [[Version]] bump). */
+  private val Buckets = 128
+
+  // (session nonce, cache base) pairs already registered in that session — the
+  // per-query fast path must not pay 24 parquet footer reads per call. Keyed by a
+  // UUID stored in the session's own conf, not identityHashCode: a GC'd session's
+  // hash can alias a live one and would skip registration for the wrong session.
+  private val registered = TrieMap.empty[(String, String), Boolean]
+
+  /** Test hook: number of real recursive listings performed (see stampTtlMs). */
+  private[graft] val stampListings = new AtomicLong(0)
+  private val stampCache = TrieMap.empty[String, (Long, String)]
 
   /** Fact views get range-partitioned + sorted on their date surrogate key so
     * date-band predicates (q21/q37/q82-style) skip whole files and row groups;
-    * everything else is a dim written as a single file. */
+    * everything else not bucketed is a dim written as a single file. */
   private val sortKey = Map(
-    "inventory"       -> "inv_date_sk",
     "store_sales"     -> "ss_sold_date_sk",
     "web_sales"       -> "ws_sold_date_sk",
-    "catalog_sales"   -> "cs_sold_date_sk",
     "store_returns"   -> "sr_returned_date_sk",
     "catalog_returns" -> "cr_returned_date_sk",
     "web_returns"     -> "wr_returned_date_sk",
     "lineorder"       -> "lo_orderdate")
 
-  private def stamp(spark: SparkSession, sfDir: String): String = {
+  /** Item-bucketed facts: bucket column and in-file sort order. */
+  private val bucketSpec = Map(
+    "inventory"     -> ("inv_item_sk", Seq("inv_item_sk", "inv_date_sk")),
+    "catalog_sales" -> ("cs_item_sk", Seq("cs_item_sk", "cs_sold_date_sk")))
+
+  private def sessionNonce(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.star.sessionNonce").getOrElse {
+      val n = UUID.randomUUID().toString
+      spark.conf.set("spark.graft.star.sessionNonce", n)
+      n
+    }
+
+  private def listingStamp(spark: SparkSession, sfDir: String): String = {
     val p = new Path(sfDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // RECURSIVE listing: a source table that is a directory of part-files must rotate
@@ -68,42 +115,110 @@ object StarCache {
       val st = it.next()
       files += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
     }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((sfDir + "|" + files.sorted.mkString(",")).getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    stampListings.incrementAndGet()
+    md5hex(sfDir + "|" + files.sorted.mkString(","))
   }
+
+  /** The listing above is O(all source files) of driver metadata calls — per QUERY
+    * that is a driver pause at the 100 TB design point. Amortize it: one listing per
+    * (source dir, TTL window); bounded staleness ≤ TTL, and strict-freshness callers
+    * set the TTL to 0. */
+  private def stamp(spark: SparkSession, sfDir: String): String = {
+    val ttl = spark.conf.getOption("spark.graft.star.stampTtlMs").map(_.toLong)
+      .getOrElse(60000L)
+    if (ttl <= 0L) listingStamp(spark, sfDir)
+    else {
+      val now = System.currentTimeMillis()
+      stampCache.get(sfDir) match {
+        case Some((at, s)) if now - at < ttl => s
+        case _ =>
+          val s = listingStamp(spark, sfDir)
+          stampCache.put(sfDir, (now, s))
+          s
+      }
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Best-effort sweep of dead cache dirs for this star: superseded stamps of the
+    * same source dir, dirs from older layout [[Version]]s, and build nonces stranded
+    * by a crash (age-guarded so a concurrent in-flight build is left alone). Runs on
+    * the build path only — never on the per-query fast path. */
+  private def sweep(fs: org.apache.hadoop.fs.FileSystem, root: Path, star: String,
+                    sfHash: String, current: String): Unit =
+    try {
+      if (!fs.exists(root)) return
+      val hour = 60L * 60 * 1000
+      val now = System.currentTimeMillis()
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        val isThisStar = name.matches(s"v\\d+_${java.util.regex.Pattern.quote(star)}_.*")
+        if (isThisStar && name != current) {
+          val dead =
+            if (name.contains(".build-")) now - st.getModificationTime > hour
+            else if (!name.startsWith(s"v${Version}_")) true // dead layout version
+            else name.startsWith(s"v${Version}_${star}_${sfHash}_") // superseded stamp
+          if (dead) fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case NonFatal(_) => () }
 
   /**
    * Materialize `views` (defining SQL supplied by `sql`, which may reference the base
    * temp views — the caller must have registered them) once per (source-data stamp,
-   * star name), then register each as a temp view over its parquet. Returns false —
-   * leaving the caller on its inline-CTE fallback — if anything goes wrong.
+   * star name), then register each — as a bucketed catalog table for the item-
+   * clustered facts, as a temp view over plain parquet for everything else. Returns
+   * false — leaving the caller on its inline-CTE fallback — if anything goes wrong.
    */
   def tryEnsure(spark: SparkSession, sfDir: String, star: String, views: Seq[String],
                 sql: String => String): Boolean =
     try {
       if (sys.env.contains("SPARK_GRAFT_NO_STAR")) return false // A/B: force the CTE path
-      val base =
-        s"${System.getProperty("java.io.tmpdir")}/graft_star/v${Version}_${star}_${stamp(spark, sfDir)}"
-      val key = (System.identityHashCode(spark), base)
+      val sfHash = md5hex(sfDir)
+      val dirName = s"v${Version}_${star}_${sfHash}_${stamp(spark, sfDir)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_star/$dirName"
+      val key = (sessionNonce(spark), base)
       if (registered.contains(key)) true
       else {
         val basePath = new Path(base)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val done = new Path(basePath, "_STAR_COMPLETE")
         if (!fs.exists(done)) {
+          sweep(fs, basePath.getParent, star, sfHash, dirName)
           val tmp = new Path(s"$base.build-${UUID.randomUUID().toString.take(8)}")
           views.foreach { v =>
             val df = spark.sql(sql(v))
-            val out = sortKey.get(v) match {
-              case Some(k) => df.repartitionByRange(df.col(k)).sortWithinPartitions(k)
-              case None    => df.coalesce(1)
+            val out = new Path(tmp, v).toString
+            (bucketSpec.get(v), sortKey.get(v)) match {
+              case (Some((bucketCol, sortCols)), _) =>
+                // One file per bucket (repartition count == bucket count, same hash):
+                // the single-file-per-bucket invariant is what lets the scan publish
+                // its sort order and the q72-class SMJ skip both exchange AND sort.
+                val tbl = s"graft_star_build_$v"
+                spark.sql(s"DROP TABLE IF EXISTS $tbl")
+                df.repartition(Buckets, df.col(bucketCol))
+                  .write.mode("overwrite")
+                  .bucketBy(Buckets, bucketCol).sortBy(sortCols.head, sortCols.tail: _*)
+                  .option("path", out).format("parquet").saveAsTable(tbl)
+                spark.sql(s"DROP TABLE IF EXISTS $tbl") // external: data stays put
+              case (_, Some(k)) =>
+                df.repartitionByRange(df.col(k)).sortWithinPartitions(k)
+                  .write.mode("overwrite").parquet(out)
+              case _ =>
+                df.coalesce(1).write.mode("overwrite").parquet(out)
             }
-            out.write.mode("overwrite").parquet(new Path(tmp, v).toString)
           }
           fs.create(new Path(tmp, "_STAR_COMPLETE"), true).close()
           // Atomic publish; losing the rename race means another build won — use theirs.
-          if (!fs.rename(tmp, basePath)) fs.delete(tmp, true)
+          // rename() onto an existing dir can also "succeed" by moving tmp INSIDE it,
+          // so delete tmp unconditionally wherever it still exists.
+          fs.rename(tmp, basePath)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          val tmpInside = new Path(basePath, tmp.getName)
+          if (fs.exists(tmpInside)) fs.delete(tmpInside, true)
         }
         if (fs.exists(done)) {
           // Plain temp views over the parquet. Measured dead end, for the record: CBO
@@ -112,7 +227,22 @@ object StarCache {
           // sf0.1, plus ~25 s/session of stats collection — so the file-stats +
           // AQE-runtime planning Spark does by default stays.
           views.foreach { v =>
-            spark.read.parquet(new Path(basePath, v).toString).createOrReplaceTempView(v)
+            val loc = new Path(basePath, v).toString
+            bucketSpec.get(v) match {
+              case Some((bucketCol, sortCols)) =>
+                // The bucket layout only travels through the catalog, so these two
+                // become external catalog tables (in-memory catalog: per-session DDL
+                // over the shared files). A leftover temp view would shadow the table.
+                spark.catalog.dropTempView(v)
+                spark.sql(s"DROP TABLE IF EXISTS $v")
+                val schema = spark.read.parquet(loc).schema.toDDL
+                spark.sql(
+                  s"""CREATE TABLE $v ($schema) USING parquet
+                     |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})
+                     |INTO $Buckets BUCKETS LOCATION '$loc'""".stripMargin)
+              case None =>
+                spark.read.parquet(loc).createOrReplaceTempView(v)
+            }
           }
           registered.put(key, true)
           true

@@ -47,24 +47,91 @@ class StarCacheSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_starstamp")
     for (t <- TableIO.tableNames)
       copyTree(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
-    TableIO.registerAll(spark, dir.toString)
-    assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
-      TpcdsRealQueries.viewSql))
-    val before = spark.table("item").count()
-    // halve part -> item must shrink after re-ensure, because the stamp (name, length,
-    // mtime of every file) rotates the cache path; a stale cache would keep serving
-    // the old count
-    val partDir = dir.resolve("part.parquet")
-    val halved = TableIO.part(spark, dir.toString).where("p_partkey % 2 = 0")
-      .localCheckpoint() // detach from the files about to be overwritten
-    deleteTree(partDir)
-    halved.write.parquet(partDir.toString)
-    TableIO.registerAll(spark, dir.toString)
-    assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
-      TpcdsRealQueries.viewSql))
-    val after = spark.table("item").count()
-    assert(after < before, s"item count $before -> $after: cache did not rotate")
+    // Strict freshness for this test: the default TTL would (by design) serve the
+    // cached stamp for 60 s and mask the rotation this test exists to prove.
+    spark.conf.set("spark.graft.star.stampTtlMs", "0")
+    try {
+      TableIO.registerAll(spark, dir.toString)
+      assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      val before = spark.table("item").count()
+      // halve part -> item must shrink after re-ensure, because the stamp (name, length,
+      // mtime of every file) rotates the cache path; a stale cache would keep serving
+      // the old count
+      val partDir = dir.resolve("part.parquet")
+      val halved = TableIO.part(spark, dir.toString).where("p_partkey % 2 = 0")
+        .localCheckpoint() // detach from the files about to be overwritten
+      deleteTree(partDir)
+      halved.write.parquet(partDir.toString)
+      TableIO.registerAll(spark, dir.toString)
+      assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      val after = spark.table("item").count()
+      assert(after < before, s"item count $before -> $after: cache did not rotate")
+    } finally spark.conf.unset("spark.graft.star.stampTtlMs")
     deleteTree(dir)
+  }
+
+  test("stamp TTL: repeated tryEnsure pays one listing per window, rotation still " +
+      "detected after expiry") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_starttl")
+    for (t <- TableIO.tableNames)
+      copyTree(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    TableIO.registerAll(spark, dir.toString)
+    spark.conf.set("spark.graft.star.stampTtlMs", "300000") // long TTL: amortization arm
+    try {
+      assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      val n0 = StarCache.stampListings.get()
+      for (_ <- 1 to 10)
+        assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+          TpcdsRealQueries.viewSql))
+      assert(StarCache.stampListings.get() == n0,
+        "10 tryEnsure calls inside the TTL window re-listed the source dir")
+      // expiry arm: a short TTL + a data change must rotate within one expiry
+      spark.conf.set("spark.graft.star.stampTtlMs", "1")
+      val before = spark.table("item").count()
+      val partDir = dir.resolve("part.parquet")
+      val halved = TableIO.part(spark, dir.toString).where("p_partkey % 2 = 0")
+        .localCheckpoint()
+      deleteTree(partDir)
+      halved.write.parquet(partDir.toString)
+      Thread.sleep(5) // let the 1 ms TTL lapse
+      TableIO.registerAll(spark, dir.toString)
+      assert(StarCache.tryEnsure(spark, dir.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      assert(spark.table("item").count() < before, "TTL expiry did not rotate the stamp")
+    } finally spark.conf.unset("spark.graft.star.stampTtlMs")
+    deleteTree(dir)
+  }
+
+  test("the item-bucketed facts join exchange-free and sort-free on the item key") {
+    TableIO.registerAll(spark, sf)
+    assert(StarCache.tryEnsure(spark, sf, "tpcds", TpcdsRealQueries.viewNames,
+      TpcdsRealQueries.viewSql))
+    // q72's shape: catalog_sales x inventory on item alone, the largest SMJ in the
+    // DS pack. Bucket layout must make it exchange-free AND sort-free (one file per
+    // bucket publishes the (item, date) sort order). Broadcast is disabled so the
+    // planner can't sidestep the SMJ at this tiny SF — at real SF it IS an SMJ.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = spark.sql(
+        """SELECT count(*) AS c FROM catalog_sales JOIN inventory
+          |ON cs_item_sk = inv_item_sk AND inv_quantity_on_hand < cs_quantity"""
+          .stripMargin).queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected an SMJ with broadcast off:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cs_item_sk"),
+        s"catalog_sales side shuffled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(inv_item_sk"),
+        s"inventory side shuffled:\n$plan")
+      assert(!plan.contains("Sort [cs_item_sk"), s"catalog_sales side re-sorted:\n$plan")
+      assert(!plan.contains("Sort [inv_item_sk"), s"inventory side re-sorted:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
