@@ -76,6 +76,7 @@ object Bench {
     "tpcds_q95",
     "tpcds_q14a", "tpcds_q14b", "tpcds_q23a", "tpcds_q23b", "tpcds_q24a",
     "tpcds_q24b", "tpcds_q64", "tpcds_q76", "tpcds_q39b",
+    "tpcds_q14_v27", "tpcds_q24_v27",
     "tpcds_q5a", "tpcds_q10a", "tpcds_q18a", "tpcds_q22a", "tpcds_q27a",
     "tpcds_q35a", "tpcds_q36a", "tpcds_q51a", "tpcds_q67a", "tpcds_q70a",
     "tpcds_q77a", "tpcds_q80a", "tpcds_q86a",

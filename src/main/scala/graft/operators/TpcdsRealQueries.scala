@@ -12,7 +12,7 @@ import graft.sources.TableIO
  * DS query at. This object closes that: a deterministic DS star schema is derived from
  * the driver tables as views (store_sales/web_sales from lineitem x orders, date_dim a
  * generated calendar, item/customer/customer_address/demographics/store from the dims),
- * and 95 genuine TPC-DS query bodies run UNMODIFIED except for documented parameter
+ * and 119 genuine TPC-DS query bodies run UNMODIFIED except for documented parameter
  * fits to this data's domains plus the repo's standard round-at-the-edge hash
  * discipline: the full 21-query store-channel "modifiedQueries" subset the reference
  * actually drives (q3, q7, q10, q19, q27, q34, q42, q43, q46, q52, q53, q55, q59,
@@ -29,9 +29,13 @@ import graft.sources.TableIO
  * web_site dims, plus a twenty-six-query final tranche (q4, q8, q11, q16, q17,
  * q18, q28, q35, q38, q39a, q41, q44, q47, q49, q54, q57, q62, q66, q70, q72,
  * q75, q84, q90, q94, q95, q99) over ship-lag/ship-mode/income-band/quarter-name
- * extensions of the same views. Not carried: the six heaviest multi-intersect
- * monoliths (q14a/b, q23a/b, q24a/b, q64) and null-key q76 (structurally empty
- * here).
+ * extensions of the same views, plus the closing tranche that finished the full
+ * 103-file set: the multi-intersect monoliths (q14a/b, q23a/b, q24a/b, q64),
+ * null-key q76 (seeded with genuinely-null ss_customer_sk rows), q39b, and the
+ * complete v2.7.0 variant family — the 13 distinct rewrite bodies (q5a...q86a)
+ * and the two combined-body variant files q14.sql/q24.sql (keys tpcds_q14_v27/
+ * tpcds_q24_v27) — so the reference's tpcds/, tpcds-v2.7.0/, and
+ * tpcds-modifiedQueries/ resources are all covered with nothing left out.
  *
  * Money columns in the synthetic fact views are QUANTIZED to whole currency units
  * (floor(x+0.5), engine-identical including at .5): every money sum is then an exact
@@ -4448,6 +4452,116 @@ WHERE this_year.i_brand_id = last_year.i_brand_id2
 ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
 LIMIT 100"""
 
+  // q14 v2.7.0 variant (reference tpcds-v2.7.0/q14.sql:1, "the alternative form of
+  // q14a" — structurally the store-channel this-week/last-week compare with its own
+  // parameter set): runs with the text's OWN constants (base year 1998, week of
+  // Dec 16 — both weeks carry sales in this data, so no year/dom fit was needed,
+  // unlike q14a/b). The only deviation is the repo-standard one: last_year's output
+  // columns gain 2-suffixes because SELECT * over two same-named subqueries cannot
+  // land in parquet with duplicate column names.
+  private val q14V27CrossItems = """
+WITH cross_items AS
+(SELECT i_item_sk ss_item_sk
+  FROM item,
+    (SELECT
+      iss.i_brand_id brand_id,
+      iss.i_class_id class_id,
+      iss.i_category_id category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1998 AND 1998 + 2
+    INTERSECT
+    SELECT
+      ics.i_brand_id,
+      ics.i_class_id,
+      ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk
+      AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1998 AND 1998 + 2
+    INTERSECT
+    SELECT
+      iws.i_brand_id,
+      iws.i_class_id,
+      iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk
+      AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1998 AND 1998 + 2) x
+  WHERE i_brand_id = brand_id
+    AND i_class_id = class_id
+    AND i_category_id = category_id
+),
+    avg_sales AS
+  (SELECT avg(quantity * list_price) average_sales
+  FROM (
+         SELECT
+           ss_quantity quantity,
+           ss_list_price list_price
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1998 AND 1998 + 2
+         UNION ALL
+         SELECT
+           cs_quantity quantity,
+           cs_list_price list_price
+         FROM catalog_sales, date_dim
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1998 AND 1998 + 2
+         UNION ALL
+         SELECT
+           ws_quantity quantity,
+           ws_list_price list_price
+         FROM web_sales, date_dim
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1998 AND 1998 + 2) x)"""
+
+  private val q14V27 = q14V27CrossItems + """
+SELECT *
+FROM
+  (SELECT
+    'store' channel,
+    i_brand_id,
+    i_class_id,
+    i_category_id,
+    sum(ss_quantity * ss_list_price) sales,
+    count(*) number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk
+  FROM cross_items)
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_year = 1998 + 1 AND d_moy = 12 AND d_dom = 16)
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales
+  FROM avg_sales)) this_year,
+  (SELECT
+    'store' channel2,
+    i_brand_id i_brand_id2,
+    i_class_id i_class_id2,
+    i_category_id i_category_id2,
+    sum(ss_quantity * ss_list_price) sales2,
+    count(*) number_sales2
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk
+  FROM cross_items)
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_year = 1998 AND d_moy = 12 AND d_dom = 16)
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales
+  FROM avg_sales)) last_year
+WHERE this_year.i_brand_id = last_year.i_brand_id2
+  AND this_year.i_class_id = last_year.i_class_id2
+  AND this_year.i_category_id = last_year.i_category_id2
+ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
+LIMIT 100"""
+
   private val q23Prefix = """
 WITH frequent_ss_items AS
 (SELECT
@@ -4588,6 +4702,55 @@ FROM ssales)"""
   // selects the one derived store in market 8
   private val q24a = q24Body("red")
   private val q24b = q24Body("blue")
+
+  // q24 v2.7.0 variant (reference native-sql-engine/core/src/test/resources/
+  // tpcds-v2.7.0/q24.sql:1): adds the c_current_addr_sk = ca_address_sk condition
+  // ("did not exist in TPCDS v1.4") and a final ORDER BY. The addr equality pins the
+  // ca row to the customer's OWN address, so zip+country+addr reduce to a single
+  // customer residue class per store at tiny SF (all three derive from c_custkey) —
+  // dense at production SF, sparse here. Fits: s_market_id 8 -> 1 (the one market
+  // whose zip residue class carries sales-with-returns in this data) and color
+  // 'pale' -> 'hot' (that market's basket at the sf0.01 verification scale).
+  private val q24V27 = """
+WITH ssales AS
+(SELECT
+    c_last_name,
+    c_first_name,
+    s_store_name,
+    ca_state,
+    s_state,
+    i_color,
+    i_current_price,
+    i_manager_id,
+    i_units,
+    i_size,
+    sum(ss_net_paid) netpaid
+  FROM store_sales, store_returns, store, item, customer_ds, customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country = upper(ca_country)
+    AND s_zip = ca_zip
+    AND s_market_id = 1
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+    i_current_price, i_manager_id, i_units, i_size)
+SELECT
+  c_last_name,
+  c_first_name,
+  s_store_name,
+  sum(netpaid) paid
+FROM ssales
+WHERE i_color = 'hot'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid)
+FROM ssales)
+ORDER BY
+  c_last_name,
+  c_first_name,
+  s_store_name"""
 
   // q64: color set and price bands fitted to the derived lattices; the duplicate
   // cs2.* output names gain _2 suffixes (parquet cannot carry duplicate column
@@ -5626,7 +5789,8 @@ LIMIT 100"""
     "tpcds_q22a" -> q22a, "tpcds_q27a" -> q27a, "tpcds_q35a" -> q35a,
     "tpcds_q36a" -> q36a, "tpcds_q51a" -> q51a, "tpcds_q67a" -> q67a,
     "tpcds_q70a" -> q70a, "tpcds_q77a" -> q77a, "tpcds_q80a" -> q80a,
-    "tpcds_q86a" -> q86a)
+    "tpcds_q86a" -> q86a,
+    "tpcds_q14_v27" -> q14V27, "tpcds_q24_v27" -> q24V27)
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>
