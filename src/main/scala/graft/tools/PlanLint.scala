@@ -45,8 +45,10 @@ object PlanLint {
     "text_nb_lang", // class-cardinality totals frame (|languages| rows)
     // distributedCumSum's carry frame: a triangular non-equi self-join over the
     // one-row-PER-PARTITION totals (<= numRanges = 32 rows) — bounded by the
-    // partitioning config, not the data (AnalyticsOps.distributedCumSum)
-    "q_abc", "q_concurrency", "q_ks_drift", "corpus_overlap_minhash",
+    // partitioning config, not the data (AnalyticsOps.distributedCumSum). q_rfm
+    // rides the same carry frame three times (was masked by the pre-r9 lint's
+    // any-descendant-aggregate loophole; the frame itself was always bounded).
+    "q_abc", "q_concurrency", "q_ks_drift", "corpus_overlap_minhash", "q_rfm",
     // skyline phase 2: broadcast anti-join of the partition-pruned candidate
     // frontier against itself — quadratic only on ~O(frontier) survivors
     "q_skyline",
@@ -70,26 +72,39 @@ object PlanLint {
     p +: through.flatMap(walk)
   }
 
-  /** True when the subtree's output size is DATA-INDEPENDENT, so broadcasting it is
-    * never a scale risk:
-    *  - it contains a grouping-less (global) aggregate — a 1-row totals/stats frame
-    *    stays 1-row at 100 TB; or
-    *  - none of its leaves read a table (every leaf is a LocalTableScan / literal
-    *    Range) — a code-constant frame (e.g. the quantile list `qs.toDF("q")`)
-    *    whose cardinality is fixed by the program, not the data. */
-  private def boundedFrame(p: SparkPlan): Boolean = {
-    val nodes = walk(p)
-    val scalarFramed = nodes.exists {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _                    => false
-    }
-    def readsData(n: SparkPlan) = n match {
-      case _: org.apache.spark.sql.execution.FileSourceScanExec        => true
-      case _: org.apache.spark.sql.execution.RowDataSourceScanExec     => true
-      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
-      case _                                                           => false
-    }
-    scalarFramed || !nodes.exists(readsData)
+  /** True when the subtree's OUTPUT cardinality is DATA-INDEPENDENT, so broadcasting
+    * it is never a scale risk. Structural, root-down — a bounding operator must
+    * DOMINATE the output (sit between the root and every data-reading leaf), not
+    * merely exist somewhere in the subtree (bigTable JOIN scalarAgg contains a global
+    * aggregate, but its root output scales with bigTable):
+    *  - a grouping-less (global) aggregate bounds everything below it to 1 row;
+    *  - a global limit / top-N bounds everything below it to its literal k
+    *    (LocalLimit does NOT: k rows PER PARTITION scales with the partition count);
+    *  - leaves: LocalTableScan / Range are code-constant frames; file/table scans
+    *    are the data itself;
+    *  - every other operator is bounded only if ALL its inputs are (a join's output
+    *    scales with either input; a union's with their sum). */
+  private def boundedFrame(p: SparkPlan): Boolean = p match {
+    // AQE / reuse wrappers: look through
+    case a: AdaptiveSparkPlanExec => boundedFrame(a.executedPlan)
+    case q: QueryStageExec        => boundedFrame(q.plan)
+    case r: ReusedExchangeExec    => boundedFrame(r.child)
+    case r: ReusedSubqueryExec    => boundedFrame(r.child)
+    // bounding operators: cut off the subtree below
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec            => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec  => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec           => true
+    // data-reading leaves: unbounded by definition
+    case _: org.apache.spark.sql.execution.FileSourceScanExec            => false
+    case _: org.apache.spark.sql.execution.RowDataSourceScanExec         => false
+    case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec  => false
+    // code-constant leaves: cardinality fixed by the program, not the data
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _: org.apache.spark.sql.execution.RangeExec          => true
+    // everything else (joins, unions, projects, grouped aggregates, generates…):
+    // output is bounded only when every input is; unknown LEAVES stay conservative
+    case other => other.children.nonEmpty && other.children.forall(boundedFrame)
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,9 +120,15 @@ object PlanLint {
         val plan = df.queryExecution.executedPlan
         val planStr = plan.toString
         val nodes = walk(plan)
+        // The BUILD side is what gets broadcast: an unbounded build side is a scale
+        // killer no matter how small the stream side is (the advice round-8 case:
+        // broadcasting an unbounded frame while streaming a bounded one passed).
         val riskyBnlj = nodes.collect {
           case b: BroadcastNestedLoopJoinExec
-            if !boundedFrame(b.left) && !boundedFrame(b.right) => b
+            if !boundedFrame(b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+              case _                                                 => b.right
+            }) => b
         }
         val issues = Seq(
           (planStr.contains("CartesianProduct") && !allowCartesian(name)) ->
