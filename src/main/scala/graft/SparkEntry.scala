@@ -27,6 +27,7 @@ object SparkEntry {
       operators.GraphOps.all ++
       operators.Resample.all ++
       functions.ExpressionQueries.all ++
+      functions.EdgeCaseQueries.all ++
       operators.EventsQueries.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.GraphOps.oracles ++
       operators.Resample.oracles ++
       functions.ExpressionQueries.oracles ++
+      functions.EdgeCaseQueries.oracles ++
       operators.EventsQueries.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

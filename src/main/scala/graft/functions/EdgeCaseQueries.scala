@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.TableIO
+
+/**
+ * Per-function EDGE-CASE corpus — boundary enumeration for the §2.2 expression
+ * families, the graft analog of the per-function .sql edge files the reference
+ * inherits from Spark's sql-tests resources (gazelle_plugin: docs/
+ * Expressions-Compatibility.md:1 tracks exactly this surface). The family queries
+ * (q_string_funcs, q_date_funcs, q_try_funcs, …) prove each function on typical
+ * inputs; these prove the BOUNDARIES: null propagation and three-valued logic,
+ * arithmetic overflow through try_*, divide-by-zero, cast failure, string
+ * negative-index/truncation/empty edges, aggregates over empty and all-NULL
+ * input, the NOT IN + NULL trap, leap-day and month-clamp date arithmetic,
+ * decimal round-half-away-from-zero, and least/greatest NULL skipping.
+ *
+ * Every query is oracled against DuckDB on the same rows. Where the two engines'
+ * SQL dialects diverge the oracle text differs and the divergence is the
+ * documentation: e.g. Spark's concat() is NULL-absorbing (concat('a', NULL) IS
+ * NULL) while DuckDB's skips NULLs, so the oracle pins Spark's result as the
+ * contract with a literal CAST(NULL AS VARCHAR).
+ */
+object EdgeCaseQueries {
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    TableIO.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  // ---- null propagation + three-valued logic --------------------------------
+
+  private val nullArith = """
+    |SELECT l_orderkey AS k, l_linenumber AS ln,
+    |  CAST(NULL AS INT) + l_linenumber AS null_plus,
+    |  nullif(l_linenumber, 1) AS nif,
+    |  coalesce(nullif(l_linenumber, 1), -1) AS coal,
+    |  CASE WHEN CAST(NULL AS BOOLEAN) THEN 'then' ELSE 'else' END AS null_cond,
+    |  (CAST(NULL AS BOOLEAN) AND l_linenumber < 0) AS tvl_and,
+    |  (CAST(NULL AS BOOLEAN) OR l_linenumber >= 0) AS tvl_or,
+    |  (CAST(NULL AS INT) = CAST(NULL AS INT)) IS NULL AS null_eq_null
+    |FROM lineitem WHERE l_orderkey < 50 ORDER BY k, ln""".stripMargin
+
+  // ---- try_*: overflow, divide-by-zero, bad casts ----------------------------
+  // The oracle encodes the SEMANTICS (overflow -> NULL, /0 -> NULL, bad cast ->
+  // NULL) with explicit CASE arms, since DuckDB has no try_add/try_multiply.
+  // Spark 4 runs ANSI mode by default, so a bare / by zero THROWS: d0 shows the
+  // production-safe pattern — nullif-guard the divisor (identical in DuckDB).
+
+  private val trySpark = """
+    |SELECT l_orderkey AS k, l_linenumber AS ln,
+    |  try_add(9223372036854775807, CAST(l_linenumber AS BIGINT)) AS ta,
+    |  try_multiply(9223372036854775807, CAST(l_linenumber + 1 AS BIGINT)) AS tm,
+    |  try_divide(CAST(l_quantity AS DOUBLE), CAST(l_linenumber - 1 AS DOUBLE)) AS td,
+    |  CAST(l_quantity AS DOUBLE) / nullif(CAST(l_linenumber - 1 AS DOUBLE), 0.0) AS d0,
+    |  try_cast(CASE WHEN l_linenumber = 1 THEN 'abc'
+    |           ELSE CAST(l_linenumber AS STRING) END AS INT) AS tc
+    |FROM lineitem WHERE l_orderkey < 50 ORDER BY k, ln""".stripMargin
+
+  private val tryDuck = """
+    |SELECT l_orderkey AS k, l_linenumber AS ln,
+    |  CAST(NULL AS BIGINT) AS ta,
+    |  CAST(NULL AS BIGINT) AS tm,
+    |  CASE WHEN l_linenumber = 1 THEN NULL
+    |       ELSE CAST(l_quantity AS DOUBLE) / (l_linenumber - 1) END AS td,
+    |  CAST(l_quantity AS DOUBLE) / nullif(CAST(l_linenumber - 1 AS DOUBLE), 0.0) AS d0,
+    |  CASE WHEN l_linenumber = 1 THEN NULL ELSE l_linenumber END AS tc
+    |FROM lineitem WHERE l_orderkey < 50 ORDER BY k, ln""".stripMargin
+
+  // ---- string boundaries ------------------------------------------------------
+
+  private val stringsSpark = """
+    |SELECT c_custkey AS k,
+    |  substr(c_name, -3, 3) AS tail3,
+    |  lpad(c_name, 5, '#') AS lp5,
+    |  rpad(c_name, 3, '#') AS rp3,
+    |  instr(c_name, 'zzz') AS pos0,
+    |  c_mktsegment || CAST(NULL AS STRING) AS pipe_null,
+    |  concat(c_mktsegment, CAST(NULL AS STRING)) AS concat_null,
+    |  repeat(c_mktsegment, 0) AS rep0,
+    |  trim('  ' || c_mktsegment || ' ') AS trimmed,
+    |  reverse(c_mktsegment) AS rev,
+    |  split(c_name, '#') AS parts
+    |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
+
+  private val stringsDuck = """
+    |SELECT c_custkey AS k,
+    |  substr(c_name, -3, 3) AS tail3,
+    |  lpad(c_name, 5, '#') AS lp5,
+    |  rpad(c_name, 3, '#') AS rp3,
+    |  instr(c_name, 'zzz') AS pos0,
+    |  c_mktsegment || CAST(NULL AS VARCHAR) AS pipe_null,
+    |  CAST(NULL AS VARCHAR) AS concat_null, -- Spark concat() is NULL-absorbing; DuckDB's skips NULLs
+    |  repeat(c_mktsegment, 0) AS rep0,
+    |  trim('  ' || c_mktsegment || ' ') AS trimmed,
+    |  reverse(c_mktsegment) AS rev,
+    |  string_split(c_name, '#') AS parts
+    |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
+
+  // ---- aggregates over empty / all-NULL input --------------------------------
+
+  private val aggEmpty = """
+    |SELECT m.n_all, m.n_none, m.s_null, m.d_null, m.a_null, m.n_f, e.n_empty, e.s_empty
+    |FROM (
+    |  SELECT count(*) AS n_all,
+    |    count(CASE WHEN o_orderkey < 0 THEN 1 END) AS n_none,
+    |    sum(CASE WHEN o_orderkey < 0 THEN o_totalprice END) AS s_null,
+    |    min(CASE WHEN o_orderkey < 0 THEN o_orderdate END) AS d_null,
+    |    avg(CASE WHEN o_orderkey < 0 THEN o_totalprice END) AS a_null,
+    |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f
+    |  FROM orders) m
+    |CROSS JOIN (
+    |  SELECT count(*) AS n_empty, sum(o_totalprice) AS s_empty
+    |  FROM orders WHERE o_orderkey < 0) e""".stripMargin
+
+  // ---- the NOT IN + NULL trap (null-aware anti join on the Spark side) -------
+
+  private val inNull = """
+    |SELECT
+    |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+    |     (SELECT CASE WHEN c_custkey % 2 = 0 THEN c_custkey END FROM customer)) AS notin_with_null,
+    |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+    |     (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)) AS notin_no_null,
+    |  (SELECT count(*) FROM orders WHERE o_custkey IN
+    |     (SELECT CASE WHEN c_custkey % 2 = 0 THEN c_custkey END FROM customer)) AS in_with_null""".stripMargin
+
+  // ---- leap-day / month-clamp date arithmetic ---------------------------------
+
+  private val datesSpark = """
+    |SELECT
+    |  last_day(DATE '2000-02-01') AS leap_eom,
+    |  last_day(DATE '1999-02-01') AS noleap_eom,
+    |  add_months(DATE '2000-01-31', 1) AS addm_clamp,
+    |  add_months(DATE '2000-02-29', 12) AS addm_leap,
+    |  datediff(DATE '2000-03-01', DATE '2000-02-28') AS dd_leap,
+    |  date_add(DATE '1999-12-31', 1) AS y2k,
+    |  CAST(date_trunc('quarter', DATE '2000-05-15') AS DATE) AS q_trunc,
+    |  (SELECT count(*) FROM orders
+    |   WHERE extract(month FROM o_orderdate) = 2 AND extract(day FROM o_orderdate) = 29) AS feb29_orders""".stripMargin
+
+  private val datesDuck = """
+    |SELECT
+    |  last_day(DATE '2000-02-01') AS leap_eom,
+    |  last_day(DATE '1999-02-01') AS noleap_eom,
+    |  CAST(DATE '2000-01-31' + INTERVAL 1 MONTH AS DATE) AS addm_clamp,
+    |  CAST(DATE '2000-02-29' + INTERVAL 12 MONTH AS DATE) AS addm_leap,
+    |  (DATE '2000-03-01' - DATE '2000-02-28') AS dd_leap,
+    |  CAST(DATE '1999-12-31' + INTERVAL 1 DAY AS DATE) AS y2k,
+    |  CAST(date_trunc('quarter', DATE '2000-05-15') AS DATE) AS q_trunc,
+    |  (SELECT count(*) FROM orders
+    |   WHERE extract(month FROM o_orderdate) = 2 AND extract(day FROM o_orderdate) = 29) AS feb29_orders""".stripMargin
+
+  // ---- decimal rounding + exact aggregation -----------------------------------
+
+  private val decimalEdge = """
+    |SELECT
+    |  CAST(round(CAST(2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS r_half_up,
+    |  CAST(round(CAST(-2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS r_half_away,
+    |  CAST(round(CAST(2.445 AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r_2dp,
+    |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_exact,
+    |  count(*) AS n
+    |FROM orders""".stripMargin
+
+  // ---- least / greatest NULL skipping -----------------------------------------
+
+  private val leastEdge = """
+    |SELECT c_custkey AS k,
+    |  least(c_acctbal, CAST(NULL AS DOUBLE), 0.0) AS l_skip,
+    |  greatest(c_acctbal, CAST(NULL AS DOUBLE), 0.0) AS g_skip,
+    |  least(CAST(NULL AS INT), CAST(NULL AS INT)) AS l_allnull,
+    |  nullif(greatest(c_acctbal, 0.0), c_acctbal) AS nif_g
+    |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
+
+  // ---- timestamp boundaries (UTC session) --------------------------------------
+
+  private val tsEdge = """
+    |SELECT
+    |  CAST(min(ts) AS DATE) AS d_min,
+    |  CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h_max,
+    |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+    |  CAST(extract(hour FROM min(ts)) AS INT) AS h_of_min
+    |FROM events""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_null_arith" -> ((s, d) => run(s, d, nullArith)),
+    "q_edge_try"        -> ((s, d) => run(s, d, trySpark)),
+    "q_edge_strings"    -> ((s, d) => run(s, d, stringsSpark)),
+    "q_edge_agg_empty"  -> ((s, d) => run(s, d, aggEmpty)),
+    "q_edge_in_null"    -> ((s, d) => run(s, d, inNull)),
+    "q_edge_dates"      -> ((s, d) => run(s, d, datesSpark)),
+    "q_edge_decimal"    -> ((s, d) => run(s, d, decimalEdge)),
+    "q_edge_least"      -> ((s, d) => run(s, d, leastEdge)),
+    "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
+
+  val oracles: Map[String, String] = Map(
+    "q_edge_null_arith" -> nullArith,
+    "q_edge_try"        -> tryDuck,
+    "q_edge_strings"    -> stringsDuck,
+    "q_edge_agg_empty"  -> aggEmpty,
+    "q_edge_in_null"    -> inNull,
+    "q_edge_dates"      -> datesDuck,
+    "q_edge_decimal"    -> decimalEdge,
+    "q_edge_least"      -> leastEdge,
+    "q_edge_ts"         -> tsEdge)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Known-answer assertions for the q_edge_* per-function boundary corpus
+ * (functions.EdgeCaseQueries) — the oracle run proves Spark == DuckDB; these prove
+ * both equal the SPEC'd boundary semantics (an agreeing-but-wrong pair would pass
+ * the oracle, so the known answers are pinned here).
+ */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("NOT IN against a subquery containing NULL matches nothing") {
+    val r = q("q_edge_in_null").head()
+    assert(r.getLong(0) == 0, "NOT IN (…, NULL, …) must be empty — three-valued logic")
+    assert(r.getLong(1) > 0, "the NULL-free NOT IN control must match rows")
+    assert(r.getLong(2) > 0, "IN ignores the NULL entries and still matches")
+  }
+
+  test("try_* returns NULL on overflow and divide-by-zero; nullif guards ANSI division") {
+    val rows = q("q_edge_try").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), "bigint overflow must be NULL under try_*")
+      val ln = r.getInt(1)
+      assert(r.isNullAt(4) == (ln == 1), "try_divide by zero exactly when ln=1")
+      assert(r.isNullAt(5) == (ln == 1), "x / nullif(0) is NULL on the same rows (ANSI-safe)")
+      assert(r.isNullAt(6) == (ln == 1), "try_cast('abc') is NULL exactly on the seeded rows")
+    }
+  }
+
+  test("aggregates over empty and all-NULL input: count 0, sum/min/avg NULL") {
+    val r = q("q_edge_agg_empty").head()
+    assert(r.getLong(1) == 0)                       // count over all-NULL arg
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)) // sum/min/avg over all-NULL
+    assert(r.getLong(6) == 0 && r.isNullAt(7))      // count/sum over EMPTY relation
+  }
+
+  test("leap-day and month-clamp date arithmetic") {
+    val r = q("q_edge_dates").head()
+    assert(r.getDate(0).toString == "2000-02-29", "2000 is a leap year (div-400 rule)")
+    assert(r.getDate(1).toString == "1999-02-28")
+    assert(r.getDate(2).toString == "2000-02-29", "Jan 31 + 1 month clamps to Feb EOM")
+    assert(r.getDate(3).toString == "2001-02-28", "leap day + 12 months clamps")
+    assert(r.getInt(4) == 2, "Feb 28 -> Mar 1 is 2 days in a leap year")
+  }
+
+  test("decimal round is half-away-from-zero and sums stay exact") {
+    val r = q("q_edge_decimal").head()
+    assert(r.getDecimal(0).intValue == 3)
+    assert(r.getDecimal(1).intValue == -3)
+    assert(r.getDecimal(2).toPlainString == "2.45")
+  }
+
+  test("string boundaries: NULL-absorbing concat, truncating pads, zero repeat") {
+    val rows = q("q_edge_strings").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(5), "s || NULL is NULL")
+      assert(r.isNullAt(6), "Spark concat(s, NULL) is NULL (unlike DuckDB's skip)")
+      assert(r.getString(7) == "", "repeat(s, 0) is empty, not NULL")
+      assert(r.getString(2).length == 5 && r.getString(3).length == 3, "lpad/rpad truncate")
+      assert(r.getInt(4) == 0, "instr miss is 0, not NULL")
+    }
+  }
+
+  test("least/greatest skip NULLs; all-NULL input yields NULL") {
+    val rows = q("q_edge_least").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(3), "least(NULL, NULL) is NULL")
+      assert(!r.isNullAt(1) && !r.isNullAt(2), "a NULL argument is skipped, not absorbed")
+      assert(r.getDouble(1) <= 0.0 && r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("three-valued logic: NULL AND FALSE = FALSE, NULL OR TRUE = TRUE") {
+    val rows = q("q_edge_null_arith").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(2), "NULL + x is NULL")
+      assert(!r.getBoolean(6), "NULL AND FALSE must collapse to FALSE")
+      assert(r.getBoolean(7), "NULL OR TRUE must collapse to TRUE")
+      assert(r.getBoolean(8), "NULL = NULL is NULL, never TRUE")
+    }
+  }
+
+  test("timestamp boundaries produce stable UTC classes") {
+    val r = q("q_edge_ts").head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    assert(r.getLong(2) > 0)
+  }
+}
