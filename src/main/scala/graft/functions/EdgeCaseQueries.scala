@@ -182,7 +182,36 @@ object EdgeCaseQueries {
     |  CAST(extract(hour FROM min(ts)) AS INT) AS h_of_min
     |FROM events""".stripMargin
 
+  // ---- GROUPING SETS: data-NULL vs subtotal-NULL disambiguation ----------------
+  // The classic trap: a rollup/total row carries NULL in the grouping column, which
+  // is indistinguishable from a genuine data NULL unless grouping() is consulted.
+  // The seeded data NULLs (c_custkey % 7) land in a g=0 row; the () set's row is
+  // g=1 — both render '<DATA NULL>' through coalesce, so only grouping() splits them.
+
+  private val groupingNull = """
+    |SELECT coalesce(c_mktsegment, '<DATA NULL>') AS seg,
+    |  CAST(grouping(c_mktsegment) AS INT) AS g,
+    |  CAST(count(*) AS BIGINT) AS n
+    |FROM (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    |      FROM customer) t
+    |GROUP BY GROUPING SETS ((c_mktsegment), ())
+    |ORDER BY g, seg""".stripMargin
+
+  // ---- NULL ordering: the engines' DEFAULTS differ, explicit is the contract ----
+  // Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST — any ORDER BY over a
+  // nullable key that omits the modifier is engine-dependent. This pins the explicit
+  // form (and is why every benchmark body in this repo states it when it matters).
+
+  private val nullsOrder = """
+    |SELECT k, v FROM (
+    |  SELECT c_custkey AS k,
+    |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS v
+    |  FROM customer WHERE c_custkey < 30) t
+    |ORDER BY v ASC NULLS FIRST, k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_grouping"    -> ((s, d) => run(s, d, groupingNull)),
+    "q_edge_nulls_order" -> ((s, d) => run(s, d, nullsOrder)),
     "q_edge_null_arith" -> ((s, d) => run(s, d, nullArith)),
     "q_edge_try"        -> ((s, d) => run(s, d, trySpark)),
     "q_edge_strings"    -> ((s, d) => run(s, d, stringsSpark)),
@@ -194,6 +223,8 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_grouping"    -> groupingNull,
+    "q_edge_nulls_order" -> nullsOrder,
     "q_edge_null_arith" -> nullArith,
     "q_edge_try"        -> tryDuck,
     "q_edge_strings"    -> stringsDuck,

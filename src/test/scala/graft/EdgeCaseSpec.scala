@@ -89,6 +89,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping() distinguishes data NULL from the subtotal row's NULL") {
+    val rows = q("q_edge_grouping").collect()
+    val dataNull = rows.filter(r => r.getString(0) == "<DATA NULL>" && r.getInt(1) == 0)
+    val total = rows.filter(_.getInt(1) == 1)
+    assert(dataNull.length == 1, "seeded data NULLs must aggregate into a g=0 row")
+    assert(total.length == 1, "exactly one grand-total row with g=1")
+    assert(total.head.getLong(2) == rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum,
+      "the total row must equal the sum of the per-segment rows")
+  }
+
+  test("explicit NULLS FIRST puts every NULL before every value") {
+    val vs = q("q_edge_nulls_order").collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val firstValue = vs.indexWhere(_.isDefined)
+    assert(vs.take(firstValue).forall(_.isEmpty) && vs.drop(firstValue).forall(_.isDefined),
+      "NULLs must form a contiguous prefix under ASC NULLS FIRST")
+  }
+
   test("timestamp boundaries produce stable UTC classes") {
     val r = q("q_edge_ts").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
