@@ -144,9 +144,11 @@ object StarCache {
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Best-effort sweep of dead cache dirs for this star: superseded stamps of the
-    * same source dir, dirs from older layout [[Version]]s, and build nonces stranded
-    * by a crash (age-guarded so a concurrent in-flight build is left alone). Runs on
-    * the build path only — never on the per-query fast path. */
+    * same source dir, dirs from older layout [[Version]]s, dirs whose recorded
+    * source directory no longer exists (spec temp dirs would otherwise accumulate
+    * one star per test run forever), and build nonces stranded by a crash
+    * (age-guarded so a concurrent in-flight build is left alone). Runs on the
+    * build path only — never on the per-query fast path. */
   private def sweep(fs: org.apache.hadoop.fs.FileSystem, root: Path, star: String,
                     sfHash: String, current: String): Unit =
     try {
@@ -160,11 +162,27 @@ object StarCache {
           val dead =
             if (name.contains(".build-")) now - st.getModificationTime > hour
             else if (!name.startsWith(s"v${Version}_")) true // dead layout version
-            else name.startsWith(s"v${Version}_${star}_${sfHash}_") // superseded stamp
+            else if (name.startsWith(s"v${Version}_${star}_${sfHash}_")) true // superseded stamp
+            else sourceGone(fs, st.getPath) // another source dir's star: dead iff its source is
           if (dead) fs.delete(st.getPath, true)
         }
       }
     } catch { case NonFatal(_) => () }
+
+  /** True when the dir records a source path (_SOURCE, written at build) that no
+    * longer exists. Dirs without the marker are kept — conservative for caches
+    * built by earlier binaries. */
+  private def sourceGone(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    try {
+      val marker = new Path(dir, "_SOURCE")
+      if (!fs.exists(marker)) false
+      else {
+        val in = fs.open(marker)
+        val src = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        src.nonEmpty && !fs.exists(new Path(src))
+      }
+    } catch { case NonFatal(_) => false }
 
   /**
    * Materialize `views` (defining SQL supplied by `sql`, which may reference the base
@@ -211,6 +229,8 @@ object StarCache {
                 df.coalesce(1).write.mode("overwrite").parquet(out)
             }
           }
+          val srcOut = fs.create(new Path(tmp, "_SOURCE"), true)
+          try srcOut.write(sfDir.getBytes("UTF-8")) finally srcOut.close()
           fs.create(new Path(tmp, "_STAR_COMPLETE"), true).close()
           // Atomic publish; losing the rename race means another build won — use theirs.
           // rename() onto an existing dir can also "succeed" by moving tmp INSIDE it,

@@ -163,6 +163,39 @@ class StarCacheSpec extends AnyFunSuite {
     assert(viaStar == direct)
   }
 
+  test("a star whose source directory is gone is swept by the next build") {
+    import java.nio.file.{Files, Paths}
+    def mkSource(): java.nio.file.Path = {
+      val d = Files.createTempDirectory("graft_starsweep")
+      for (t <- TableIO.tableNames)
+        copyTree(Paths.get(s"$sf/$t.parquet"), d.resolve(s"$t.parquet"))
+      d
+    }
+    val cacheRoot = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_star")
+    def stars: Set[String] =
+      if (!Files.isDirectory(cacheRoot)) Set.empty
+      else { val s = Files.list(cacheRoot); try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally s.close() }
+    val a = mkSource()
+    TableIO.registerAll(spark, a.toString)
+    assert(StarCache.tryEnsure(spark, a.toString, "tpcds", TpcdsRealQueries.viewNames,
+      TpcdsRealQueries.viewSql))
+    val afterA = stars
+    deleteTree(a) // source gone: a's star is now orphaned
+    val b = mkSource()
+    TableIO.registerAll(spark, b.toString)
+    assert(StarCache.tryEnsure(spark, b.toString, "tpcds", TpcdsRealQueries.viewNames,
+      TpcdsRealQueries.viewSql)) // build path -> sweep runs
+    val afterB = stars
+    val aDirs = afterA.diff(afterB)
+    assert(aDirs.nonEmpty, "the orphaned star (deleted source) must be swept on the next build")
+    deleteTree(b)
+    // the live test-data stars must survive the sweep (their sources exist)
+    assert(afterB.exists(_.contains("tpcds")), "live stars must not be collateral damage")
+  }
+
   test("tryEnsure is fail-soft: bad input reports false instead of throwing") {
     assert(!StarCache.tryEnsure(spark, "/nonexistent/dir", "tpcds",
       TpcdsRealQueries.viewNames, TpcdsRealQueries.viewSql))
