@@ -209,9 +209,91 @@ object EdgeCaseQueries {
     |  FROM customer WHERE c_custkey < 30) t
     |ORDER BY v ASC NULLS FIRST, k""".stripMargin
 
+  // ---- regexp boundaries -------------------------------------------------------
+  // Patterns use [0-9]-style classes, never backslash classes: Spark's SQL string
+  // literal processes backslashes and DuckDB's does not, so a pattern with \d can
+  // never be one shared text. Function-surface splits: Spark RLIKE ==
+  // regexp_matches; Spark regexp_replace is global, DuckDB needs the 'g' flag;
+  // split == string_split_regex. The filter keeps names that do not END in '0' so
+  // the trailing-empty-token split behavior (both engines keep it) stays off the
+  // boundary being tested.
+
+  private val regexSpark = """
+    |SELECT c_custkey AS k,
+    |  regexp_extract(c_name, '(x9z)', 1) AS no_match,
+    |  (c_name RLIKE '^Customer#[0-9]+$') AS anchored,
+    |  regexp_replace(c_name, '[0-9]', '#') AS all_replaced,
+    |  split(c_name, '0+') AS re_split,
+    |  regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS trailing_digits
+    |FROM customer WHERE c_custkey < 50 AND c_custkey % 10 <> 0 ORDER BY k""".stripMargin
+
+  private val regexDuck = """
+    |SELECT c_custkey AS k,
+    |  regexp_extract(c_name, '(x9z)', 1) AS no_match,
+    |  regexp_matches(c_name, '^Customer#[0-9]+$') AS anchored,
+    |  regexp_replace(c_name, '[0-9]', '#', 'g') AS all_replaced,
+    |  string_split_regex(c_name, '0+') AS re_split,
+    |  regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS trailing_digits
+    |FROM customer WHERE c_custkey < 50 AND c_custkey % 10 <> 0 ORDER BY k""".stripMargin
+
+  // ---- array boundaries ---------------------------------------------------------
+  // sort_array ASC puts NULLs first and DESC puts them last in Spark — DuckDB's
+  // list_sort takes the placement explicitly, which documents the contract. Spark's
+  // array_contains is three-valued (missing value + NULL element -> NULL); DuckDB's
+  // list_contains is two-valued (false), so the oracle pins Spark's NULL literally.
+
+  private val arraySpark = """
+    |SELECT c_custkey AS k,
+    |  sort_array(array(c_nationkey, CAST(NULL AS INT), 1)) AS sorted_nf,
+    |  sort_array(array(c_nationkey, CAST(NULL AS INT), 1), false) AS sorted_desc,
+    |  array_contains(array(c_nationkey, CAST(NULL AS INT)), -5) AS contains_3vl,
+    |  array_position(array(10, c_nationkey), c_nationkey) AS pos_found,
+    |  try_element_at(array(1, 2), 99) AS oob_null,
+    |  element_at(array(1, 2), -1) AS last_elem
+    |FROM customer WHERE c_custkey < 50 ORDER BY k""".stripMargin
+
+  private val arrayDuck = """
+    |SELECT c_custkey AS k,
+    |  list_sort([c_nationkey, CAST(NULL AS INT), 1], 'ASC', 'NULLS FIRST') AS sorted_nf,
+    |  list_sort([c_nationkey, CAST(NULL AS INT), 1], 'DESC', 'NULLS LAST') AS sorted_desc,
+    |  CAST(NULL AS BOOLEAN) AS contains_3vl, -- Spark: missing value + NULL element is NULL, not false
+    |  CAST(list_position([10, c_nationkey], c_nationkey) AS BIGINT) AS pos_found,
+    |  list_extract([1, 2], 99) AS oob_null,
+    |  list_extract([1, 2], -1) AS last_elem
+    |FROM customer WHERE c_custkey < 50 ORDER BY k""".stripMargin
+
+  // ---- string -> number parsing boundaries --------------------------------------
+  // Scientific notation casts to DOUBLE on both engines but to INT only on DuckDB
+  // (Spark's ANSI integral cast takes sign+digits only), and '0x1A' parses as hex
+  // 26 on DuckDB but not on Spark — the oracle pins Spark's NULLs literally where
+  // the engines disagree; whitespace trimming and overflow agree.
+
+  private val parseSpark = """
+    |SELECT
+    |  try_cast('1e3' AS DOUBLE) AS sci_dbl,
+    |  try_cast('.5' AS DOUBLE) AS dot5,
+    |  try_cast('+7' AS INT) AS plus7,
+    |  try_cast('  12  ' AS INT) AS padded,
+    |  try_cast('99999999999999999999' AS BIGINT) AS too_big,
+    |  try_cast('1e3' AS INT) AS sci_int,
+    |  try_cast('0x1A' AS INT) AS hex_str""".stripMargin
+
+  private val parseDuck = """
+    |SELECT
+    |  TRY_CAST('1e3' AS DOUBLE) AS sci_dbl,
+    |  TRY_CAST('.5' AS DOUBLE) AS dot5,
+    |  TRY_CAST('+7' AS INTEGER) AS plus7,
+    |  TRY_CAST('  12  ' AS INTEGER) AS padded,
+    |  TRY_CAST('99999999999999999999' AS BIGINT) AS too_big,
+    |  CAST(NULL AS INTEGER) AS sci_int, -- DuckDB parses '1e3' to 1000; Spark's integral cast does not
+    |  CAST(NULL AS INTEGER) AS hex_str  -- DuckDB parses hex literals in casts; Spark does not""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edge_grouping"    -> ((s, d) => run(s, d, groupingNull)),
     "q_edge_nulls_order" -> ((s, d) => run(s, d, nullsOrder)),
+    "q_edge_regex"       -> ((s, d) => run(s, d, regexSpark)),
+    "q_edge_array"       -> ((s, d) => run(s, d, arraySpark)),
+    "q_edge_parse"       -> ((s, d) => run(s, d, parseSpark)),
     "q_edge_null_arith" -> ((s, d) => run(s, d, nullArith)),
     "q_edge_try"        -> ((s, d) => run(s, d, trySpark)),
     "q_edge_strings"    -> ((s, d) => run(s, d, stringsSpark)),
@@ -225,6 +307,9 @@ object EdgeCaseQueries {
   val oracles: Map[String, String] = Map(
     "q_edge_grouping"    -> groupingNull,
     "q_edge_nulls_order" -> nullsOrder,
+    "q_edge_regex"       -> regexDuck,
+    "q_edge_array"       -> arrayDuck,
+    "q_edge_parse"       -> parseDuck,
     "q_edge_null_arith" -> nullArith,
     "q_edge_try"        -> tryDuck,
     "q_edge_strings"    -> stringsDuck,

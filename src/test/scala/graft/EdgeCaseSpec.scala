@@ -106,6 +106,40 @@ class EdgeCaseSpec extends AnyFunSuite {
       "NULLs must form a contiguous prefix under ASC NULLS FIRST")
   }
 
+  test("regexp boundaries: no-match is empty string, replace is global, anchors hold") {
+    val rows = q("q_edge_regex").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) == "", "regexp_extract without a match is '' — not NULL")
+      assert(r.getBoolean(2), "every derived name must satisfy the anchored pattern")
+      assert(!r.getString(3).exists(_.isDigit), "regexp_replace must replace ALL digits")
+      assert(r.getString(5).nonEmpty && r.getString(5).forall(_.isDigit))
+    }
+  }
+
+  test("array boundaries: NULL placement in sorts, three-valued contains, safe indexing") {
+    val rows = q("q_edge_array").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val asc = r.getSeq[Any](1)
+      val desc = r.getSeq[Any](2)
+      assert(asc.head == null && desc.last == null,
+        "ASC sorts NULL first, DESC sorts NULL last")
+      assert(r.isNullAt(3), "contains(missing) over an array WITH a null is NULL, not false")
+      assert(r.isNullAt(5), "try_element_at out of bounds is NULL")
+      assert(r.getInt(6) == 2, "element_at(-1) indexes from the end")
+    }
+  }
+
+  test("string-to-number parsing: scientific/hex accepted only where the dialect says") {
+    val r = q("q_edge_parse").head()
+    assert(r.getDouble(0) == 1000.0 && r.getDouble(1) == 0.5)
+    assert(r.getInt(2) == 7 && r.getInt(3) == 12)
+    assert(r.isNullAt(4), "20 digits overflow BIGINT even under try_cast")
+    assert(r.isNullAt(5), "Spark's integral cast rejects scientific notation")
+    assert(r.isNullAt(6), "Spark's integral cast rejects hex strings")
+  }
+
   test("timestamp boundaries produce stable UTC classes") {
     val r = q("q_edge_ts").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
