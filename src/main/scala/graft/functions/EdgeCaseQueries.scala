@@ -288,7 +288,35 @@ object EdgeCaseQueries {
     |  CAST(NULL AS INTEGER) AS sci_int, -- DuckDB parses '1e3' to 1000; Spark's integral cast does not
     |  CAST(NULL AS INTEGER) AS hex_str  -- DuckDB parses hex literals in casts; Spark does not""".stripMargin
 
+  // ---- window frame boundaries --------------------------------------------------
+  // ROWS counts physical rows; RANGE includes ALL peers of the current ORDER key —
+  // with date ties the two cumulative sums genuinely diverge (range >= rows, strict
+  // on any non-final peer). first/nth/last_value run over explicit frames with NULLs
+  // left in (DuckDB 1.0 has no IGNORE NULLS, so the NULL-in-frame semantics are the
+  // shared contract). One text runs verbatim on both engines.
+
+  private val windowEdge = """
+    |SELECT o_orderkey AS k,
+    |  CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY d
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rows_cum,
+    |  CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY d
+    |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS range_cum,
+    |  first_value(nv) OVER (PARTITION BY seg ORDER BY d, o_orderkey
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+    |  nth_value(nv, 2) OVER (PARTITION BY seg ORDER BY d, o_orderkey
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_v,
+    |  last_value(nv) OVER (PARTITION BY seg ORDER BY d, o_orderkey
+    |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_v,
+    |  CAST(count(*) OVER (PARTITION BY seg ORDER BY d
+    |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peers_cum
+    |FROM (
+    |  SELECT o_orderkey, o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d, 1 AS cnt,
+    |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey END AS nv
+    |  FROM orders WHERE o_orderkey < 200) t
+    |ORDER BY k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_window"      -> ((s, d) => run(s, d, windowEdge)),
     "q_edge_grouping"    -> ((s, d) => run(s, d, groupingNull)),
     "q_edge_nulls_order" -> ((s, d) => run(s, d, nullsOrder)),
     "q_edge_regex"       -> ((s, d) => run(s, d, regexSpark)),
@@ -305,6 +333,7 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_window"      -> windowEdge,
     "q_edge_grouping"    -> groupingNull,
     "q_edge_nulls_order" -> nullsOrder,
     "q_edge_regex"       -> regexDuck,

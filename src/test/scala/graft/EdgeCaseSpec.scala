@@ -140,6 +140,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.isNullAt(6), "Spark's integral cast rejects hex strings")
   }
 
+  test("window frames: RANGE includes order-key peers that ROWS excludes") {
+    val rows = q("q_edge_window").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "RANGE cum can never be below ROWS cum")
+      assert(r.getLong(2) == r.getLong(6), "sum(1) over RANGE == count(*) over RANGE")
+    }
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)),
+      "with date ties, RANGE must strictly exceed ROWS on some non-final peer")
+    assert(rows.exists(_.isNullAt(3)),
+      "a NULL heading the frame must surface through plain first_value")
+  }
+
   test("timestamp boundaries produce stable UTC classes") {
     val r = q("q_edge_ts").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
