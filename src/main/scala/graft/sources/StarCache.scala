@@ -199,7 +199,11 @@ object StarCache {
       val dirName = s"v${Version}_${star}_${sfHash}_${stamp(spark, sfDir)}"
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_star/$dirName"
       val key = (sessionNonce(spark), base)
-      if (registered.contains(key)) true
+      // Fast path verifies the catalog actually has the views: a CLONED session
+      // copies the conf (and so the nonce) but not the temp views, and a bare
+      // TrieMap hit would then hand the caller a session where s.sql(body) throws
+      // OUTSIDE this fail-soft boundary. tableExists is an in-memory lookup.
+      if (registered.contains(key) && spark.catalog.tableExists(views.head)) true
       else {
         val basePath = new Path(base)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
