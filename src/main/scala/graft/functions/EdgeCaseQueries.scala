@@ -69,6 +69,12 @@ object EdgeCaseQueries {
     |FROM lineitem WHERE l_orderkey < 50 ORDER BY k, ln""".stripMargin
 
   // ---- string boundaries ------------------------------------------------------
+  // ARRAY outputs render to one canonical '[a,b,...]' text on BOTH engines: the
+  // driver's comparison hashes typed values and its pandas sort cannot order raw
+  // list cells (r9's red rows), so the split boundary under test — token placement,
+  // kept-empty trailing tokens — stays visible in the string while the column
+  // crosses the comparison edge as plain VARCHAR. Same discipline as the decimal
+  // render in q_decimal_agg (ExpressionQueries).
 
   private val stringsSpark = """
     |SELECT c_custkey AS k,
@@ -81,7 +87,7 @@ object EdgeCaseQueries {
     |  repeat(c_mktsegment, 0) AS rep0,
     |  trim('  ' || c_mktsegment || ' ') AS trimmed,
     |  reverse(c_mktsegment) AS rev,
-    |  split(c_name, '#') AS parts
+    |  '[' || array_join(split(c_name, '#'), ',') || ']' AS parts
     |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
 
   private val stringsDuck = """
@@ -95,7 +101,7 @@ object EdgeCaseQueries {
     |  repeat(c_mktsegment, 0) AS rep0,
     |  trim('  ' || c_mktsegment || ' ') AS trimmed,
     |  reverse(c_mktsegment) AS rev,
-    |  string_split(c_name, '#') AS parts
+    |  '[' || array_to_string(string_split(c_name, '#'), ',') || ']' AS parts
     |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
 
   // ---- aggregates over empty / all-NULL input --------------------------------
@@ -152,13 +158,19 @@ object EdgeCaseQueries {
     |   WHERE extract(month FROM o_orderdate) = 2 AND extract(day FROM o_orderdate) = 29) AS feb29_orders""".stripMargin
 
   // ---- decimal rounding + exact aggregation -----------------------------------
+  // The DECIMAL results cross the comparison edge rendered AS STRING (one shared
+  // text; DuckDB accepts STRING as a VARCHAR alias): the driver's hash is
+  // type-sensitive and raw decimal128 columns fail it even when values agree —
+  // r9's q_edge_decimal red row, and the repo's round-1 lesson (SURVEY §5). The
+  // rounding boundary under test (half-away-from-zero, scale-preserving render)
+  // stays visible in the string: '3', '-3', '2.45', and an exact 2-dp sum.
 
   private val decimalEdge = """
     |SELECT
-    |  CAST(round(CAST(2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS r_half_up,
-    |  CAST(round(CAST(-2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS r_half_away,
-    |  CAST(round(CAST(2.445 AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS r_2dp,
-    |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_exact,
+    |  CAST(CAST(round(CAST(2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS STRING) AS r_half_up,
+    |  CAST(CAST(round(CAST(-2.5 AS DECIMAL(3,1)), 0) AS DECIMAL(5,0)) AS STRING) AS r_half_away,
+    |  CAST(CAST(round(CAST(2.445 AS DECIMAL(6,3)), 2) AS DECIMAL(6,2)) AS STRING) AS r_2dp,
+    |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS s_exact,
     |  count(*) AS n
     |FROM orders""".stripMargin
 
@@ -223,7 +235,7 @@ object EdgeCaseQueries {
     |  regexp_extract(c_name, '(x9z)', 1) AS no_match,
     |  (c_name RLIKE '^Customer#[0-9]+$') AS anchored,
     |  regexp_replace(c_name, '[0-9]', '#') AS all_replaced,
-    |  split(c_name, '0+') AS re_split,
+    |  '[' || array_join(split(c_name, '0+'), ',') || ']' AS re_split,
     |  regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS trailing_digits
     |FROM customer WHERE c_custkey < 50 AND c_custkey % 10 <> 0 ORDER BY k""".stripMargin
 
@@ -232,7 +244,7 @@ object EdgeCaseQueries {
     |  regexp_extract(c_name, '(x9z)', 1) AS no_match,
     |  regexp_matches(c_name, '^Customer#[0-9]+$') AS anchored,
     |  regexp_replace(c_name, '[0-9]', '#', 'g') AS all_replaced,
-    |  string_split_regex(c_name, '0+') AS re_split,
+    |  '[' || array_to_string(string_split_regex(c_name, '0+'), ',') || ']' AS re_split,
     |  regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS trailing_digits
     |FROM customer WHERE c_custkey < 50 AND c_custkey % 10 <> 0 ORDER BY k""".stripMargin
 
@@ -244,8 +256,10 @@ object EdgeCaseQueries {
 
   private val arraySpark = """
     |SELECT c_custkey AS k,
-    |  sort_array(array(c_nationkey, CAST(NULL AS INT), 1)) AS sorted_nf,
-    |  sort_array(array(c_nationkey, CAST(NULL AS INT), 1), false) AS sorted_desc,
+    |  '[' || array_join(transform(sort_array(array(c_nationkey, CAST(NULL AS INT), 1)),
+    |           x -> CAST(x AS STRING)), ',', 'NULL') || ']' AS sorted_nf,
+    |  '[' || array_join(transform(sort_array(array(c_nationkey, CAST(NULL AS INT), 1), false),
+    |           x -> CAST(x AS STRING)), ',', 'NULL') || ']' AS sorted_desc,
     |  array_contains(array(c_nationkey, CAST(NULL AS INT)), -5) AS contains_3vl,
     |  array_position(array(10, c_nationkey), c_nationkey) AS pos_found,
     |  try_element_at(array(1, 2), 99) AS oob_null,
@@ -254,8 +268,12 @@ object EdgeCaseQueries {
 
   private val arrayDuck = """
     |SELECT c_custkey AS k,
-    |  list_sort([c_nationkey, CAST(NULL AS INT), 1], 'ASC', 'NULLS FIRST') AS sorted_nf,
-    |  list_sort([c_nationkey, CAST(NULL AS INT), 1], 'DESC', 'NULLS LAST') AS sorted_desc,
+    |  '[' || array_to_string(list_transform(
+    |           list_sort([c_nationkey, CAST(NULL AS INT), 1], 'ASC', 'NULLS FIRST'),
+    |           x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') || ']' AS sorted_nf,
+    |  '[' || array_to_string(list_transform(
+    |           list_sort([c_nationkey, CAST(NULL AS INT), 1], 'DESC', 'NULLS LAST'),
+    |           x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') || ']' AS sorted_desc,
     |  CAST(NULL AS BOOLEAN) AS contains_3vl, -- Spark: missing value + NULL element is NULL, not false
     |  CAST(list_position([10, c_nationkey], c_nationkey) AS BIGINT) AS pos_found,
     |  list_extract([1, 2], 99) AS oob_null,
@@ -291,13 +309,17 @@ object EdgeCaseQueries {
   // ---- window frame boundaries --------------------------------------------------
   // ROWS counts physical rows; RANGE includes ALL peers of the current ORDER key —
   // with date ties the two cumulative sums genuinely diverge (range >= rows, strict
-  // on any non-final peer). first/nth/last_value run over explicit frames with NULLs
+  // on any non-final peer). The ROWS frames order by (d, o_orderkey): a ROWS frame
+  // over a non-unique key assigns tied rows physical-order-dependent values, so the
+  // unique tiebreaker makes rows_cum deterministic while RANGE stays on d alone —
+  // the ROWS-vs-RANGE peer divergence is exactly what's under test.
+  // first/nth/last_value run over explicit frames with NULLs
   // left in (DuckDB 1.0 has no IGNORE NULLS, so the NULL-in-frame semantics are the
   // shared contract). One text runs verbatim on both engines.
 
   private val windowEdge = """
     |SELECT o_orderkey AS k,
-    |  CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY d
+    |  CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY d, o_orderkey
     |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rows_cum,
     |  CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY d
     |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS range_cum,
@@ -315,7 +337,93 @@ object EdgeCaseQueries {
     |  FROM orders WHERE o_orderkey < 200) t
     |ORDER BY k""".stripMargin
 
+  // ---- timezone boundaries (DST gap/overlap, sub-hour offsets) ------------------
+  // The session stays UTC (the engine contract); conversion is explicit via
+  // from_utc_timestamp/to_utc_timestamp/make_timestamp-with-zone, the reference's
+  // ColumnarDateTimeExpressions surface (gazelle_plugin: docs/Expressions-
+  // Compatibility.md, sql-tests timestamp files). The oracle pins the UTC contract
+  // as literals — DuckDB's ICU build resolves DST gaps/overlaps by its own policy,
+  // so executing the conversion there would test DuckDB, not the contract. Pinned
+  // boundaries: winter vs summer offset on either side of the 2000-04-02 02:00
+  // US spring-forward, a NONEXISTENT local time (gap → shifted forward, java.time
+  // ZonedDateTime.ofLocal), an AMBIGUOUS fall-back local time (2000-10-29 01:30
+  // occurs twice → EARLIER offset wins), a date flip across midnight, and
+  // Australia/Eucla's +8:45 sub-hour offset. The one data-derived column converts
+  // through a NO-DST zone (Asia/Tokyo, fixed +9) so the oracle can mirror it with
+  // engine-neutral interval arithmetic.
+
+  private val tzSpark = """
+    |SELECT
+    |  CAST(from_utc_timestamp(TIMESTAMP '2000-01-01 03:30:00', 'America/New_York') AS STRING) AS ny_winter,
+    |  CAST(from_utc_timestamp(TIMESTAMP '2000-04-02 09:30:00', 'America/Los_Angeles') AS STRING) AS la_before_gap,
+    |  CAST(from_utc_timestamp(TIMESTAMP '2000-04-02 10:30:00', 'America/Los_Angeles') AS STRING) AS la_after_gap,
+    |  CAST(to_utc_timestamp(TIMESTAMP '2000-04-02 02:30:00', 'America/Los_Angeles') AS STRING) AS la_gap_fwd,
+    |  CAST(to_utc_timestamp(TIMESTAMP '2000-10-29 01:30:00', 'America/Los_Angeles') AS STRING) AS la_ambig_early,
+    |  CAST(make_timestamp(2000, 4, 2, 2, 30, 0.0, 'America/Los_Angeles') AS STRING) AS mk_gap,
+    |  CAST(CAST(from_utc_timestamp(TIMESTAMP '2000-01-01 20:00:00', 'Asia/Tokyo') AS DATE) AS STRING) AS tokyo_date_flip,
+    |  CAST(from_utc_timestamp(TIMESTAMP '2000-06-01 00:00:00', 'Australia/Eucla') AS STRING) AS eucla_qtr,
+    |  (SELECT date_format(from_utc_timestamp(min(ts), 'Asia/Tokyo'), 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+    |   FROM events) AS data_tokyo""".stripMargin
+
+  private val tzDuck = """
+    |SELECT
+    |  '1999-12-31 22:30:00' AS ny_winter,      -- EST, UTC-5
+    |  '2000-04-02 01:30:00' AS la_before_gap,  -- PST, UTC-8 (09:30 UTC is before the 10:00 UTC transition)
+    |  '2000-04-02 03:30:00' AS la_after_gap,   -- PDT, UTC-7 (10:30 UTC is after it)
+    |  '2000-04-02 10:30:00' AS la_gap_fwd,     -- 02:30 local never happened: gap shifts forward to 03:30 PDT
+    |  '2000-10-29 08:30:00' AS la_ambig_early, -- 01:30 local happened twice: earlier offset (PDT, -7) wins
+    |  '2000-04-02 10:30:00' AS mk_gap,         -- make_timestamp resolves the same gap the same way
+    |  '2000-01-02' AS tokyo_date_flip,         -- 20:00Z + 9h crosses midnight
+    |  '2000-06-01 08:45:00' AS eucla_qtr,      -- +8:45, the sub-hour-offset zone
+    |  (SELECT strftime(min(ts) + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S.%f')
+    |   FROM events) AS data_tokyo              -- Tokyo has no DST: fixed +9 is exact interval arithmetic""".stripMargin
+
+  // ---- collation boundaries ------------------------------------------------------
+  // Spark 4 collation (the COLLATE clause): case-insensitive equality/contains/
+  // distinct under UTF8_LCASE and accent-insensitive equality under UNICODE_CI_AI,
+  // vs the binary default. Where the engines' Unicode case tables diverge the
+  // oracle pins Spark's (Java's) result literally: upper('straße') is 'STRASSE' in
+  // Java but 'STRAẞE' (capital sharp s) under DuckDB's ICU. The CI-distinct count
+  // is mirrored in DuckDB as distinct-of-lower(), which is the semantic contract
+  // for these ASCII segment values.
+
+  private val collateSpark = """
+    |SELECT
+    |  (('abc' COLLATE UTF8_LCASE) = ('ABC' COLLATE UTF8_LCASE)) AS ci_eq,
+    |  ('abc' = 'ABC') AS cs_eq,
+    |  contains('Hello' COLLATE UTF8_LCASE, 'hELL') AS ci_contains,
+    |  (('à' COLLATE UNICODE_CI_AI) = ('A' COLLATE UNICODE_CI_AI)) AS ai_eq,
+    |  (('à' COLLATE UNICODE) = ('a' COLLATE UNICODE)) AS acc_strict,
+    |  upper('straße') AS up_ss,
+    |  lower('ÀBÇ') AS low_acc,
+    |  initcap('heLLo wORld') AS ic,
+    |  n_ci, n_cs
+    |FROM (
+    |  SELECT CAST(count(DISTINCT (seg COLLATE UTF8_LCASE)) AS BIGINT) AS n_ci,
+    |         CAST(count(DISTINCT seg) AS BIGINT) AS n_cs
+    |  FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+    |        FROM customer) t) a""".stripMargin
+
+  private val collateDuck = """
+    |SELECT
+    |  TRUE AS ci_eq,
+    |  FALSE AS cs_eq,
+    |  TRUE AS ci_contains,
+    |  TRUE AS ai_eq,         -- UNICODE_CI_AI folds case AND accents
+    |  FALSE AS acc_strict,   -- plain UNICODE keeps accents distinct
+    |  'STRASSE' AS up_ss,    -- Java case table; DuckDB ICU would give 'STRAẞE'
+    |  'àbç' AS low_acc,
+    |  'Hello World' AS ic,
+    |  n_ci, n_cs
+    |FROM (
+    |  SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
+    |         CAST(count(DISTINCT seg) AS BIGINT) AS n_cs
+    |  FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+    |        FROM customer) t) a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_tz"          -> ((s, d) => run(s, d, tzSpark)),
+    "q_edge_collate"     -> ((s, d) => run(s, d, collateSpark)),
     "q_edge_window"      -> ((s, d) => run(s, d, windowEdge)),
     "q_edge_grouping"    -> ((s, d) => run(s, d, groupingNull)),
     "q_edge_nulls_order" -> ((s, d) => run(s, d, nullsOrder)),
@@ -333,6 +441,8 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_tz"          -> tzDuck,
+    "q_edge_collate"     -> collateDuck,
     "q_edge_window"      -> windowEdge,
     "q_edge_grouping"    -> groupingNull,
     "q_edge_nulls_order" -> nullsOrder,

@@ -50,10 +50,13 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("decimal round is half-away-from-zero and sums stay exact") {
+    // rendered AS STRING at the comparison edge (driver hash is type-sensitive);
+    // the scale-preserving decimal render is itself part of the pinned contract
     val r = q("q_edge_decimal").head()
-    assert(r.getDecimal(0).intValue == 3)
-    assert(r.getDecimal(1).intValue == -3)
-    assert(r.getDecimal(2).toPlainString == "2.45")
+    assert(r.getString(0) == "3")
+    assert(r.getString(1) == "-3", "round(-2.5) is -3: half-AWAY-from-zero, not banker's")
+    assert(r.getString(2) == "2.45", "round(2.445, 2) must not double-round up to 2.45+")
+    assert(r.getString(3).matches("-?[0-9]+\\.[0-9]{2}"), "sum renders at exactly scale 2")
   }
 
   test("string boundaries: NULL-absorbing concat, truncating pads, zero repeat") {
@@ -118,13 +121,13 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("array boundaries: NULL placement in sorts, three-valued contains, safe indexing") {
+    // sorted arrays render to '[a,b,c]' text (NULL spelled out) at the comparison
+    // edge; the placement boundary stays visible in the string
     val rows = q("q_edge_array").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val asc = r.getSeq[Any](1)
-      val desc = r.getSeq[Any](2)
-      assert(asc.head == null && desc.last == null,
-        "ASC sorts NULL first, DESC sorts NULL last")
+      assert(r.getString(1).startsWith("[NULL,"), "ASC sorts NULL first")
+      assert(r.getString(2).endsWith(",NULL]"), "DESC sorts NULL last")
       assert(r.isNullAt(3), "contains(missing) over an array WITH a null is NULL, not false")
       assert(r.isNullAt(5), "try_element_at out of bounds is NULL")
       assert(r.getInt(6) == 2, "element_at(-1) indexes from the end")
@@ -157,5 +160,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     val r = q("q_edge_ts").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
     assert(r.getLong(2) > 0)
+  }
+
+  test("timezone boundaries: DST gap shifts forward, overlap takes the earlier offset") {
+    val r = q("q_edge_tz").head()
+    assert(r.getString(0) == "1999-12-31 22:30:00", "winter NY is UTC-5 and flips the date")
+    assert(r.getString(1) == "2000-04-02 01:30:00", "09:30Z is before the 10:00Z transition: PST -8")
+    assert(r.getString(2) == "2000-04-02 03:30:00", "10:30Z is after it: PDT -7")
+    assert(r.getString(3) == "2000-04-02 10:30:00",
+      "02:30 local never existed: the gap resolves by shifting forward (java.time ofLocal)")
+    assert(r.getString(4) == "2000-10-29 08:30:00",
+      "01:30 local happened twice on fall-back day: the EARLIER offset (PDT) wins")
+    assert(r.getString(5) == r.getString(3), "make_timestamp resolves the same gap identically")
+    assert(r.getString(6) == "2000-01-02", "+9h crosses midnight: the DATE flips")
+    assert(r.getString(7) == "2000-06-01 08:45:00", "Australia/Eucla is +8:45 — sub-hour offsets exist")
+    assert(r.getString(8).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}"))
+  }
+
+  test("collation: UTF8_LCASE folds case, UNICODE_CI_AI folds accents, binary does neither") {
+    val r = q("q_edge_collate").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1), "CI equality holds exactly where binary fails")
+    assert(r.getBoolean(2), "contains() under UTF8_LCASE matches across case")
+    assert(r.getBoolean(3), "UNICODE_CI_AI equates à and A")
+    assert(!r.getBoolean(4), "plain UNICODE keeps the accent distinct")
+    assert(r.getString(5) == "STRASSE", "Java case table: sharp-s uppercases to SS")
+    assert(r.getString(6) == "àbç" && r.getString(7) == "Hello World")
+    assert(r.getLong(9) == 2 * r.getLong(8),
+      "every segment appears in both cases, so binary distinct is exactly 2x CI distinct")
   }
 }

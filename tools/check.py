@@ -59,6 +59,24 @@ def type_mismatches(got: pa.Table, want: pa.Table):
     return [f"{c}: spark={gt[c]} duck={wt[c]}" for c in sorted(gt) if c in wt and gt[c] != wt[c]]
 
 
+def edge_type_lint(tbl: pa.Table):
+    """Driver-compat lint for ORACLED outputs: the driver's pandas compare cannot
+    sort raw list cells (r9: q_edge_array/regex/strings crashed its harness) and its
+    type-sensitive hash fails decimal128 even when values agree (r9: q_edge_decimal;
+    r1: q_attribution). Any top-level ARRAY/MAP/STRUCT/DECIMAL column in an oracled
+    query must be rendered to text at the comparison edge ON BOTH ENGINES — e.g.
+    '['||array_join(a,',','NULL')||']' / array_to_string(list_transform(...)), and
+    CAST(dec AS STRING) — keeping the boundary under test visible in the string."""
+    bad = []
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_dictionary(t): t = t.value_type
+        if (pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+                or pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_decimal(t)):
+            bad.append(f"{f.name}:{t}")
+    return bad
+
+
 def table_rows(tbl: pa.Table):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
@@ -91,6 +109,11 @@ def main():
         try:
             t0 = time.time()
             got = pq.read_table(spark_path)
+            lint = edge_type_lint(got)
+            if lint:
+                print(f"FAIL {name}: raw complex/decimal output column(s) {lint} — "
+                      f"render to text at the comparison edge (driver hash/sort cannot take them)")
+                n_fail += 1; continue
             want = con.execute(oracles[name]).fetch_arrow_table()
             if time.time() - t0 > 10:
                 print(f"  [{name}: oracle took {time.time()-t0:.0f}s]", flush=True)
