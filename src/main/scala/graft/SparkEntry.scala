@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
+      operators.TpchVerbatim.all ++
       operators.PartsuppQueries.all ++
       operators.TpcdsShapedQueries.all ++
       operators.TpcdsRealQueries.all ++
@@ -50,6 +51,7 @@ object SparkEntry {
     * tables. Omitted keys get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracles ++
+      operators.TpchVerbatim.oracles ++
       operators.PartsuppQueries.oracles ++
       operators.TpcdsShapedQueries.oracles ++
       operators.TpcdsRealQueries.oracles ++
