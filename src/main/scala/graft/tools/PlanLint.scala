@@ -102,6 +102,14 @@ object PlanLint {
     // code-constant leaves: cardinality fixed by the program, not the data
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case _: org.apache.spark.sql.execution.RangeExec          => true
+    // Generate MULTIPLIES: a bounded input does not bound the output —
+    // explode(collect_list(x)) above a global aggregate is 1 row in,
+    // data-cardinality rows out. Bounded only when the generator expands
+    // LITERALS (explode(sequence(DATE…, DATE…)): the calendar frame), where the
+    // fan-out per row is fixed by the program; attribute-fed generators are
+    // unbounded no matter how bounded the input frame is.
+    case g: org.apache.spark.sql.execution.GenerateExec =>
+      g.generator.children.forall(_.foldable) && g.children.forall(boundedFrame)
     // everything else (joins, unions, projects, grouped aggregates, generates…):
     // output is bounded only when every input is; unknown LEAVES stay conservative
     case other => other.children.nonEmpty && other.children.forall(boundedFrame)
