@@ -51,10 +51,22 @@ import org.apache.spark.sql.SparkSession
  * bounded-staleness trade the MV freshness gate makes (plans.MaterializedViews).
  * Builds are atomic: views are written under a nonce-named sibling that is renamed
  * into place only after a `_STAR_COMPLETE` marker is written inside it; a lost
- * rename race discards the duplicate build and reuses the winner's. Superseded
- * stamps for the same (star, source dir), dead layout versions, and crash-stranded
- * build nonces older than an hour are swept on the build path, so debris does not
- * accumulate across stamp rotations.
+ * rename race discards the duplicate build and reuses the winner's. Sweeping (build
+ * path only): dead layout versions and orphaned stars go immediately; superseded
+ * stamps of the same (star, source dir) are deferred ONE generation, because a
+ * sibling session in the JVM may still hold views over the newest old stamp until
+ * its own next tryEnsure; crash-stranded build nonces are reaped only when the
+ * newest write anywhere one level inside is over an hour old (per-view child dirs
+ * are the build's heartbeat — the tmp dir's own mtime goes stale during a long
+ * multi-view write).
+ *
+ * Session isolation: the non-bucketed views register as session-local TEMP views,
+ * and the bucketed facts as IMMUTABLE shared catalog tables named per
+ * (Version, sfHash, stamp) with a session-local temp-view alias on the bare name —
+ * so concurrent sessions over different source dirs (the sf0.1/sf1 A/B harness)
+ * can never repoint each other, and a single session alternating source dirs fails
+ * the fast path (the registration map stores WHICH base a session has bound) and
+ * re-registers instead of serving the other dir's rows.
  *
  * Fail-soft by contract: [[tryEnsure]] returns false on ANY failure and the caller
  * keeps its inline-CTE plan — materialization is an optimization, never a
@@ -70,11 +82,15 @@ object StarCache {
     * item joins (bucket count is a one-line rev with a [[Version]] bump). */
   private val Buckets = 128
 
-  // (session nonce, cache base) pairs already registered in that session — the
-  // per-query fast path must not pay 24 parquet footer reads per call. Keyed by a
-  // UUID stored in the session's own conf, not identityHashCode: a GC'd session's
+  // (session nonce, star) -> the cache base CURRENTLY registered in that session —
+  // the per-query fast path must not pay 24 parquet footer reads per call. Keyed by
+  // a UUID stored in the session's own conf, not identityHashCode: a GC'd session's
   // hash can alias a live one and would skip registration for the wrong session.
-  private val registered = TrieMap.empty[(String, String), Boolean]
+  // The VALUE is the base (not a Boolean keyed on it): a session that alternates
+  // source dirs (the sf0.1/sf1 A/B harness does) must fail the fast path when the
+  // requested base differs from the one its views actually point at — a stale
+  // (nonce, base) membership test would serve the previous dir's rows.
+  private val registered = TrieMap.empty[(String, String), String]
 
   /** Test hook: number of real recursive listings performed (see stampTtlMs). */
   private[graft] val stampListings = new AtomicLong(0)
@@ -91,10 +107,15 @@ object StarCache {
     "web_returns"     -> "wr_returned_date_sk",
     "lineorder"       -> "lo_orderdate")
 
-  /** Item-bucketed facts: bucket column and in-file sort order. */
+  /** Item-bucketed facts: bucket column and in-file sort order. The year_total_*
+    * views are q74's / q4's multi-referenced customer-grain CTEs
+    * (TpcdsRealQueries.materializedCtes): bucketed on customer_id, their 4-/6-way
+    * self-joins arrive co-partitioned. */
   private val bucketSpec = Map(
-    "inventory"     -> ("inv_item_sk", Seq("inv_item_sk", "inv_date_sk")),
-    "catalog_sales" -> ("cs_item_sk", Seq("cs_item_sk", "cs_sold_date_sk")))
+    "inventory"      -> ("inv_item_sk", Seq("inv_item_sk", "inv_date_sk")),
+    "catalog_sales"  -> ("cs_item_sk", Seq("cs_item_sk", "cs_sold_date_sk")),
+    "year_total_q74" -> ("customer_id", Seq("customer_id")),
+    "year_total_q4"  -> ("customer_id", Seq("customer_id")))
 
   private def sessionNonce(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.star.sessionNonce").getOrElse {
@@ -155,18 +176,35 @@ object StarCache {
       if (!fs.exists(root)) return
       val hour = 60L * 60 * 1000
       val now = System.currentTimeMillis()
+      // Crash-stranded builds: age by the NEWEST write anywhere one level inside —
+      // a legitimately long build (>1h of writes landing in per-view SUBDIRS, quite
+      // plausible at the 100 TB design point) never updates the tmp dir's own mtime,
+      // so the dir mtime alone would reap an in-flight build mid-write. The per-view
+      // child dirs' mtimes tick as part files land in them: a live heartbeat.
+      def lastTouched(st: org.apache.hadoop.fs.FileStatus): Long =
+        try (st.getModificationTime +: fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+        catch { case NonFatal(_) => st.getModificationTime }
+      val superseded = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
         val isThisStar = name.matches(s"v\\d+_${java.util.regex.Pattern.quote(star)}_.*")
         if (isThisStar && name != current) {
-          val dead =
-            if (name.contains(".build-")) now - st.getModificationTime > hour
-            else if (!name.startsWith(s"v${Version}_")) true // dead layout version
-            else if (name.startsWith(s"v${Version}_${star}_${sfHash}_")) true // superseded stamp
-            else sourceGone(fs, st.getPath) // another source dir's star: dead iff its source is
-          if (dead) fs.delete(st.getPath, true)
+          if (name.contains(".build-")) {
+            if (now - lastTouched(st) > hour) fs.delete(st.getPath, true)
+          }
+          else if (!name.startsWith(s"v${Version}_")) fs.delete(st.getPath, true) // dead layout
+          else if (name.startsWith(s"v${Version}_${star}_${sfHash}_")) superseded += st
+          else if (sourceGone(fs, st.getPath)) fs.delete(st.getPath, true) // other source's star
         }
       }
+      // Superseded stamps of THIS (star, source dir) are deferred ONE generation:
+      // another live session in this JVM may still hold views over the newest old
+      // stamp (its registration only refreshes on its own next tryEnsure), and
+      // deleting under it would fail in-flight queries OUTSIDE the fail-soft
+      // boundary. Keep the most recent; everything older has survived two stamp
+      // rotations and goes.
+      superseded.sortBy(-_.getModificationTime).drop(1)
+        .foreach(st => fs.delete(st.getPath, true))
     } catch { case NonFatal(_) => () }
 
   /** True when the dir records a source path (_SOURCE, written at build) that no
@@ -198,19 +236,22 @@ object StarCache {
       val sfHash = md5hex(sfDir)
       val dirName = s"v${Version}_${star}_${sfHash}_${stamp(spark, sfDir)}"
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_star/$dirName"
-      val key = (sessionNonce(spark), base)
-      // Fast path verifies the catalog actually has the views: a CLONED session
-      // copies the conf (and so the nonce) but not the temp views, and a bare
-      // TrieMap hit would then hand the caller a session where s.sql(body) throws
-      // OUTSIDE this fail-soft boundary. tableExists is an in-memory lookup.
-      if (registered.contains(key) && spark.catalog.tableExists(views.head)) true
+      val key = (sessionNonce(spark), star)
+      // Fast path requires (a) THIS session registered THIS base — the value compare
+      // is what catches a session alternating source dirs — and (b) the catalog
+      // actually has the views: a CLONED session copies the conf (and so the nonce)
+      // but not the temp views, and a bare map hit would then hand the caller a
+      // session where s.sql(body) throws OUTSIDE this fail-soft boundary.
+      // tableExists is an in-memory lookup.
+      if (registered.get(key).contains(base) && spark.catalog.tableExists(views.head)) true
       else {
         val basePath = new Path(base)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val done = new Path(basePath, "_STAR_COMPLETE")
         if (!fs.exists(done)) {
           sweep(fs, basePath.getParent, star, sfHash, dirName)
-          val tmp = new Path(s"$base.build-${UUID.randomUUID().toString.take(8)}")
+          val buildNonce = UUID.randomUUID().toString.take(8)
+          val tmp = new Path(s"$base.build-$buildNonce")
           views.foreach { v =>
             val df = spark.sql(sql(v))
             val out = new Path(tmp, v).toString
@@ -219,7 +260,10 @@ object StarCache {
                 // One file per bucket (repartition count == bucket count, same hash):
                 // the single-file-per-bucket invariant is what lets the scan publish
                 // its sort order and the q72-class SMJ skip both exchange AND sort.
-                val tbl = s"graft_star_build_$v"
+                // nonce-suffixed: the build-side saveAsTable name lands in the
+                // SHARED catalog, and two sessions building different stamps
+                // concurrently must not DROP each other's in-flight table
+                val tbl = s"graft_star_build_${v}_$buildNonce"
                 spark.sql(s"DROP TABLE IF EXISTS $tbl")
                 df.repartition(Buckets, df.col(bucketCol))
                   .write.mode("overwrite")
@@ -254,21 +298,32 @@ object StarCache {
             val loc = new Path(basePath, v).toString
             bucketSpec.get(v) match {
               case Some((bucketCol, sortCols)) =>
-                // The bucket layout only travels through the catalog, so these two
-                // become external catalog tables (in-memory catalog: per-session DDL
-                // over the shared files). A leftover temp view would shadow the table.
-                spark.catalog.dropTempView(v)
-                spark.sql(s"DROP TABLE IF EXISTS $v")
-                val schema = spark.read.parquet(loc).schema.toDDL
-                spark.sql(
-                  s"""CREATE TABLE $v ($schema) USING parquet
-                     |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})
-                     |INTO $Buckets BUCKETS LOCATION '$loc'""".stripMargin)
+                // The bucket layout only travels through the catalog — but catalog
+                // tables live in the SparkContext-wide SHARED InMemoryCatalog, not
+                // per-session like temp views. A table named `inventory` would be
+                // DROP/CREATEd by every session that ensures a different source dir,
+                // silently repointing every OTHER session's queries at the wrong
+                // scale's rows. So the catalog table embeds (Version, sfHash, stamp)
+                // in its NAME — one immutable table per cache generation, created
+                // IF NOT EXISTS and never repointed — and each session binds the
+                // bare view name to its own generation through a session-LOCAL temp
+                // view alias (temp views shadow catalog tables at resolution). The
+                // alias is a plain `SELECT *`, so the analyzer inlines it and the
+                // bucketed relation's co-partitioning/sort still reach the planner.
+                val tbl = s"${v}__$dirName"
+                if (!spark.catalog.tableExists(tbl)) {
+                  val schema = spark.read.parquet(loc).schema.toDDL
+                  spark.sql(
+                    s"""CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet
+                       |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})
+                       |INTO $Buckets BUCKETS LOCATION '$loc'""".stripMargin)
+                }
+                spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v AS SELECT * FROM $tbl")
               case None =>
                 spark.read.parquet(loc).createOrReplaceTempView(v)
             }
           }
-          registered.put(key, true)
+          registered.put(key, base)
           true
         } else false
       }

@@ -196,6 +196,53 @@ class StarCacheSpec extends AnyFunSuite {
     assert(afterB.exists(_.contains("tpcds")), "live stars must not be collateral damage")
   }
 
+  test("sessions over different source dirs cannot serve each other's rows") {
+    import java.nio.file.{Files, Paths}
+    // dir A = full copy; dir B = same tables with part halved, so every derived
+    // view (item, and the part-driven inventory grid) has a DIFFERENT cardinality
+    val a = Files.createTempDirectory("graft_starisoA")
+    for (t <- TableIO.tableNames) copyTree(Paths.get(s"$sf/$t.parquet"), a.resolve(s"$t.parquet"))
+    val b = Files.createTempDirectory("graft_starisoB")
+    for (t <- TableIO.tableNames if t != "part")
+      copyTree(Paths.get(s"$sf/$t.parquet"), b.resolve(s"$t.parquet"))
+    TableIO.part(spark, sf).where("p_partkey % 2 = 0").write
+      .parquet(b.resolve("part.parquet").toString)
+    try {
+      // --- two CONCURRENT sessions, one per dir (the sf0.1/sf1 A/B shape) ---
+      val s1 = spark.newSession()
+      val s2 = spark.newSession()
+      TableIO.registerAll(s1, a.toString)
+      assert(StarCache.tryEnsure(s1, a.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      val itemA = s1.table("item").count()
+      val invA = s1.table("inventory").count()
+      TableIO.registerAll(s2, b.toString)
+      assert(StarCache.tryEnsure(s2, b.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      val itemB = s2.table("item").count()
+      assert(itemB < itemA, "halved part must halve the derived item dim")
+      // s1 re-ensures A on its fast path: s2's registration must NOT have repointed
+      // s1's bucketed catalog tables (the r9 shared-InMemoryCatalog DROP/CREATE bug)
+      assert(StarCache.tryEnsure(s1, a.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      assert(s1.table("item").count() == itemA, "s1's dims repointed by s2")
+      assert(s1.table("inventory").count() == invA,
+        "s1's bucketed inventory silently repointed by s2's registration")
+      assert(s2.table("inventory").count() != invA,
+        "B's halved part must shrink the generated inventory grid")
+      // --- ONE session alternating dirs must re-register, not fast-path stale views ---
+      TableIO.registerAll(s1, b.toString)
+      assert(StarCache.tryEnsure(s1, b.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      assert(s1.table("item").count() == itemB)
+      TableIO.registerAll(s1, a.toString)
+      assert(StarCache.tryEnsure(s1, a.toString, "tpcds", TpcdsRealQueries.viewNames,
+        TpcdsRealQueries.viewSql))
+      assert(s1.table("item").count() == itemA,
+        "alternating A->B->A fast-pathed onto B's views")
+    } finally { deleteTree(a); deleteTree(b) }
+  }
+
   test("tryEnsure is fail-soft: bad input reports false instead of throwing") {
     assert(!StarCache.tryEnsure(spark, "/nonexistent/dir", "tpcds",
       TpcdsRealQueries.viewNames, TpcdsRealQueries.viewSql))
