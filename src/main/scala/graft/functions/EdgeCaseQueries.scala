@@ -421,9 +421,109 @@ object EdgeCaseQueries {
     |  FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
     |        FROM customer) t) a""".stripMargin
 
+  // ---- higher-order lambda boundaries ---------------------------------------------
+  // The vacuous-truth family: exists() over an EMPTY array is false but forall()
+  // is true; transform/filter of empty stays empty (never NULL); zip_with pads the
+  // shorter side with NULLs; aggregate() folds with an explicit zero and optional
+  // finish lambda. DuckDB's list lambdas diverge on every empty-input case
+  // (list_bool_or of empty is NULL, not false), so the oracle pins Spark's
+  // contract literally and computes only the shared arithmetic. All outputs
+  // scalar or rendered text — lint-clean by construction.
+
+  private val hofSpark = """
+    |SELECT c_custkey AS k,
+    |  '[' || array_join(transform(CAST(array() AS ARRAY<INT>), x -> CAST(x + 1 AS STRING)), ',') || ']' AS t_empty,
+    |  '[' || array_join(transform(filter(array(c_nationkey, 1, 2), x -> x > 99),
+    |           x -> CAST(x AS STRING)), ',') || ']' AS f_none,
+    |  exists(CAST(array() AS ARRAY<INT>), x -> x > 0) AS exists_empty,
+    |  forall(CAST(array() AS ARRAY<INT>), x -> x > 0) AS forall_empty,
+    |  CAST(aggregate(array(1, 2, 3, 4), 0, (a, b) -> a * 10 + b) AS INT) AS agg_fold,
+    |  CAST(aggregate(array(c_nationkey), 100, (a, b) -> a + b, a -> a * 2) AS INT) AS agg_finish,
+    |  '[' || array_join(zip_with(array(1, 2, 3), array(10, 20),
+    |           (a, b) -> CAST(a AS STRING) || ':' || coalesce(CAST(b AS STRING), 'NULL')), ',') || ']' AS zip_pad,
+    |  CAST(size(CAST(array() AS ARRAY<INT>)) AS INT) AS len_empty,
+    |  CAST(reduce(array(1, 2, 3, 4), 0, (a, b) -> a * 10 + b) AS INT) AS reduce_fold
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
+  private val hofDuck = """
+    |SELECT c_custkey AS k,
+    |  '[]' AS t_empty,              -- transform of empty is empty, never NULL
+    |  '[]' AS f_none,               -- filter-all-out is empty, never NULL
+    |  FALSE AS exists_empty,        -- no witness in an empty array
+    |  TRUE  AS forall_empty,        -- vacuous truth (DuckDB's list_bool_and of empty is NULL)
+    |  1234  AS agg_fold,            -- ((0*10+1)*10+2)... positional fold
+    |  CAST((100 + c_nationkey) * 2 AS INT) AS agg_finish,  -- shared arithmetic, computed
+    |  '[1:10,2:20,3:NULL]' AS zip_pad,  -- zip_with pads the SHORTER side with NULL
+    |  0 AS len_empty,
+    |  1234 AS reduce_fold           -- reduce is aggregate's alias
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
+  // ---- struct boundaries ------------------------------------------------------------
+  // Structs compare lexicographically by field POSITION; a NULL struct is distinct
+  // from a struct of NULLs (isnull vs field access); field access through a NULL
+  // struct is NULL, not an error. Struct-typed outputs never cross the comparison
+  // edge raw — to_json renders the one structured value.
+
+  private val structSpark = """
+    |SELECT c_custkey AS k,
+    |  named_struct('a', c_nationkey, 'b', 'x').a AS field_access,
+    |  (named_struct('a', 1, 'b', 2) = named_struct('a', 1, 'b', 2)) AS st_eq,
+    |  (named_struct('a', 1, 'b', 2) < named_struct('a', 1, 'b', 3)) AS st_lt,
+    |  (named_struct('a', 1, 'b', 2) < named_struct('a', 2, 'b', 0)) AS st_lt_pos,
+    |  CAST(NULL AS STRUCT<a: INT>) IS NULL AS null_struct,
+    |  named_struct('a', CAST(NULL AS INT)) IS NULL AS struct_of_null,
+    |  CAST(NULL AS STRUCT<a: INT>).a IS NULL AS access_through_null,
+    |  to_json(named_struct('a', 1, 'b', 'x')) AS js
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
+  private val structDuck = """
+    |SELECT c_custkey AS k,
+    |  c_nationkey AS field_access,
+    |  TRUE AS st_eq,
+    |  TRUE AS st_lt,         -- later field decides when earlier ties
+    |  TRUE AS st_lt_pos,     -- earlier field dominates regardless of later ones
+    |  TRUE AS null_struct,
+    |  FALSE AS struct_of_null,  -- a struct OF nulls is not itself NULL
+    |  TRUE AS access_through_null,
+    |  '{"a":1,"b":"x"}' AS js
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
+  // ---- map boundaries -----------------------------------------------------------------
+  // element_at on a missing key THROWS under Spark 4's default ANSI mode — try_element_at
+  // is the production-safe access and returns NULL; map_keys carries no order guarantee,
+  // so the rendered key list sorts first. DuckDB's map extraction returns a LIST, so the
+  // oracle pins Spark's scalar contract literally.
+
+  private val mapSpark = """
+    |SELECT c_custkey AS k,
+    |  try_element_at(map('a', 1, 'b', 2), 'zzz') AS missing_key,
+    |  element_at(map('a', 1, 'b', 2), 'b') AS hit,
+    |  CAST(size(map('a', 1, 'b', 2)) AS INT) AS msize,
+    |  '[' || array_join(sort_array(map_keys(map('a', 1, 'b', 2))), ',') || ']' AS keys_sorted,
+    |  map_contains_key(map('a', 1), 'a') AS has_key,
+    |  map_contains_key(map('a', 1), 'zzz') AS has_missing,
+    |  CAST(aggregate(map_values(map('a', 1, 'b', 2)), 0, (acc, v) -> acc + v) AS INT) AS vals_sum,
+    |  try_element_at(map_from_arrays(array('x'), array(c_nationkey)), 'x') AS from_arrays
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
+  private val mapDuck = """
+    |SELECT c_custkey AS k,
+    |  CAST(NULL AS INT) AS missing_key,  -- Spark try_element_at miss is NULL (plain element_at THROWS under ANSI)
+    |  2 AS hit,
+    |  2 AS msize,
+    |  '[a,b]' AS keys_sorted,
+    |  TRUE AS has_key,
+    |  FALSE AS has_missing,
+    |  3 AS vals_sum,
+    |  c_nationkey AS from_arrays
+    |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edge_tz"          -> ((s, d) => run(s, d, tzSpark)),
     "q_edge_collate"     -> ((s, d) => run(s, d, collateSpark)),
+    "q_edge_hof"         -> ((s, d) => run(s, d, hofSpark)),
+    "q_edge_struct"      -> ((s, d) => run(s, d, structSpark)),
+    "q_edge_map"         -> ((s, d) => run(s, d, mapSpark)),
     "q_edge_window"      -> ((s, d) => run(s, d, windowEdge)),
     "q_edge_grouping"    -> ((s, d) => run(s, d, groupingNull)),
     "q_edge_nulls_order" -> ((s, d) => run(s, d, nullsOrder)),
@@ -443,6 +543,9 @@ object EdgeCaseQueries {
   val oracles: Map[String, String] = Map(
     "q_edge_tz"          -> tzDuck,
     "q_edge_collate"     -> collateDuck,
+    "q_edge_hof"         -> hofDuck,
+    "q_edge_struct"      -> structDuck,
+    "q_edge_map"         -> mapDuck,
     "q_edge_window"      -> windowEdge,
     "q_edge_grouping"    -> groupingNull,
     "q_edge_nulls_order" -> nullsOrder,

@@ -177,6 +177,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getString(8).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}"))
   }
 
+  test("higher-order lambdas: vacuous truth, empty-preserving transforms, NULL-padded zip") {
+    val r = q("q_edge_hof").head()
+    assert(r.getString(1) == "[]" && r.getString(2) == "[]",
+      "transform/filter of empty is empty, never NULL")
+    assert(!r.getBoolean(3), "exists over an empty array has no witness: false")
+    assert(r.getBoolean(4), "forall over an empty array is VACUOUSLY true")
+    assert(r.getInt(5) == 1234 && r.getInt(9) == 1234, "positional left fold with explicit zero")
+    assert(r.getString(7) == "[1:10,2:20,3:NULL]", "zip_with pads the shorter side with NULL")
+    assert(r.getInt(8) == 0, "size of empty is 0, not NULL")
+  }
+
+  test("structs: positional lexicographic compare, NULL struct vs struct of NULLs") {
+    val r = q("q_edge_struct").head()
+    assert(r.getBoolean(2) && r.getBoolean(3), "field-wise equality; later field breaks ties")
+    assert(r.getBoolean(4), "the EARLIER field dominates the comparison")
+    assert(r.getBoolean(5), "a typed NULL struct IS NULL")
+    assert(!r.getBoolean(6), "a struct OF nulls is a value, not NULL")
+    assert(r.getBoolean(7), "field access through a NULL struct is NULL, not an error")
+    assert(r.getString(8) == "{\"a\":1,\"b\":\"x\"}")
+  }
+
+  test("maps: ANSI-safe missing-key access, sorted key render, value fold") {
+    val r = q("q_edge_map").head()
+    assert(r.isNullAt(1), "try_element_at on a missing key is NULL (plain element_at throws under ANSI)")
+    assert(r.getInt(2) == 2 && r.getInt(3) == 2)
+    assert(r.getString(4) == "[a,b]", "map_keys carries no order guarantee — render sorted")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getInt(7) == 3, "fold over map_values")
+  }
+
   test("collation: UTF8_LCASE folds case, UNICODE_CI_AI folds accents, binary does neither") {
     val r = q("q_edge_collate").head()
     assert(r.getBoolean(0) && !r.getBoolean(1), "CI equality holds exactly where binary fails")
