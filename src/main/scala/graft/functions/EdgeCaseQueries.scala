@@ -518,7 +518,48 @@ object EdgeCaseQueries {
     |  c_nationkey AS from_arrays
     |FROM customer WHERE c_custkey < 20 ORDER BY k""".stripMargin
 
+  // ---- the reference's OWN divergence list, pinned to the vanilla contract ---------
+  // gazelle_plugin documents six cases where its native kernels diverge from Apache
+  // Spark (docs/Expressions-Compatibility.md:1-16). graft's execution layer IS
+  // vanilla Spark, so each divergence is pinned here to the VANILLA behavior — the
+  // exact boundaries a user migrating from the reference must re-verify:
+  //  #1/#6 string->int cast of '123abc': vanilla NULL (the reference's WSCG cast
+  //        returned the leading digits);
+  //  #2    get_json_object: vanilla ACCEPTS single-quoted JSON and returns the
+  //        FIRST of duplicate keys (the reference rejected quotes / returned null);
+  //  #3    from_unixtime renders in the session zone (UTC here), with and without
+  //        a user format (the reference hard-coded UTC and no format);
+  //  #4    LEGACY_TIME_PARSER_POLICY=CORRECTED (the default): Feb 30 parses to
+  //        NULL via try_to_timestamp, never rolls over to Mar 1 like LEGACY;
+  //  #5    user-specified date formats: unpadded y-M-d and word patterns (EEEE).
+  // The oracle pins each contract literally (DuckDB shares none of these surfaces).
+
+  private val compatSpark = """
+    |SELECT
+    |  try_cast('123abc' AS INT) AS digits_lead,
+    |  get_json_object("{'a': 1}", '$.a') AS json_single_quote,
+    |  get_json_object('{"k":"v1","k":"v2"}', '$.k') AS json_dup_key,
+    |  from_unixtime(0) AS epoch0,
+    |  from_unixtime(86400 + 3661, 'yyyy-MM-dd HH:mm') AS epoch_fmt,
+    |  CAST(try_to_timestamp('2020-02-30 00:00:00') AS STRING) AS feb30_corrected,
+    |  CAST(try_to_timestamp('2020-02-29 12:00:00') AS STRING) AS feb29_valid,
+    |  date_format(DATE '2000-01-09', 'y-M-d') AS fmt_unpadded,
+    |  date_format(DATE '2000-01-09', 'EEEE') AS fmt_dayname""".stripMargin
+
+  private val compatDuck = """
+    |SELECT
+    |  CAST(NULL AS INT) AS digits_lead,        -- vanilla rejects trailing garbage; the reference returned 123
+    |  '1' AS json_single_quote,                -- vanilla accepts single-quoted JSON
+    |  'v1' AS json_dup_key,                    -- FIRST duplicate key wins, not null
+    |  '1970-01-01 00:00:00' AS epoch0,         -- session zone (UTC) render
+    |  '1970-01-02 01:01' AS epoch_fmt,
+    |  CAST(NULL AS VARCHAR) AS feb30_corrected, -- CORRECTED policy: no LEGACY roll-over to Mar 1
+    |  '2020-02-29 12:00:00' AS feb29_valid,
+    |  '2000-1-9' AS fmt_unpadded,
+    |  'Sunday' AS fmt_dayname""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_compat"      -> ((s, d) => run(s, d, compatSpark)),
     "q_edge_tz"          -> ((s, d) => run(s, d, tzSpark)),
     "q_edge_collate"     -> ((s, d) => run(s, d, collateSpark)),
     "q_edge_hof"         -> ((s, d) => run(s, d, hofSpark)),
@@ -541,6 +582,7 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_compat"      -> compatDuck,
     "q_edge_tz"          -> tzDuck,
     "q_edge_collate"     -> collateDuck,
     "q_edge_hof"         -> hofDuck,

@@ -177,6 +177,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getString(8).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}"))
   }
 
+  test("the reference's documented divergences pin to the vanilla contract") {
+    // gazelle_plugin docs/Expressions-Compatibility.md:1-16 — each case the
+    // reference's native kernels got wrong relative to Apache Spark
+    val r = q("q_edge_compat").head()
+    assert(r.isNullAt(0), "'123abc' casts to NULL, not the leading digits")
+    assert(r.getString(1) == "1", "single-quoted JSON is accepted")
+    assert(r.getString(2) == "v1", "the FIRST duplicate JSON key wins, not null")
+    assert(r.getString(3) == "1970-01-01 00:00:00", "from_unixtime renders in the session zone")
+    assert(r.getString(4) == "1970-01-02 01:01", "user-specified format is honored")
+    assert(r.isNullAt(5), "CORRECTED parser policy rejects Feb 30 — no LEGACY roll-over")
+    assert(r.getString(6) == "2020-02-29 12:00:00")
+    assert(r.getString(7) == "2000-1-9" && r.getString(8) == "Sunday")
+  }
+
   test("higher-order lambdas: vacuous truth, empty-preserving transforms, NULL-padded zip") {
     val r = q("q_edge_hof").head()
     assert(r.getString(1) == "[]" && r.getString(2) == "[]",
