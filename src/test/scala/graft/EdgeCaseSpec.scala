@@ -162,6 +162,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getLong(2) > 0)
   }
 
+  test("session timezone is honored: the same instant renders differently per zone") {
+    // The reference hard-coded UTC rendering (its Expressions-Compatibility #3);
+    // vanilla Spark renders timestamps in spark.sql.session.timeZone. Proven in an
+    // isolated newSession so the shared UTC test session is untouched.
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val q = "SELECT from_unixtime(0) AS t, CAST(from_unixtime(0) AS DATE) AS d"
+    val u = spark.sql(q).head()
+    val n = ny.sql(q).head()
+    assert(u.getString(0) == "1970-01-01 00:00:00", "UTC session renders the epoch at midnight")
+    assert(n.getString(0) == "1969-12-31 19:00:00", "NY session renders the SAME instant at -5")
+    assert(u.getDate(1).toString == "1970-01-01" && n.getDate(1).toString == "1969-12-31",
+      "timestamp->date truncation is session-zone-dependent — the date FLIPS")
+  }
+
   test("timezone boundaries: DST gap shifts forward, overlap takes the earlier offset") {
     val r = q("q_edge_tz").head()
     assert(r.getString(0) == "1999-12-31 22:30:00", "winter NY is UTC-5 and flips the date")
