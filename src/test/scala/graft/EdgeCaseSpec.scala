@@ -244,7 +244,13 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(!r.getBoolean(4), "plain UNICODE keeps the accent distinct")
     assert(r.getString(5) == "STRASSE", "Java case table: sharp-s uppercases to SS")
     assert(r.getString(6) == "àbç" && r.getString(7) == "Hello World")
-    assert(r.getLong(9) == 2 * r.getLong(8),
-      "every segment appears in both cases, so binary distinct is exactly 2x CI distinct")
+    // Semantic relation, not a data-dependent count (r10 advice): case-insensitive
+    // distinct can never exceed binary distinct, and binary distinct can at most see
+    // each CI class in both cases. Exact 2x holds for the committed dataset (every
+    // c_mktsegment occurs under both c_custkey parities) but would silently couple
+    // the spec to that accident on regenerated data.
+    val (nCi, nCs) = (r.getLong(8), r.getLong(9))
+    assert(nCi >= 1 && nCi <= nCs && nCs <= 2 * nCi,
+      s"CI distinct ($nCi) bounds binary distinct ($nCs) within [n_ci, 2*n_ci]")
   }
 }

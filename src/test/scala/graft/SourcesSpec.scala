@@ -116,6 +116,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(sums === expect)
   }
 
+  test("arrow DSv2 filter pushdown: predicate reaches the scan and row-free batches never deliver") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.ArrowSourceV2
+    val dir = Files.createTempDirectory("graft_arrow_pd").toString
+    // One file, many small batches, CLUSTERED on doc_id — the layout where batch-granular
+    // skipping pays (the same reason parquet writers sort within row groups).
+    val docs = TableIO.documents(spark, sf).select("doc_id", "text", "source", "n_chars")
+    org.apache.spark.sql.graft.ArrowIpc.write(
+      docs.coalesce(1).sortWithinPartitions("doc_id"), dir, batchRows = 64)
+    val totalBatches = (docs.count() + 63) / 64
+
+    val scan = TableIO.readArrow(spark, dir)
+    val hi = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+
+    ArrowSourceV2.batchesRead.set(0); ArrowSourceV2.batchesSkipped.set(0)
+    val q = scan.filter(col("doc_id") >= hi - 3).select("doc_id", "n_chars")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    // 1. the executed plan's scan reports the predicate as pushed (SupportsPushDownFilters)
+    val leaf = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PushedFilters: [") && leaf.contains("doc_id"),
+      s"pushed filter must reach the scan:\n$leaf")
+
+    // 2. row parity with the parquet twin — skipping is an optimization, never semantics
+    val want = docs.filter(col("doc_id") >= hi - 3).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "filtered scan must match the parquet twin")
+    assert(got.nonEmpty, "the probe predicate must select something")
+
+    // 3. measured batch reduction: the selective predicate over the clustered file
+    //    must deliver a small suffix of the batches and skip the rest
+    val read = ArrowSourceV2.batchesRead.get(); val skipped = ArrowSourceV2.batchesSkipped.get()
+    assert(read + skipped == totalBatches, s"every batch is decided: $read+$skipped != $totalBatches")
+    assert(skipped > 0 && read < totalBatches,
+      s"selective predicate must skip batches: read=$read skipped=$skipped of $totalBatches")
+    assert(read <= 2, s"doc_id-clustered file: only the tail batch(es) can match, read=$read")
+
+    // 4. a non-translatable predicate pushes nothing and still answers exactly
+    ArrowSourceV2.batchesSkipped.set(0)
+    val fallback = scan.filter("length(text) > 0 AND doc_id % 97 = 0").count()
+    val fallbackWant = docs.filter("length(text) > 0 AND doc_id % 97 = 0").count()
+    assert(fallback == fallbackWant, "residual-only evaluation stays exact")
+    assert(ArrowSourceV2.batchesSkipped.get() == 0,
+      "nothing pushed => nothing skipped (Spark's Filter does all the work)")
+  }
+
   test("schema evolution: mergeSchema unifies widened parquet batches, pruning intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString
