@@ -558,7 +558,226 @@ object EdgeCaseQueries {
     |  '2000-1-9' AS fmt_unpadded,
     |  'Sunday' AS fmt_dayname""".stripMargin
 
+  // ---- INTERVAL arithmetic (reference sql-tests/inputs/interval.sql) ---------------
+  // Year-month vs day-time families, month-end clamping (including the non-associative
+  // (+1 MONTH)(+1 MONTH) != (+2 MONTH) chain — each step clamps), unit-preserving vs
+  // normalized renders, try_* overflow/div0 to NULL, EXTRACT from an interval, and
+  // date-minus-date producing a day-time interval. Everything interval-typed renders
+  // to text at the edge (the edge_type_lint discipline); DuckDB's interval renders
+  // differ, so the oracle pins Spark's canonical SQL-standard forms as literals. The
+  // data-driven tail sweeps month-add clamping across every o_orderdate — both engines
+  // clamp (calendar arithmetic), so those columns are COMPUTED on both sides.
+
+  private val intervalSpark = """
+    |SELECT
+    |  CAST(DATE '2024-01-31' + INTERVAL '1' MONTH AS STRING) AS clamp_feb,
+    |  CAST(DATE '2024-01-31' + INTERVAL '2' MONTH AS STRING) AS add2_direct,
+    |  CAST(DATE '2024-01-31' + INTERVAL '1' MONTH + INTERVAL '1' MONTH AS STRING) AS add2_chained,
+    |  CAST(DATE '2024-03-31' - INTERVAL '1' MONTH AS STRING) AS sub_clamp,
+    |  CAST(DATE '2024-02-29' + INTERVAL '1' YEAR AS STRING) AS leap_add,
+    |  CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 12:30:15' DAY TO SECOND AS STRING) AS dt_add,
+    |  CAST(CAST(INTERVAL '14' MONTH AS INTERVAL YEAR TO MONTH) AS STRING) AS ym_norm,
+    |  CAST(CAST(INTERVAL '90061' SECOND AS INTERVAL DAY TO SECOND) AS STRING) AS dt_norm,
+    |  CAST(INTERVAL '-13' MONTH AS STRING) AS ym_neg,
+    |  CAST(INTERVAL '2' DAY * 1.25 AS STRING) AS dt_scaled,
+    |  CAST(try_add(INTERVAL '178956970' YEAR, INTERVAL '1' YEAR) AS STRING) AS ym_overflow,
+    |  CAST(try_divide(INTERVAL '1' DAY, 0) AS STRING) AS dt_div0,
+    |  CAST(EXTRACT(MONTH FROM INTERVAL '1-2' YEAR TO MONTH) AS BIGINT) AS ext_month,
+    |  CAST(DATE '2024-03-01' - DATE '2024-01-31' AS STRING) AS date_minus_date,
+    |  CAST((DATE '2024-01-31' + INTERVAL '1' MONTH) - DATE '2024-01-31' AS STRING) AS diff_after_clamp,
+    |  (INTERVAL '1' DAY > INTERVAL '23' HOUR) AS dt_cmp,
+    |  clamped, shifted_min, shifted_max
+    |FROM (
+    |  SELECT
+    |    CAST(count(CASE WHEN day(CAST(o_orderdate AS DATE) + INTERVAL '1' MONTH)
+    |                      <> day(o_orderdate) THEN 1 END) AS BIGINT) AS clamped,
+    |    CAST(min(CAST(o_orderdate AS DATE) + INTERVAL '1' MONTH) AS STRING) AS shifted_min,
+    |    CAST(max(CAST(o_orderdate AS DATE) + INTERVAL '1' MONTH) AS STRING) AS shifted_max
+    |  FROM orders) t""".stripMargin
+
+  private val intervalDuck = """
+    |SELECT
+    |  '2024-02-29' AS clamp_feb,
+    |  '2024-03-31' AS add2_direct,
+    |  '2024-03-29' AS add2_chained,   -- each month-add clamps: chained loses the 31st
+    |  '2024-02-29' AS sub_clamp,
+    |  '2025-02-28' AS leap_add,       -- Feb-29 + 1 YEAR clamps into the non-leap year
+    |  '2024-01-02 12:30:15' AS dt_add,
+    |  'INTERVAL ''1-2'' YEAR TO MONTH' AS ym_norm,
+    |  'INTERVAL ''1 01:01:01'' DAY TO SECOND' AS dt_norm,
+    |  'INTERVAL ''-13'' MONTH' AS ym_neg,    -- literal render keeps the declared unit
+    |  'INTERVAL ''2 12:00:00'' DAY TO SECOND' AS dt_scaled,
+    |  CAST(NULL AS VARCHAR) AS ym_overflow,  -- int32-months overflow under try_add
+    |  CAST(NULL AS VARCHAR) AS dt_div0,
+    |  CAST(2 AS BIGINT) AS ext_month,
+    |  'INTERVAL ''30'' DAY' AS date_minus_date,
+    |  'INTERVAL ''29'' DAY' AS diff_after_clamp, -- the clamp is visible in the diff
+    |  TRUE AS dt_cmp,
+    |  clamped, shifted_min, shifted_max
+    |FROM (
+    |  SELECT
+    |    CAST(count(CASE WHEN day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
+    |                      <> day(o_orderdate) THEN 1 END) AS BIGINT) AS clamped,
+    |    CAST(CAST(min(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE) AS VARCHAR) AS shifted_min,
+    |    CAST(CAST(max(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE) AS VARCHAR) AS shifted_max
+    |  FROM orders) t""".stripMargin
+
+  // ---- CHAR(n) / VARCHAR(n) (reference sql-tests/inputs/charvarchar.sql) -----------
+  // Spark's contract (spark.sql.preserveCharVarcharTypeInfo=true, the non-legacy
+  // surface of the semantics the reference inherits): CHAR(n) PADS the value itself
+  // to n — so length() is n and comparison is plain binary over the padded string
+  // ('ab' != 'ab   '; no ANSI blank-padded comparison) — while VARCHAR(n) stores
+  // unpadded and ENFORCES length on cast: try_cast of an over-length string is NULL
+  // (plain cast raises EXCEED_LIMIT_LENGTH). Runs in a cloned session so the conf
+  // never leaks into sibling queries; DuckDB treats CHAR(n) as VARCHAR, so the
+  // oracle pins Spark's padded results as literals.
+
+  private val charSpark = """
+    |SELECT
+    |  '[' || CAST('ab' AS CHAR(5)) || ']' AS pad5,
+    |  CAST(length(CAST('ab' AS CHAR(5))) AS BIGINT) AS pad5_len,
+    |  (CAST('ab' AS CHAR(5)) = 'ab') AS pad_eq_short,
+    |  (CAST('ab' AS CHAR(5)) = 'ab   ') AS pad_eq_padded,
+    |  (rpad('ab', 5) = CAST('ab' AS CHAR(5))) AS rpad_eq,
+    |  '[' || CAST('ab' AS VARCHAR(5)) || ']' AS vc5,
+    |  CAST(length(CAST('ab' AS VARCHAR(5))) AS BIGINT) AS vc5_len,
+    |  CAST(try_cast('abcdef' AS VARCHAR(3)) AS STRING) AS vc_over_try,
+    |  ('ab ' = 'ab') AS trailing_eq,
+    |  (rtrim('ab ') = 'ab') AS rtrim_eq,
+    |  seg_pad_distinct
+    |FROM (
+    |  SELECT CAST(count(DISTINCT CAST(c_mktsegment AS CHAR(12))) AS BIGINT) AS seg_pad_distinct
+    |  FROM customer) t""".stripMargin
+
+  private val charDuck = """
+    |SELECT
+    |  '[ab   ]' AS pad5,
+    |  CAST(5 AS BIGINT) AS pad5_len,
+    |  FALSE AS pad_eq_short,   -- padding is IN the value; comparison stays binary
+    |  TRUE AS pad_eq_padded,
+    |  TRUE AS rpad_eq,
+    |  '[ab]' AS vc5,
+    |  CAST(2 AS BIGINT) AS vc5_len,
+    |  CAST(NULL AS VARCHAR) AS vc_over_try, -- VARCHAR(3) length ENFORCED: try_cast -> NULL
+    |  FALSE AS trailing_eq,
+    |  TRUE AS rtrim_eq,
+    |  seg_pad_distinct
+    |FROM (
+    |  SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS seg_pad_distinct
+    |  FROM customer) t""".stripMargin
+
+  // ---- LIKE ALL / LIKE ANY (reference sql-tests/inputs/like-all.sql, like-any.sql) --
+  // The multi-pattern forms lower to three-valued AND/OR chains: LIKE ALL with a NULL
+  // pattern is NULL-if-others-true / FALSE-if-any-false; NOT LIKE ANY is "fails at
+  // least one" (NOT distributes INSIDE the quantifier — the classic misreading is
+  // "matches none", which is NOT LIKE ALL). DuckDB has no LIKE ALL/ANY, so the oracle
+  // IS the documented lowering — the equivalence is the thing proven. (Spark-only
+  // boundary, pinned by construction: ESCAPE may only precede %, _ or itself —
+  // '%!#%' ESCAPE '!' raises INVALID_FORMAT.ESC_IN_THE_MIDDLE, where DuckDB accepts
+  // it; a literal '#' needs no escape in either engine.)
+
+  private val likeSpark = """
+    |SELECT c_custkey AS k,
+    |  (c_name LIKE ALL ('Customer%', '%0%')) AS la,
+    |  (c_name LIKE ANY ('%99999%', '%00000%')) AS lny,
+    |  (c_name NOT LIKE ALL ('%888%', '%999%')) AS nla,
+    |  (c_name NOT LIKE ANY ('Customer%', '%0%')) AS nlany,
+    |  (CAST(c_custkey AS STRING) NOT LIKE ALL ('%1%', '%2%')) AS nla_var,
+    |  ((c_name LIKE ALL ('Customer%', NULL)) IS NULL) AS la_null,
+    |  ((c_name LIKE ANY ('%zzzqqq%', NULL)) IS NULL) AS lany_null,
+    |  (c_name LIKE '%#%') AS hash_lit,
+    |  ('a!b' LIKE '%!!%' ESCAPE '!') AS esc_esc,
+    |  ('100%' LIKE '100!%' ESCAPE '!') AS esc_pct,
+    |  ('100x' LIKE '100!%' ESCAPE '!') AS esc_lit,
+    |  ('' LIKE '%') AS empty_pct,
+    |  ('' LIKE '_') AS empty_us
+    |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
+
+  private val likeDuck = """
+    |SELECT c_custkey AS k,
+    |  (c_name LIKE 'Customer%' AND c_name LIKE '%0%') AS la,
+    |  (c_name LIKE '%99999%' OR c_name LIKE '%00000%') AS lny,
+    |  (c_name NOT LIKE '%888%' AND c_name NOT LIKE '%999%') AS nla,
+    |  (c_name NOT LIKE 'Customer%' OR c_name NOT LIKE '%0%') AS nlany,
+    |  (CAST(c_custkey AS VARCHAR) NOT LIKE '%1%'
+    |     AND CAST(c_custkey AS VARCHAR) NOT LIKE '%2%') AS nla_var,
+    |  (((c_name LIKE 'Customer%') AND CAST(NULL AS BOOLEAN)) IS NULL) AS la_null,
+    |  (((c_name LIKE '%zzzqqq%') OR CAST(NULL AS BOOLEAN)) IS NULL) AS lany_null,
+    |  (c_name LIKE '%#%') AS hash_lit,
+    |  ('a!b' LIKE '%!!%' ESCAPE '!') AS esc_esc,
+    |  ('100%' LIKE '100!%' ESCAPE '!') AS esc_pct,
+    |  ('100x' LIKE '100!%' ESCAPE '!') AS esc_lit,
+    |  ('' LIKE '%') AS empty_pct,
+    |  ('' LIKE '_') AS empty_us
+    |FROM customer WHERE c_custkey < 100 ORDER BY k""".stripMargin
+
+  // ---- implicit-cast lattice (reference sql-tests/inputs/typeCoercion/) ------------
+  // The corners both engines' users actually hit: string+int lands on BIGINT under
+  // ANSI (not double), int+decimal-literal widens to DECIMAL, int+E-notation to
+  // DOUBLE, mixed IF/COALESCE branches take the wider type, '2' > 10 compares
+  // NUMERICALLY, date-vs-string compares as dates, || stringifies. typeof() makes the
+  // lattice itself the output; DuckDB's lattice differs, so the oracle pins Spark's.
+  // The data-driven tail counts a timestamp-vs-string band over orders — the implicit
+  // cast both engines agree on.
+
+  private val coercionSpark = """
+    |SELECT
+    |  typeof('10' + 5) AS t_str_plus_int,
+    |  CAST('10' + 5 AS STRING) AS v_str_plus_int,
+    |  typeof(1 + 0.5) AS t_int_dec,
+    |  CAST(1 + 0.5 AS STRING) AS v_int_dec,
+    |  typeof(1 + 0.5E0) AS t_int_dbl,
+    |  typeof(CAST(1 AS TINYINT) + CAST(1 AS BIGINT)) AS t_tiny_big,
+    |  (1 = '1') AS eq_int_str,
+    |  ('2' > 10) AS cmp_str_int,
+    |  (DATE '1995-06-17' = '1995-06-17') AS eq_date_str,
+    |  ('a' || 1) AS concat_int,
+    |  typeof(array(1, 2.5)) AS t_arr,
+    |  typeof(coalesce(1, 2.0E0)) AS t_coalesce,
+    |  (1 IN ('1', '2')) AS in_str,
+    |  typeof(if(true, CAST(1 AS INT), CAST(2 AS DECIMAL(5,2)))) AS t_if,
+    |  n_date_str
+    |FROM (
+    |  SELECT CAST(count(CASE WHEN o_orderdate > '1999-12-31' THEN 1 END) AS BIGINT) AS n_date_str
+    |  FROM orders) t""".stripMargin
+
+  private val coercionDuck = """
+    |SELECT
+    |  'bigint' AS t_str_plus_int,  -- ANSI Spark: string+int -> BIGINT (not double)
+    |  '15' AS v_str_plus_int,
+    |  'decimal(3,1)' AS t_int_dec,
+    |  '1.5' AS v_int_dec,
+    |  'double' AS t_int_dbl,
+    |  'bigint' AS t_tiny_big,
+    |  TRUE AS eq_int_str,
+    |  FALSE AS cmp_str_int,        -- numeric comparison: 2 > 10, not '2' > '10'
+    |  TRUE AS eq_date_str,
+    |  'a1' AS concat_int,
+    |  'array<decimal(11,1)>' AS t_arr,
+    |  'double' AS t_coalesce,
+    |  TRUE AS in_str,
+    |  'decimal(12,2)' AS t_if,
+    |  n_date_str
+    |FROM (
+    |  SELECT CAST(count(CASE WHEN o_orderdate > '1999-12-31' THEN 1 END) AS BIGINT) AS n_date_str
+    |  FROM orders) t""".stripMargin
+
+  /** charvarchar semantics live behind spark.sql.preserveCharVarcharTypeInfo (off by
+    * default, CHAR/VARCHAR degrade to plain STRING in expression context) — run the
+    * char key in a CLONED session (same SparkContext, isolated conf + temp views) so
+    * the flag can never leak into a sibling query's plan. */
+  private def runPreserved(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
+    TableIO.registerAll(s, dir)
+    s.sql(sqlText)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_interval"    -> ((s, d) => run(s, d, intervalSpark)),
+    "q_edge_char"        -> ((s, d) => runPreserved(s, d, charSpark)),
+    "q_edge_like"        -> ((s, d) => run(s, d, likeSpark)),
+    "q_edge_coercion"    -> ((s, d) => run(s, d, coercionSpark)),
     "q_edge_compat"      -> ((s, d) => run(s, d, compatSpark)),
     "q_edge_tz"          -> ((s, d) => run(s, d, tzSpark)),
     "q_edge_collate"     -> ((s, d) => run(s, d, collateSpark)),
@@ -582,6 +801,10 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_interval"    -> intervalDuck,
+    "q_edge_char"        -> charDuck,
+    "q_edge_like"        -> likeDuck,
+    "q_edge_coercion"    -> coercionDuck,
     "q_edge_compat"      -> compatDuck,
     "q_edge_tz"          -> tzDuck,
     "q_edge_collate"     -> collateDuck,

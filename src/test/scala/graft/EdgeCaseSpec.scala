@@ -253,4 +253,76 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(nCi >= 1 && nCi <= nCs && nCs <= 2 * nCi,
       s"CI distinct ($nCi) bounds binary distinct ($nCs) within [n_ci, 2*n_ci]")
   }
+
+  test("intervals: month-end clamping, normalized render, try_* overflow, date-minus-date") {
+    val r = q("q_edge_interval").head()
+    assert(r.getString(0) == "2024-02-29", "Jan-31 + 1 MONTH clamps to leap Feb-29")
+    assert(r.getString(1) == "2024-03-31" && r.getString(2) == "2024-03-29",
+      "each month-add clamps independently: (+1M)(+1M) loses the 31st, (+2M) keeps it")
+    assert(r.getString(3) == "2024-02-29", "subtraction clamps the same way")
+    assert(r.getString(4) == "2025-02-28", "Feb-29 + 1 YEAR clamps into the non-leap year")
+    assert(r.getString(5) == "2024-01-02 12:30:15")
+    assert(r.getString(6) == "INTERVAL '1-2' YEAR TO MONTH",
+      "casting normalizes 14 months into the year-month render")
+    assert(r.getString(7) == "INTERVAL '1 01:01:01' DAY TO SECOND",
+      "casting normalizes 90061 seconds into the day-time render")
+    assert(r.getString(8) == "INTERVAL '-13' MONTH", "a literal keeps its declared unit")
+    assert(r.getString(9) == "INTERVAL '2 12:00:00' DAY TO SECOND", "interval * decimal scales")
+    assert(r.isNullAt(10), "year-month overflow (int32 months) under try_add is NULL")
+    assert(r.isNullAt(11), "try_divide(interval, 0) is NULL")
+    assert(r.getLong(12) == 2, "EXTRACT(MONTH FROM '1-2') is the month field, 2")
+    assert(r.getString(13) == "INTERVAL '30' DAY" && r.getString(14) == "INTERVAL '29' DAY",
+      "date-minus-date is a day-time interval; the clamp is visible in the diff")
+    assert(r.getBoolean(15), "day-time intervals compare by physical duration")
+    assert(r.getLong(16) > 0, "the o_orderdate sweep must hit clamped month-ends")
+  }
+
+  test("char/varchar: CHAR(n) pads the value itself; VARCHAR(n) enforces length on cast") {
+    val r = q("q_edge_char").head()
+    assert(r.getString(0) == "[ab   ]" && r.getLong(1) == 5,
+      "CHAR(5) pads to 5 — the padding is IN the value, length() sees it")
+    assert(!r.getBoolean(2) && r.getBoolean(3),
+      "comparison stays binary: padded != short, padded == explicitly-padded (no ANSI blank-pad compare)")
+    assert(r.getBoolean(4), "rpad(x, n) is exactly the CHAR(n) padding")
+    assert(r.getString(5) == "[ab]" && r.getLong(6) == 2, "VARCHAR(n) never pads")
+    assert(r.isNullAt(7),
+      "over-length VARCHAR(n): try_cast is NULL (plain cast raises EXCEED_LIMIT_LENGTH)")
+    assert(!r.getBoolean(8) && r.getBoolean(9), "trailing spaces are significant in =")
+    assert(r.getLong(10) >= 1, "CHAR padding preserves distinctness of the segment values")
+  }
+
+  test("LIKE ALL/ANY: three-valued lowering, NOT inside the quantifier, escape boundaries") {
+    val rows = q("q_edge_like").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), "every sf name matches both patterns")
+      assert(!r.getBoolean(4), "NOT LIKE ANY is false when NO pattern fails")
+      assert(r.getBoolean(6), "LIKE ALL (true, NULL) is NULL — three-valued AND")
+      assert(r.getBoolean(7), "LIKE ANY (false, NULL) is NULL — three-valued OR")
+      assert(r.getBoolean(8), "a literal # needs no escape")
+      assert(r.getBoolean(9), "doubled escape char matches a literal escape char")
+      assert(r.getBoolean(10) && !r.getBoolean(11), "escaped % is literal")
+      assert(r.getBoolean(12) && !r.getBoolean(13), "'' matches % but not _")
+    }
+    // nla_var varies with the key digits: both outcomes must occur in the window
+    val varCol = rows.map(_.getBoolean(5)).distinct
+    assert(varCol.length == 2, "the varying NOT LIKE ALL column must take both values")
+  }
+
+  test("coercion lattice: string+int is BIGINT, int+decimal widens, comparisons go numeric") {
+    val r = q("q_edge_coercion").head()
+    assert(r.getString(0) == "bigint" && r.getString(1) == "15",
+      "ANSI string + int coerces the string to BIGINT, not double")
+    assert(r.getString(2) == "decimal(3,1)" && r.getString(3) == "1.5")
+    assert(r.getString(4) == "double", "E-notation literal pulls the result to double")
+    assert(r.getString(5) == "bigint", "integral widening takes the larger type")
+    assert(r.getBoolean(6), "1 = '1' compares numerically")
+    assert(!r.getBoolean(7), "'2' > 10 is numeric 2 > 10, NOT lexicographic '2' > '10'")
+    assert(r.getBoolean(8), "date vs string compares as dates")
+    assert(r.getString(9) == "a1", "|| stringifies the int operand")
+    assert(r.getString(10) == "array<decimal(11,1)>", "array element type is the widened one")
+    assert(r.getString(11) == "double" && r.getString(13) == "decimal(12,2)",
+      "coalesce/if take the wider branch type")
+    assert(r.getBoolean(12), "IN-list strings coerce to the probe's numeric type")
+  }
 }
