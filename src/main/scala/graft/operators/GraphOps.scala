@@ -213,20 +213,25 @@ object GraphOps {
    * EDGE (a,b), as c ∈ N+(a) ∩ N+(b); out-degrees are capped at O(sqrt m) by the
    * orientation, bounding total intersection work at O(m^1.5) regardless of hub skew.
    *
-   * The intersection runs MAP-SIDE via the native `sorted_intersect_size` two-pointer
-   * kernel after co-locating each edge with its endpoints' sorted adjacency lists — two
+   * The intersection runs MAP-SIDE via the native `packed_intersect_size` two-pointer
+   * kernel after co-locating each edge with its endpoints' adjacency lists — two
    * equi-joins against a vertex-cardinality frame (Spark broadcasts it when it fits).
-   * Crucially the O(m^1.5) wedge set is never materialized into a shuffle: shuffled
-   * bytes stay O(m · sqrt m) worst-case (edge rows carrying bounded adjacency arrays).
+   * Crucially the O(m^1.5) wedge set is never materialized into a shuffle, AND the
+   * adjacency payload rides in delta-varint `binary` form ([[VarintCodec]], 1-3 B per
+   * neighbor vs 8 B+header as `array<long>`): shuffled bytes stay O(m · sqrt m)
+   * worst-case but ~5x smaller per element than the r10 array form, and the kernel
+   * intersects the packed streams directly — the arrays are never re-materialized.
    * On the sf0.1 co-purchase graph (1.2M edges, 82M wedges — dense, near-uniform) the
-   * rewrite halved the wedge-shuffling form's 15 s; the residual is the edge-build
-   * shuffles shared with qPagerank/qBfs, not the intersection pass.
+   * r10 array rewrite halved the wedge-shuffling form's 15 s; packing shrinks the
+   * adjacency frame ~6x further, which moves the sf1 graph (12M edges) from the
+   * partitioned sort-merge path INTO the broadcast gate — both joins map-side, the
+   * only post-build exchange is the single-row final sum.
    *
    * Returns one row: the global triangle count. The count is orientation-invariant, so
    * the DuckDB oracle uses plain id-orientation and must match exactly.
    */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.VectorExpressions.sortedIntersectSize
+  def triangleCount(edges: DataFrame, broadcastGateEdges: Long = 32000000L): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, packedIntersectSize}
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
@@ -246,14 +251,16 @@ object GraphOps {
         when(uFirst, col("v")).otherwise(col("u")).as("b"))
       .localCheckpoint()
     // Scale-adaptive broadcast off the ALREADY-MATERIALIZED edge count (free on the
-    // checkpointed RDD): the adjacency frame holds exactly m entries across its arrays,
-    // so when m is broadcast-sized (≤4M longs ≈ 64 MB, fine for torrent broadcast) BOTH
-    // adjacency joins run map-side and the O(m·sqrt m)-byte wedge-adjacent shuffle —
-    // 1.2M edge rows each carrying two ~100-long arrays at sf0.1, ~2 GB — disappears
-    // entirely; the only post-build exchange is the single-row final sum. Past the
-    // threshold the partitioned sort-merge path is unchanged (cluster-scale graphs).
-    val smallAdj = oriented.count() <= 4000000L
-    val adj0 = oriented.groupBy(col("a")).agg(sort_array(collect_set(col("b"))).as("nbrs"))
+    // checkpointed RDD): the packed adjacency frame holds exactly m delta-varints
+    // (≤3 B each for ids under 2^21) plus one key row per vertex, so m ≤ 32M bounds the
+    // broadcast under ~100 MB of payload + O(n) key overhead — comfortably inside
+    // torrent-broadcast territory on a 1000-executor cluster, and an order of magnitude
+    // past the sf1 rehearsal graph. Past the gate the partitioned sort-merge path is
+    // unchanged (billion-edge graphs), just ~5x cheaper per shuffled byte than arrays.
+    // gate parameterized so specs can force the partitioned path on small graphs
+    val smallAdj = oriented.count() <= broadcastGateEdges
+    val adj0 = oriented.groupBy(col("a"))
+      .agg(packSortedVarint(sort_array(collect_set(col("b")))).as("nbrs"))
     // Materialize adjacency once when broadcasting — two broadcast builds would
     // otherwise each re-run the groupBy over the checkpointed edges.
     val adj = if (smallAdj) adj0.localCheckpoint() else adj0
@@ -264,7 +271,7 @@ object GraphOps {
       .join(side(adj), Seq("a"))
       .withColumnRenamed("nbrs", "na")
       .join(side(adj.select(col("a").as("b"), col("nbrs").as("nb"))), Seq("b"))
-      .select(sortedIntersectSize(col("na"), col("nb")).as("t"))
+      .select(packedIntersectSize(col("na"), col("nb")).as("t"))
       .agg(sum(col("t")).cast("long").as("triangles"))
     counted
   }

@@ -179,6 +179,50 @@ object RelationalOps {
       |  SELECT o_custkey, 'only_big' AS kind FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
       |GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** #9c multiset set operators: INTERSECT ALL / EXCEPT ALL. Unlike the distinct
+    * variants (#9b), these preserve duplicate MULTIPLICITY — per key, INTERSECT ALL
+    * keeps min(countA, countB) copies and EXCEPT ALL keeps max(countA - countB, 0).
+    * Spark lowers both to a per-key count-compare + replicate (no distinct), so the
+    * key proves the multiset arithmetic end-to-end: the result carries row counts AND
+    * distinct-key counts per branch — multiplicity shows exactly where rows > keys,
+    * which the #9b distinct lowering would collapse. */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = TableIO.lineitem(spark, dir)
+    val a = li.filter(col("l_quantity") >= 45.0).select(col("l_partkey"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val inter = a.intersectAll(b).select(col("l_partkey"), lit("intersect_all").as("kind"))
+    val diff = a.exceptAll(b).select(col("l_partkey"), lit("except_all").as("kind"))
+    inter.unionByName(diff)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("l_partkey")).as("n_keys"))
+      .orderBy(col("kind"))
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45.0),
+      |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+      |FROM (
+      |  SELECT l_partkey, 'intersect_all' AS kind FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT l_partkey, 'except_all' AS kind FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** #7b LIMIT ... OFFSET pagination: a TOTAL order (unique (l_orderkey, l_linenumber))
+    * then skip 100 rows, take 20. Spark plans the offset into CollectLimit/
+    * GlobalLimitAndOffset — a bounded top-(offset+limit) per partition, never a full
+    * global sort materialization, so deep-but-bounded pagination stays cheap at scale. */
+  def qLimitOffset(spark: SparkSession, dir: String): DataFrame =
+    TableIO.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .offset(100).limit(20)
+
+  val qLimitOffsetSql: String =
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber LIMIT 20 OFFSET 100""".stripMargin
+
   /** #32c null semantics: null-safe equality (`<=>` / IS NOT DISTINCT FROM), null
     * propagation through comparisons, and null-aware conditionals — the three-valued
     * logic surface every engine must get right. Nulls manufactured via nullif (the base
@@ -682,7 +726,7 @@ object RelationalOps {
     "q_not_in_nulls" -> qNotInNulls _, "q_unpivot" -> qUnpivot _, "q_lateral" -> qLateral _,
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
-    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_null_semantics" -> qNullSemantics _,
+    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_setops_all" -> qSetOpsAll _, "q_limit_offset" -> qLimitOffset _, "q_null_semantics" -> qNullSemantics _,
     "q_join_broadcast" -> qJoinBroadcast _, "q_join_large" -> qJoinLarge _,
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,
@@ -696,7 +740,7 @@ object RelationalOps {
     "q_not_in_nulls" -> qNotInNullsSql, "q_unpivot" -> qUnpivotSql, "q_lateral" -> qLateralSql,
     "q_scan_pushdown" -> qScanPushdownSql, "q_filter" -> qFilterSql, "q_project" -> qProjectSql,
     "q_sort" -> qSortSql, "q_topn" -> qTopNSql, "q_limit" -> qLimitSql,
-    "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql, "q_setops" -> qSetOpsSql, "q_null_semantics" -> qNullSemanticsSql,
+    "q_rollup" -> qRollupSql, "q_grouping_sets" -> qGroupingSetsSql, "q_cube" -> qCubeSql, "q_union" -> qUnionSql, "q_setops" -> qSetOpsSql, "q_setops_all" -> qSetOpsAllSql, "q_limit_offset" -> qLimitOffsetSql, "q_null_semantics" -> qNullSemanticsSql,
     "q_join_broadcast" -> qJoinBroadcastSql, "q_join_large" -> qJoinLargeSql,
     "q_join_outer" -> qJoinOuterSql, "q_join_full" -> qJoinFullSql,
     "q_join_semi" -> qJoinSemiSql, "q_join_anti" -> qJoinAntiSql,

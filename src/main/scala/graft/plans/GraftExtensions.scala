@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, JaroWinkler, L2Distance,
-  RankLimitRule, SortedIntersectSize, TDigestMergeAgg, TDigestQuantile,
-  TDigestSketch, TopKPerKeyStrategy}
+  PackSortedVarint, PackedIntersectSize, RankLimitRule, SortedIntersectSize,
+  TDigestMergeAgg, TDigestQuantile, TDigestSketch, TopKPerKeyStrategy}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       FunctionRegistryBase.expressionInfo[SortedIntersectSize]("sorted_intersect_size", None),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pack_sorted_varint"),
+      FunctionRegistryBase.expressionInfo[PackSortedVarint]("pack_sorted_varint", None),
+      (children: Seq[Expression]) => PackSortedVarint(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("packed_intersect_size"),
+      FunctionRegistryBase.expressionInfo[PackedIntersectSize]("packed_intersect_size", None),
+      (children: Seq[Expression]) => PackedIntersectSize(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       FunctionRegistryBase.expressionInfo[JaroWinkler]("jaro_winkler", None),

@@ -102,6 +102,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(square).head().getLong(0) == 0L)
   }
 
+  test("triangleCount partitioned path (gate=0) equals the broadcast path") {
+    import spark.implicits._
+    // random-ish graph big enough to have nontrivial adjacency lists; gate=0 forces the
+    // beyond-broadcast sort-merge path (never reached by sf-scale gates otherwise)
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(600)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("src", "dst")
+    val viaBroadcast = GraphOps.triangleCount(edges).head().getLong(0)
+    val viaPartitioned = GraphOps.triangleCount(edges, broadcastGateEdges = 0L).head().getLong(0)
+    assert(viaBroadcast == viaPartitioned && viaBroadcast > 0,
+      s"broadcast=$viaBroadcast partitioned=$viaPartitioned")
+  }
+
   test("q_triangles is deterministic and positive on the co-purchase graph") {
     val a = GraphOps.qTriangles(spark, sf).head().getLong(0)
     val b = GraphOps.qTriangles(spark, sf).head().getLong(0)

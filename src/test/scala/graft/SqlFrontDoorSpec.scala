@@ -118,6 +118,31 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     sameResult(nulls, operators.RelationalOps.qNullSemantics(spark, sf))
   }
 
+  test("multiset INTERSECT ALL / EXCEPT ALL keep multiplicity; LIMIT..OFFSET paginates") {
+    import spark.implicits._
+    TableIO.registerAll(spark, sf)
+    // known-answer multiset pins: A={1,1,2,3}, B={1,2,2} as BAGS
+    val a = Seq(1L, 1L, 2L, 3L).toDF("x")
+    val b = Seq(1L, 2L, 2L).toDF("x")
+    val inter = a.intersectAll(b).as[Long].collect().sorted
+    assert(inter.toSeq == Seq(1L, 2L), "INTERSECT ALL keeps min(countA, countB) copies")
+    val diff = a.exceptAll(b).as[Long].collect().sorted
+    assert(diff.toSeq == Seq(1L, 3L), "EXCEPT ALL keeps countA - countB copies")
+    // SQL-text twins equal the DataFrame plans on the real table
+    sameResult(spark.sql(operators.RelationalOps.qSetOpsAllSql),
+      operators.RelationalOps.qSetOpsAll(spark, sf))
+    sameResult(spark.sql(operators.RelationalOps.qLimitOffsetSql),
+      operators.RelationalOps.qLimitOffset(spark, sf))
+    // pagination windows tile: rows 101-120 = total-ordered rows drop(100).take(20)
+    val paged = operators.RelationalOps.qLimitOffset(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val full = TableIO.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(paged.toSeq == full.slice(100, 120).toSeq)
+  }
+
   test("explode, date extraction, and conditional aggregation as SQL text") {
     TableIO.registerAll(spark, sf)
     val explodeSql = spark.sql(

@@ -67,4 +67,46 @@ class VectorFunctionsSpec extends AnyFunSuite {
       "SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d").collect()
     assert(d.head.getDouble(0) == 6.0)
   }
+
+  test("packed intersect equals array intersect on random sorted sets") {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, packedIntersectSize,
+      sortedIntersectSize}
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // mixed magnitudes: dense small ids (graph case), sparse huge ids (hash case),
+    // empties, singletons, and a zero-first-element set
+    def randSet(): Seq[Long] = rnd.nextInt(4) match {
+      case 0 => Seq.empty
+      case 1 => Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(500).toLong).distinct.sorted
+      case 2 => Seq.fill(rnd.nextInt(40) + 1)(math.abs(rnd.nextLong())).distinct.sorted
+      case 3 => (0L +: Seq.fill(rnd.nextInt(20))(rnd.nextInt(1000).toLong)).distinct.sorted
+    }
+    val data = Seq.fill(200)((randSet(), randSet()))
+    val df = data.toDF("a", "b")
+    val got = df.select(
+      packedIntersectSize(packSortedVarint(col("a")), packSortedVarint(col("b"))).as("p"),
+      sortedIntersectSize(col("a"), col("b")).as("s")).collect()
+    got.zip(data).foreach { case (row, (a, b)) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      assert(row.getInt(0) == expected, s"packed: $a vs $b")
+      assert(row.getInt(1) == expected, s"array: $a vs $b")
+    }
+  }
+
+  test("varint packing is smaller than the 8 B/element array form on dense ids") {
+    import org.apache.spark.sql.graft.VectorExpressions.packSortedVarint
+    import spark.implicits._
+    // consecutive-ish ids, the adjacency-list shape: deltas fit 1 byte each
+    val ids = (0L until 1000L).map(_ * 3)
+    val bytes = Seq(Tuple1(ids)).toDF("a")
+      .select(packSortedVarint(col("a")).as("p")).collect().head.getAs[Array[Byte]](0)
+    assert(bytes.length < ids.length * 2, s"packed ${bytes.length} B for ${ids.length} ids")
+  }
+
+  test("packed kernels via SQL registration") {
+    val r = spark.sql(
+      "SELECT packed_intersect_size(pack_sorted_varint(array(1L, 5L, 9L)), " +
+        "pack_sorted_varint(array(5L, 9L, 12L))) AS n").collect()
+    assert(r.head.getInt(0) == 2)
+  }
 }
