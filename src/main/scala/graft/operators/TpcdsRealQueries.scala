@@ -4300,9 +4300,11 @@ LIMIT 100"""
 
   // ---- round 8 batch F: the six heaviest monoliths + q76 — full 103/103 coverage ----
 
-  private val q14aCrossItems = """
-WITH cross_items AS
-(SELECT i_item_sk ss_item_sk
+  // q14's two front CTEs held as bare bodies so they can ALSO be materialized as
+  // StarCache views (see materializedCtes): cross_items is referenced once per channel
+  // (3x in q14a, 2x in q14b) and each reference re-inlines the whole 3-channel
+  // INTERSECT; avg_sales is the 3-fact-scan scalar gate referenced per channel too.
+  private val q14CrossItemsCte = """SELECT i_item_sk ss_item_sk
   FROM item,
     (SELECT
       iss.i_brand_id brand_id,
@@ -4333,9 +4335,9 @@ WITH cross_items AS
   WHERE i_brand_id = brand_id
     AND i_class_id = class_id
     AND i_category_id = category_id
-),
-    avg_sales AS
-  (SELECT avg(quantity * list_price) average_sales
+"""
+
+  private val q14AvgSalesCte = """SELECT avg(quantity * list_price) average_sales
   FROM (
          SELECT
            ss_quantity quantity,
@@ -4356,13 +4358,19 @@ WITH cross_items AS
            ws_list_price list_price
          FROM web_sales, date_dim
          WHERE ws_sold_date_sk = d_date_sk
-           AND d_year BETWEEN 1999 AND 1999 + 2) x)"""
+           AND d_year BETWEEN 1999 AND 1999 + 2) x"""
+
+  private val q14aCrossItems = s"""
+WITH cross_items AS
+($q14CrossItemsCte),
+    avg_sales AS
+  ($q14AvgSalesCte)"""
 
   // q14a: channel-month filters moved to November 2000 (the official 1999+2
   // November has no sold dates in this data); the 3-channel brand/class/category
   // INTERSECT + avg_sales gate runs verbatim; bare final sums gain aliases and
   // BIGINT/rollup-NULL edge treatment
-  private val q14a = q14aCrossItems + """
+  private val q14aSelect = """
 SELECT
   channel,
   i_brand_id,
@@ -4429,8 +4437,10 @@ ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST,
   i_category_id NULLS FIRST
 LIMIT 100"""
 
+  private val q14a = q14aCrossItems + q14aSelect
+
   // q14b: verbatim (this-year vs last-year week compare over the same cross_items)
-  private val q14b = q14aCrossItems + """
+  private val q14bSelect = """
 SELECT *
 FROM
   (SELECT
@@ -4475,6 +4485,8 @@ WHERE this_year.i_brand_id = last_year.i_brand_id2
 ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
 LIMIT 100"""
 
+  private val q14b = q14aCrossItems + q14bSelect
+
   // q14 v2.7.0 variant (reference tpcds-v2.7.0/q14.sql:1, "the alternative form of
   // q14a" — structurally the store-channel this-week/last-week compare with its own
   // parameter set): runs with the text's OWN constants (base year 1998, week of
@@ -4482,9 +4494,7 @@ LIMIT 100"""
   // unlike q14a/b). The only deviation is the repo-standard one: last_year's output
   // columns gain 2-suffixes because SELECT * over two same-named subqueries cannot
   // land in parquet with duplicate column names.
-  private val q14V27CrossItems = """
-WITH cross_items AS
-(SELECT i_item_sk ss_item_sk
+  private val q14V27CrossItemsCte = """SELECT i_item_sk ss_item_sk
   FROM item,
     (SELECT
       iss.i_brand_id brand_id,
@@ -4515,9 +4525,9 @@ WITH cross_items AS
   WHERE i_brand_id = brand_id
     AND i_class_id = class_id
     AND i_category_id = category_id
-),
-    avg_sales AS
-  (SELECT avg(quantity * list_price) average_sales
+"""
+
+  private val q14V27AvgSalesCte = """SELECT avg(quantity * list_price) average_sales
   FROM (
          SELECT
            ss_quantity quantity,
@@ -4538,9 +4548,15 @@ WITH cross_items AS
            ws_list_price list_price
          FROM web_sales, date_dim
          WHERE ws_sold_date_sk = d_date_sk
-           AND d_year BETWEEN 1998 AND 1998 + 2) x)"""
+           AND d_year BETWEEN 1998 AND 1998 + 2) x"""
 
-  private val q14V27 = q14V27CrossItems + """
+  private val q14V27CrossItems = s"""
+WITH cross_items AS
+($q14V27CrossItemsCte),
+    avg_sales AS
+  ($q14V27AvgSalesCte)"""
+
+  private val q14V27Select = """
 SELECT *
 FROM
   (SELECT
@@ -4584,6 +4600,8 @@ WHERE this_year.i_brand_id = last_year.i_brand_id2
   AND this_year.i_category_id = last_year.i_category_id2
 ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
 LIMIT 100"""
+
+  private val q14V27 = q14V27CrossItems + q14V27Select
 
   private val q23Prefix = """
 WITH frequent_ss_items AS
@@ -5815,24 +5833,38 @@ LIMIT 100"""
     "tpcds_q86a" -> q86a,
     "tpcds_q14_v27" -> q14V27, "tpcds_q24_v27" -> q24V27)
 
-  /** Multi-referenced customer-grain CTEs worth materializing: query key ->
-    * (materialized view name, CTE text, official final SELECT). Each view is
-    * DISTINCTLY named — two queries' year_totals have different schemas, and a
+  /** Multi-referenced CTEs worth materializing: query key -> (the query's front CTEs
+    * as (cte alias, materialized view name) pairs, official final SELECT). Each view
+    * is DISTINCTLY named — two queries' year_totals have different schemas, and a
     * shared temp-view name would let one query's registration serve the other
-    * wrong columns. Grouped into ONE auxiliary star so a single tryEnsure covers
-    * the family. */
-  private val materializedCtes: Map[String, (String, String, String)] = Map(
-    "tpcds_q74" -> (("year_total_q74", q74YearTotalCte, q74Select)),
-    "tpcds_q4"  -> (("year_total_q4", q4YearTotalCte, q4Select)))
+    * wrong columns — but queries sharing IDENTICAL CTE text (q14a/q14b) share one
+    * view. Grouped into ONE auxiliary star so a single tryEnsure covers the family. */
+  private val materializedCtes: Map[String, (Seq[(String, String)], String)] = Map(
+    "tpcds_q74"     -> ((Seq("year_total" -> "year_total_q74"), q74Select)),
+    "tpcds_q4"      -> ((Seq("year_total" -> "year_total_q4"), q4Select)),
+    "tpcds_q14a"    -> ((Seq("cross_items" -> "cross_items_q14",
+                             "avg_sales" -> "avg_sales_q14"), q14aSelect)),
+    "tpcds_q14b"    -> ((Seq("cross_items" -> "cross_items_q14",
+                             "avg_sales" -> "avg_sales_q14"), q14bSelect)),
+    "tpcds_q14_v27" -> ((Seq("cross_items" -> "cross_items_q14v27",
+                             "avg_sales" -> "avg_sales_q14v27"), q14V27Select)))
 
-  private val ytViewNames: Seq[String] = materializedCtes.values.map(_._1).toSeq.sorted
+  /** Defining CTE body per materialized view (all mutually independent — a CTE that
+    * references a sibling CTE would need its dependency chain inlined here). */
+  private val mvCteText: Map[String, String] = Map(
+    "year_total_q74"     -> q74YearTotalCte,
+    "year_total_q4"      -> q4YearTotalCte,
+    "cross_items_q14"    -> q14CrossItemsCte,
+    "avg_sales_q14"      -> q14AvgSalesCte,
+    "cross_items_q14v27" -> q14V27CrossItemsCte,
+    "avg_sales_q14v27"   -> q14V27AvgSalesCte)
+
+  private val ytViewNames: Seq[String] = mvCteText.keys.toSeq.sorted
 
   /** Self-contained defining SQL per materialized CTE view (built through the full
     * star prefix, like every other star view). */
-  private[graft] def ytViewSql(v: String): String = {
-    val cte = materializedCtes.values.collectFirst { case (`v`, c, _) => c }.get
-    splice(prefix(spark = true), s"WITH $v AS ($cte)\nSELECT * FROM $v")
-  }
+  private[graft] def ytViewSql(v: String): String =
+    splice(prefix(spark = true), s"WITH $v AS (${mvCteText(v)})\nSELECT * FROM $v")
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>
@@ -5843,17 +5875,22 @@ LIMIT 100"""
         // any materialization failure falls back to inlining the CTE prefix — the
         // result is identical either way, only the physical access path differs.
         if (graft.sources.StarCache.tryEnsure(s, dir, "tpcds", viewNames, viewSql)) {
-          // q4/q74: their multi-referenced year_total CTE would inline into one
-          // fact-agg pass PER REFERENCE (6x / 4x — the filters pushed into each
-          // copy defeat exchange reuse); serve it from a customer_id-bucketed
-          // materialization instead (one pass per source stamp, the self-joins
-          // arrive co-partitioned — see the q74YearTotalCte note). The executed
-          // text is the official SELECT under a pure aliasing CTE; fail-soft to
-          // the intact verbatim body.
+          // q4/q74 (year_total, 6x/4x-referenced) and the q14 family (cross_items +
+          // avg_sales, re-inlined once per channel block): a multi-referenced CTE
+          // inlines into one full computation PER REFERENCE — q14a's AQE-final plan
+          // carried 68 parquet scans / 60 exchanges with only 15 reused. Serve them
+          // from StarCache materializations instead (one pass per source stamp;
+          // year_total additionally customer_id-bucketed so the self-joins arrive
+          // co-partitioned — see the q74YearTotalCte note). The executed text is the
+          // official SELECT under pure aliasing CTEs; fail-soft to the intact
+          // verbatim body.
           materializedCtes.get(name) match {
-            case Some((view, _, select))
+            case Some((aliases, select))
               if graft.sources.StarCache.tryEnsure(s, dir, "tpcds_yt", ytViewNames, ytViewSql) =>
-              s.sql(s"WITH year_total AS (SELECT * FROM $view)$select")
+              val withClause = aliases
+                .map { case (a, v) => s"$a AS (SELECT * FROM $v)" }
+                .mkString("WITH ", ", ", "")
+              s.sql(withClause + select)
             case _ => s.sql(body)
           }
         } else s.sql(splice(prefix(spark = true), body))
