@@ -4603,9 +4603,12 @@ LIMIT 100"""
 
   private val q14V27 = q14V27CrossItems + q14V27Select
 
-  private val q23Prefix = """
-WITH frequent_ss_items AS
-(SELECT
+  // q23's three front CTEs held as bare bodies for the same reason as q14's (see
+  // materializedCtes): frequent_ss_items and best_ss_customer are each referenced
+  // once per channel block (2x in q23a AND q23b); max_store_sales only feeds
+  // best_ss_customer's HAVING, so it is inlined into that view's defining SQL
+  // rather than materialized on its own.
+  private val q23FrequentCte = """SELECT
     substr(i_item_desc, 1, 30) itemdesc,
     i_item_sk item_sk,
     d_date solddate,
@@ -4615,9 +4618,9 @@ WITH frequent_ss_items AS
     AND ss_item_sk = i_item_sk
     AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
   GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
-  HAVING count(*) > 1),
-    max_store_sales AS
-  (SELECT max(csales) tpcds_cmax
+  HAVING count(*) > 1"""
+
+  private val q23MaxSalesCte = """SELECT max(csales) tpcds_cmax
   FROM (SELECT
     c_customer_sk,
     sum(ss_quantity * ss_sales_price) csales
@@ -4625,9 +4628,9 @@ WITH frequent_ss_items AS
   WHERE ss_customer_sk = c_customer_sk
     AND ss_sold_date_sk = d_date_sk
     AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
-  GROUP BY c_customer_sk) x),
-    best_ss_customer AS
-  (SELECT
+  GROUP BY c_customer_sk) x"""
+
+  private val q23BestCustomerCte = """SELECT
     c_customer_sk,
     sum(ss_quantity * ss_sales_price) ssales
   FROM store_sales, customer_ds
@@ -4635,12 +4638,20 @@ WITH frequent_ss_items AS
   GROUP BY c_customer_sk
   HAVING sum(ss_quantity * ss_sales_price) > (50 / 100.0) *
     (SELECT *
-    FROM max_store_sales))"""
+    FROM max_store_sales)"""
+
+  private val q23Prefix = s"""
+WITH frequent_ss_items AS
+($q23FrequentCte),
+    max_store_sales AS
+  ($q23MaxSalesCte),
+    best_ss_customer AS
+  ($q23BestCustomerCte)"""
 
   // q23a: frequency threshold >4 -> >1 (this data's fact density peaks at 2 sales
   // per item-day; the official threshold presumes TPC-DS's much denser item-days);
   // the bare sum aliased
-  private val q23a = q23Prefix + """
+  private val q23aSelect = """
 SELECT sum(sales) AS total_sales
 FROM ((SELECT cs_quantity * cs_list_price sales
 FROM catalog_sales, date_dim
@@ -4663,8 +4674,10 @@ FROM best_ss_customer))
       FROM best_ss_customer))) y
 LIMIT 100"""
 
+  private val q23a = q23Prefix + q23aSelect
+
   // q23b: same fits as q23a
-  private val q23b = q23Prefix + """
+  private val q23bSelect = """
 SELECT
   c_last_name,
   c_first_name,
@@ -4700,6 +4713,8 @@ GROUP BY c_last_name, c_first_name)
       GROUP BY c_last_name, c_first_name)) y
 ORDER BY c_last_name, c_first_name, sales
 LIMIT 100"""
+
+  private val q23b = q23Prefix + q23bSelect
 
   private def q24Body(color: String) = s"""
 WITH ssales AS
@@ -5847,24 +5862,38 @@ LIMIT 100"""
     "tpcds_q14b"    -> ((Seq("cross_items" -> "cross_items_q14",
                              "avg_sales" -> "avg_sales_q14"), q14bSelect)),
     "tpcds_q14_v27" -> ((Seq("cross_items" -> "cross_items_q14v27",
-                             "avg_sales" -> "avg_sales_q14v27"), q14V27Select)))
+                             "avg_sales" -> "avg_sales_q14v27"), q14V27Select)),
+    "tpcds_q23a"    -> ((Seq("frequent_ss_items" -> "frequent_ss_items_q23",
+                             "best_ss_customer" -> "best_ss_customer_q23"), q23aSelect)),
+    "tpcds_q23b"    -> ((Seq("frequent_ss_items" -> "frequent_ss_items_q23",
+                             "best_ss_customer" -> "best_ss_customer_q23"), q23bSelect)))
 
-  /** Defining CTE body per materialized view (all mutually independent — a CTE that
-    * references a sibling CTE would need its dependency chain inlined here). */
-  private val mvCteText: Map[String, String] = Map(
-    "year_total_q74"     -> q74YearTotalCte,
-    "year_total_q4"      -> q4YearTotalCte,
-    "cross_items_q14"    -> q14CrossItemsCte,
-    "avg_sales_q14"      -> q14AvgSalesCte,
-    "cross_items_q14v27" -> q14V27CrossItemsCte,
-    "avg_sales_q14v27"   -> q14V27AvgSalesCte)
+  /** Complete defining query per materialized view. Most are a single wrapped CTE
+    * body; a view whose CTE references a SIBLING CTE inlines that dependency here
+    * (best_ss_customer_q23 carries max_store_sales — the scalar gate feeds only its
+    * HAVING, so it is never materialized on its own). */
+  private val mvDefiningSql: Map[String, String] = {
+    def wrap(v: String, cte: String) = s"WITH $v AS ($cte)\nSELECT * FROM $v"
+    Map(
+      "year_total_q74"        -> wrap("year_total_q74", q74YearTotalCte),
+      "year_total_q4"         -> wrap("year_total_q4", q4YearTotalCte),
+      "cross_items_q14"       -> wrap("cross_items_q14", q14CrossItemsCte),
+      "avg_sales_q14"         -> wrap("avg_sales_q14", q14AvgSalesCte),
+      "cross_items_q14v27"    -> wrap("cross_items_q14v27", q14V27CrossItemsCte),
+      "avg_sales_q14v27"      -> wrap("avg_sales_q14v27", q14V27AvgSalesCte),
+      "frequent_ss_items_q23" -> wrap("frequent_ss_items_q23", q23FrequentCte),
+      "best_ss_customer_q23"  ->
+        s"""WITH max_store_sales AS ($q23MaxSalesCte),
+           |best_ss_customer_q23 AS ($q23BestCustomerCte)
+           |SELECT * FROM best_ss_customer_q23""".stripMargin)
+  }
 
-  private val ytViewNames: Seq[String] = mvCteText.keys.toSeq.sorted
+  private val ytViewNames: Seq[String] = mvDefiningSql.keys.toSeq.sorted
 
   /** Self-contained defining SQL per materialized CTE view (built through the full
     * star prefix, like every other star view). */
   private[graft] def ytViewSql(v: String): String =
-    splice(prefix(spark = true), s"WITH $v AS (${mvCteText(v)})\nSELECT * FROM $v")
+    splice(prefix(spark = true), mvDefiningSql(v))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>

@@ -77,7 +77,8 @@ object StarCache {
     * (v2: inventory/catalog_sales became item-bucketed tables; v3: the tpcds_yt star
     * gained the q14-family cross_items/avg_sales views — a v2 tpcds_yt dir has
     * _STAR_COMPLETE but not the new views' parquet, so registration would fail into
-    * permanent fallback without the bump).
+    * permanent fallback without the bump; v4: +q23's frequent_ss_items /
+    * best_ss_customer views, same reasoning).
     *
     * RULE (standing, judge-ratified r10): any change to [[Buckets]], [[bucketSpec]],
     * [[sortKey]], a view's defining SQL, or a new materialized CTE bumps this
@@ -85,7 +86,7 @@ object StarCache {
     * COMMIT — the fingerprint snapshot pins the join/exchange shapes these layouts
     * buy, and a layout change without a re-pin makes PlanStabilitySpec assert the
     * stale shape. */
-  private val Version = 3
+  private val Version = 4
 
   /** Buckets for the item-clustered facts. 128 = 4 waves on local[32]; at the
     * 1000-executor design point the same layout still co-partitions the q72-class
