@@ -261,9 +261,12 @@ object GraphOps {
     val smallAdj = oriented.count() <= broadcastGateEdges
     val adj0 = oriented.groupBy(col("a"))
       .agg(packSortedVarint(sort_array(collect_set(col("b")))).as("nbrs"))
-    // Materialize adjacency once when broadcasting — two broadcast builds would
-    // otherwise each re-run the groupBy over the checkpointed edges.
-    val adj = if (smallAdj) adj0.localCheckpoint() else adj0
+    // Materialize adjacency once on BOTH paths — it feeds two joins, and without a
+    // checkpoint each consumer re-runs the groupBy + collect_set + pack over the full
+    // edge set (two broadcast builds on the small path; twice the heaviest aggregation
+    // on the billion-edge partitioned path). The packed frame is m varints + n keys —
+    // the cheapest plan node in the job to persist.
+    val adj = adj0.localCheckpoint()
     def side(df: DataFrame): DataFrame = if (smallAdj) broadcast(df) else df
     // An edge whose head has no out-neighbors closes no triangle — the inner join
     // dropping it is correct, not a loss.

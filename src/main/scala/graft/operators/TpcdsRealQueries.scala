@@ -5853,7 +5853,8 @@ LIMIT 100"""
     * is DISTINCTLY named — two queries' year_totals have different schemas, and a
     * shared temp-view name would let one query's registration serve the other
     * wrong columns — but queries sharing IDENTICAL CTE text (q14a/q14b) share one
-    * view. Grouped into ONE auxiliary star so a single tryEnsure covers the family. */
+    * view. Grouped into one auxiliary star PER FAMILY (see [[mvStars]]) so a family's
+    * first touch builds only its own views. */
   private val materializedCtes: Map[String, (Seq[(String, String)], String)] = Map(
     "tpcds_q74"     -> ((Seq("year_total" -> "year_total_q74"), q74Select)),
     "tpcds_q4"      -> ((Seq("year_total" -> "year_total_q4"), q4Select)),
@@ -5888,7 +5889,16 @@ LIMIT 100"""
            |SELECT * FROM best_ss_customer_q23""".stripMargin)
   }
 
-  private val ytViewNames: Seq[String] = mvDefiningSql.keys.toSeq.sorted
+  /** One StarCache star per query FAMILY — a family's first touch builds only its
+    * own views (q74 must not pay the q14/q23 fact scans it will never read). */
+  private val mvStars: Map[String, Seq[String]] = Map(
+    "tpcds_yt"      -> Seq("year_total_q4", "year_total_q74"),
+    "tpcds_q14mv"   -> Seq("avg_sales_q14", "cross_items_q14"),
+    "tpcds_q14v2mv" -> Seq("avg_sales_q14v27", "cross_items_q14v27"),
+    "tpcds_q23mv"   -> Seq("best_ss_customer_q23", "frequent_ss_items_q23"))
+
+  private val starOfView: Map[String, String] =
+    mvStars.flatMap { case (s, vs) => vs.map(_ -> s) }
 
   /** Self-contained defining SQL per materialized CTE view (built through the full
     * star prefix, like every other star view). */
@@ -5915,7 +5925,10 @@ LIMIT 100"""
           // verbatim body.
           materializedCtes.get(name) match {
             case Some((aliases, select))
-              if graft.sources.StarCache.tryEnsure(s, dir, "tpcds_yt", ytViewNames, ytViewSql) =>
+              if {
+                val star = starOfView(aliases.head._2)
+                graft.sources.StarCache.tryEnsure(s, dir, star, mvStars(star), ytViewSql)
+              } =>
               val withClause = aliases
                 .map { case (a, v) => s"$a AS (SELECT * FROM $v)" }
                 .mkString("WITH ", ", ", "")

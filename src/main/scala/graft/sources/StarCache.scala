@@ -101,7 +101,13 @@ object StarCache {
   // source dirs (the sf0.1/sf1 A/B harness does) must fail the fast path when the
   // requested base differs from the one its views actually point at — a stale
   // (nonce, base) membership test would serve the previous dir's rows.
-  private val registered = TrieMap.empty[(String, String), String]
+  // Value = (registered base, last-bound millis). The bind time bounds how long a
+  // binding can pin a superseded on-disk generation: sessions have no death hook, so
+  // a binding from a discarded session would otherwise protect a multi-GB generation
+  // FOREVER (any live session re-derives the current stamp within the 60 s TTL on its
+  // next query and rebinds, refreshing the timestamp — only in-flight work needs the
+  // pin, and 24 h bounds any plausible in-flight query).
+  private val registered = TrieMap.empty[(String, String), (String, Long)]
 
   /** Test hook: number of real recursive listings performed (see stampTtlMs). */
   private[graft] val stampListings = new AtomicLong(0)
@@ -231,7 +237,8 @@ object StarCache {
       // `registered` map (r10 advice: a sibling idle across TWO rotations is exactly
       // the hazard the deferral exists for; the map records which base each live
       // session's views actually point at, so consult it, not just recency).
-      val stillBound = registered.values.map(b => new Path(b).getName).toSet
+      val stillBound = registered.values
+        .collect { case (b, at) if now - at < 24 * hour => new Path(b).getName }.toSet
       superseded.sortBy(-_.getModificationTime).drop(1)
         .filterNot(st => stillBound.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
@@ -256,6 +263,14 @@ object StarCache {
           case gen(dirName) if !fs.exists(new Path(root, dirName)) =>
             try spark.sql(s"DROP TABLE IF EXISTS `${ident.table}`")
             catch { case NonFatal(_) => () }
+          case b if b.startsWith("graft_star_build_") =>
+            // A build that crashed between saveAsTable and its DROP strands this
+            // name; once sweep reaps the .build- dir the LOCATION dangles — drop it
+            // then (an in-flight build's location exists, so it is left alone).
+            try {
+              val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+              if (!fs.exists(loc)) spark.sql(s"DROP TABLE IF EXISTS `${ident.table}`")
+            } catch { case NonFatal(_) => () }
           case _ => ()
         }
       }
@@ -297,7 +312,10 @@ object StarCache {
       // but not the temp views, and a bare map hit would then hand the caller a
       // session where s.sql(body) throws OUTSIDE this fail-soft boundary.
       // tableExists is an in-memory lookup.
-      if (registered.get(key).contains(base) && spark.catalog.tableExists(views.head)) true
+      if (registered.get(key).exists(_._1 == base) && spark.catalog.tableExists(views.head)) {
+        registered.put(key, (base, System.currentTimeMillis())) // refresh the pin
+        true
+      }
       else {
         val basePath = new Path(base)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -378,7 +396,7 @@ object StarCache {
                 spark.read.parquet(loc).createOrReplaceTempView(v)
             }
           }
-          registered.put(key, base)
+          registered.put(key, (base, System.currentTimeMillis()))
           true
         } else false
       }

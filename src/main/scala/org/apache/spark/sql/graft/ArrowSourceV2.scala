@@ -1,7 +1,6 @@
 package org.apache.spark.sql.graft
 
 import java.util.{Map => JMap}
-import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.ipc.ArrowFileReader
@@ -56,8 +55,8 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, Columna
  * is safe because Spark consumes a delivered batch fully before calling next().
  *
  * Observability: the scan publishes `arrowBatchesRead` / `arrowBatchesSkipped` as DSv2
- * custom metrics (visible per-query in the SQL UI), and mirrors them into JVM-wide
- * counters ([[ArrowSourceV2.batchesRead]]) that the local-mode spec asserts against.
+ * custom metrics — per-query, race-free (visible in the SQL UI and on the executed
+ * plan's BatchScanExec, which is what the spec asserts against).
  */
 class ArrowSourceV2 extends TableProvider with DataSourceRegister {
 
@@ -78,11 +77,6 @@ class ArrowSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 object ArrowSourceV2 {
-  /** Test/diagnostic counters (JVM-wide; the per-query channel is the DSv2 custom
-    * metrics). A skipped batch is one the pushed predicate proved row-free. */
-  val batchesRead = new AtomicLong(0)
-  val batchesSkipped = new AtomicLong(0)
-
   def listFiles(path: String): Seq[String] = {
     val p = new java.io.File(path)
     if (p.isDirectory)
@@ -204,14 +198,18 @@ private[graft] class ArrowReaderFactory(requiredCols: Array[String],
         else Some(CatalystPredicate.create(exprs.reduceLeft[Expression](And(_, _))))
       }
 
+      // Wrap the filter columns ONCE: ArrowFileReader reloads each batch's buffers
+      // into the SAME VectorSchemaRoot vector instances, so the wrappers (and the
+      // probe batch around them) stay valid across loadNextBatch — only the row
+      // count changes per batch.
+      private val evalBatch: ColumnarBatch = new ColumnarBatch(
+        filterCols.map(n => new ArrowColumnVector(root.getVector(n)): ColumnVector))
+
       /** True iff at least one row of the CURRENT loaded batch satisfies every pushed
-        * filter — short-circuits on the first hit. Wraps only the filter columns; the
-        * ColumnarBatchRow handed to the compiled predicate is a cursor over the Arrow
-        * buffers, not a copy. */
+        * filter — short-circuits on the first hit. The ColumnarBatchRow handed to the
+        * compiled predicate is a cursor over the Arrow buffers, not a copy. */
       private def batchCanMatch(p: BasePredicate): Boolean = {
-        val cols: Array[ColumnVector] =
-          filterCols.map(n => new ArrowColumnVector(root.getVector(n)): ColumnVector)
-        val evalBatch = new ColumnarBatch(cols, root.getRowCount)
+        evalBatch.setNumRows(root.getRowCount)
         val it = evalBatch.rowIterator()
         while (it.hasNext) if (p.eval(it.next())) return true
         false
@@ -227,11 +225,9 @@ private[graft] class ArrowReaderFactory(requiredCols: Array[String],
             }
             current = new ColumnarBatch(cols, root.getRowCount)
             nRead += 1
-            ArrowSourceV2.batchesRead.incrementAndGet()
             return true
           }
           nSkipped += 1
-          ArrowSourceV2.batchesSkipped.incrementAndGet()
         }
         false
       }

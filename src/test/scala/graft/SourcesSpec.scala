@@ -118,8 +118,14 @@ class SourcesSpec extends AnyFunSuite {
 
   test("arrow DSv2 filter pushdown: predicate reaches the scan and row-free batches never deliver") {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.graft.ArrowSourceV2
     val dir = Files.createTempDirectory("graft_arrow_pd").toString
+    // Per-query, race-free counters: the scan's DSv2 custom metrics on the executed
+    // plan's BatchScanExec (accumulators settle with task completion, before collect
+    // returns) — a JVM-global counter would race any concurrently-running suite.
+    def scanMetric(df: org.apache.spark.sql.DataFrame, name: String): Long =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.metrics.get(name)).map(_.value).sum
     // One file, many small batches, CLUSTERED on doc_id — the layout where batch-granular
     // skipping pays (the same reason parquet writers sort within row groups).
     val docs = TableIO.documents(spark, sf).select("doc_id", "text", "source", "n_chars")
@@ -130,7 +136,6 @@ class SourcesSpec extends AnyFunSuite {
     val scan = TableIO.readArrow(spark, dir)
     val hi = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
 
-    ArrowSourceV2.batchesRead.set(0); ArrowSourceV2.batchesSkipped.set(0)
     val q = scan.filter(col("doc_id") >= hi - 3).select("doc_id", "n_chars")
     val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
 
@@ -147,18 +152,19 @@ class SourcesSpec extends AnyFunSuite {
 
     // 3. measured batch reduction: the selective predicate over the clustered file
     //    must deliver a small suffix of the batches and skip the rest
-    val read = ArrowSourceV2.batchesRead.get(); val skipped = ArrowSourceV2.batchesSkipped.get()
+    val read = scanMetric(q, "arrowBatchesRead"); val skipped = scanMetric(q, "arrowBatchesSkipped")
     assert(read + skipped == totalBatches, s"every batch is decided: $read+$skipped != $totalBatches")
     assert(skipped > 0 && read < totalBatches,
       s"selective predicate must skip batches: read=$read skipped=$skipped of $totalBatches")
     assert(read <= 2, s"doc_id-clustered file: only the tail batch(es) can match, read=$read")
 
     // 4. a non-translatable predicate pushes nothing and still answers exactly
-    ArrowSourceV2.batchesSkipped.set(0)
-    val fallback = scan.filter("length(text) > 0 AND doc_id % 97 = 0").count()
+    val fallbackQ = scan.filter("length(text) > 0 AND doc_id % 97 = 0")
+    // collect() (not count()) so the metrics are read off the SAME QueryExecution
+    val fallback = fallbackQ.collect().length.toLong
     val fallbackWant = docs.filter("length(text) > 0 AND doc_id % 97 = 0").count()
     assert(fallback == fallbackWant, "residual-only evaluation stays exact")
-    assert(ArrowSourceV2.batchesSkipped.get() == 0,
+    assert(scanMetric(fallbackQ, "arrowBatchesSkipped") == 0,
       "nothing pushed => nothing skipped (Spark's Filter does all the work)")
   }
 
