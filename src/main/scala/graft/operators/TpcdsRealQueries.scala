@@ -4812,9 +4812,12 @@ ORDER BY
   // cs2.* output names gain _2 suffixes (parquet cannot carry duplicate column
   // names); purchase-time demographics (ss_cdemo_sk) are decorrelated from the
   // customer's current demographics so cd1 <> cd2 is satisfiable
-  private val q64 = """
-WITH cs_ui AS
-(SELECT
+  // q64's front CTEs held as bare bodies (see materializedCtes): cross_sales — the
+  // 12-table purchase/first-sale join — is self-joined as cs1/cs2 with DIFFERENT
+  // syear filters pushed into each copy (the q74 disease exactly), so inlining
+  // computes the whole join twice; cs_ui only feeds cross_sales and is inlined
+  // into its defining SQL.
+  private val q64CsUiCte = """SELECT
     cs_item_sk,
     sum(cs_ext_list_price) AS sale,
     sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS refund
@@ -4823,9 +4826,9 @@ WITH cs_ui AS
   WHERE cs_item_sk = cr_item_sk
     AND cs_order_number = cr_order_number
   GROUP BY cs_item_sk
-  HAVING sum(cs_ext_list_price) > 2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
-    cross_sales AS
-  (SELECT
+  HAVING sum(cs_ext_list_price) > 2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)"""
+
+  private val q64CrossSalesCte = """SELECT
     i_product_name product_name,
     i_item_sk item_sk,
     s_store_name store_name,
@@ -4873,8 +4876,9 @@ WITH cs_ui AS
     i_current_price BETWEEN 1000 + 10 AND 1000 + 150
   GROUP BY i_product_name, i_item_sk, s_store_name, s_zip, ad1.ca_street_number,
     ad1.ca_street_name, ad1.ca_city, ad1.ca_zip, ad2.ca_street_number,
-    ad2.ca_street_name, ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year
-  )
+    ad2.ca_street_name, ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year"""
+
+  private val q64Select = """
 SELECT
   cs1.product_name,
   cs1.store_name,
@@ -4905,6 +4909,13 @@ WHERE cs1.item_sk = cs2.item_sk AND
   cs1.store_name = cs2.store_name AND
   cs1.store_zip = cs2.store_zip
 ORDER BY cs1.product_name, cs1.store_name, cs2.cnt"""
+
+  private val q64 = s"""
+WITH cs_ui AS
+($q64CsUiCte),
+    cross_sales AS
+  ($q64CrossSalesCte
+  )""" + q64Select
 
   // q76: verbatim — the derived facts now carry deterministic NULL slices on
   // exactly the columns this query probes (ss_store_sk, ws_ship_customer_sk,
@@ -5867,7 +5878,8 @@ LIMIT 100"""
     "tpcds_q23a"    -> ((Seq("frequent_ss_items" -> "frequent_ss_items_q23",
                              "best_ss_customer" -> "best_ss_customer_q23"), q23aSelect)),
     "tpcds_q23b"    -> ((Seq("frequent_ss_items" -> "frequent_ss_items_q23",
-                             "best_ss_customer" -> "best_ss_customer_q23"), q23bSelect)))
+                             "best_ss_customer" -> "best_ss_customer_q23"), q23bSelect)),
+    "tpcds_q64"     -> ((Seq("cross_sales" -> "cross_sales_q64"), q64Select)))
 
   /** Complete defining query per materialized view. Most are a single wrapped CTE
     * body; a view whose CTE references a SIBLING CTE inlines that dependency here
@@ -5886,7 +5898,11 @@ LIMIT 100"""
       "best_ss_customer_q23"  ->
         s"""WITH max_store_sales AS ($q23MaxSalesCte),
            |best_ss_customer_q23 AS ($q23BestCustomerCte)
-           |SELECT * FROM best_ss_customer_q23""".stripMargin)
+           |SELECT * FROM best_ss_customer_q23""".stripMargin,
+      "cross_sales_q64"       ->
+        s"""WITH cs_ui AS ($q64CsUiCte),
+           |cross_sales_q64 AS ($q64CrossSalesCte)
+           |SELECT * FROM cross_sales_q64""".stripMargin)
   }
 
   /** One StarCache star per query FAMILY — a family's first touch builds only its
@@ -5895,7 +5911,8 @@ LIMIT 100"""
     "tpcds_yt"      -> Seq("year_total_q4", "year_total_q74"),
     "tpcds_q14mv"   -> Seq("avg_sales_q14", "cross_items_q14"),
     "tpcds_q14v2mv" -> Seq("avg_sales_q14v27", "cross_items_q14v27"),
-    "tpcds_q23mv"   -> Seq("best_ss_customer_q23", "frequent_ss_items_q23"))
+    "tpcds_q23mv"   -> Seq("best_ss_customer_q23", "frequent_ss_items_q23"),
+    "tpcds_q64mv"   -> Seq("cross_sales_q64"))
 
   private val starOfView: Map[String, String] =
     mvStars.flatMap { case (s, vs) => vs.map(_ -> s) }

@@ -78,7 +78,8 @@ object StarCache {
     * gained the q14-family cross_items/avg_sales views — a v2 tpcds_yt dir has
     * _STAR_COMPLETE but not the new views' parquet, so registration would fail into
     * permanent fallback without the bump; v4: +q23's frequent_ss_items /
-    * best_ss_customer views, same reasoning).
+    * best_ss_customer views, same reasoning; v5: +q64's item_sk-bucketed
+    * cross_sales view).
     *
     * RULE (standing, judge-ratified r10): any change to [[Buckets]], [[bucketSpec]],
     * [[sortKey]], a view's defining SQL, or a new materialized CTE bumps this
@@ -86,7 +87,7 @@ object StarCache {
     * COMMIT — the fingerprint snapshot pins the join/exchange shapes these layouts
     * buy, and a layout change without a re-pin makes PlanStabilitySpec assert the
     * stale shape. */
-  private val Version = 4
+  private val Version = 5
 
   /** Buckets for the item-clustered facts. 128 = 4 waves on local[32]; at the
     * 1000-executor design point the same layout still co-partitions the q72-class
@@ -129,10 +130,12 @@ object StarCache {
     * (TpcdsRealQueries.materializedCtes): bucketed on customer_id, their 4-/6-way
     * self-joins arrive co-partitioned. */
   private val bucketSpec = Map(
-    "inventory"      -> ("inv_item_sk", Seq("inv_item_sk", "inv_date_sk")),
-    "catalog_sales"  -> ("cs_item_sk", Seq("cs_item_sk", "cs_sold_date_sk")),
-    "year_total_q74" -> ("customer_id", Seq("customer_id")),
-    "year_total_q4"  -> ("customer_id", Seq("customer_id")))
+    "inventory"       -> ("inv_item_sk", Seq("inv_item_sk", "inv_date_sk")),
+    "catalog_sales"   -> ("cs_item_sk", Seq("cs_item_sk", "cs_sold_date_sk")),
+    "year_total_q74"  -> ("customer_id", Seq("customer_id")),
+    "year_total_q4"   -> ("customer_id", Seq("customer_id")),
+    // q64's cross_sales self-joins cs1/cs2 on item_sk — co-partition it
+    "cross_sales_q64" -> ("item_sk", Seq("item_sk")))
 
   private def sessionNonce(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.star.sessionNonce").getOrElse {
