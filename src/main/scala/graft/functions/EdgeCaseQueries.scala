@@ -762,6 +762,110 @@ object EdgeCaseQueries {
     |  SELECT CAST(count(CASE WHEN o_orderdate > '1999-12-31' THEN 1 END) AS BIGINT) AS n_date_str
     |  FROM orders) t""".stripMargin
 
+  // ---- NATURAL JOIN (reference sql-tests/inputs/natural-join.sql) ------------------
+  // Pure sugar over the proven equi-join, but the sugar has its own semantics: the
+  // join key set is INFERRED from shared column names, the shared column appears ONCE
+  // in the output, LEFT-outer extension yields NULL measures with the left's key, and
+  // FULL-outer coalesces the two key sides into the single output column (grouping on
+  // it must see right-only keys). Both engines implement the SQL standard here, so ONE
+  // text runs on both — the oracle is the identical query. The no-common-column corner
+  // (Spark degenerates to a cross join; DuckDB errors) is pinned in EdgeCaseSpec, not
+  // here, since an error cannot cross the oracle.
+  private val naturalJoinSql = """
+    |WITH c AS (SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal
+    |           FROM customer WHERE c_custkey < 300),
+    |     o AS (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders),
+    |     j_inner AS (
+    |       SELECT 'inner' AS kind, custkey, CAST(count(*) AS BIGINT) AS n,
+    |              round(sum(o_totalprice), 2) AS val
+    |       FROM c NATURAL JOIN o GROUP BY custkey),
+    |     j_left AS (
+    |       SELECT 'left' AS kind, custkey, CAST(count(o_orderkey) AS BIGINT) AS n,
+    |              round(coalesce(sum(o_totalprice), 0.0), 2) AS val
+    |       FROM c NATURAL LEFT JOIN o GROUP BY custkey),
+    |     x AS (SELECT c_custkey AS custkey, c_nationkey AS nationkey
+    |           FROM customer WHERE c_custkey < 300),
+    |     y AS (SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal AS bal
+    |           FROM customer),
+    |     j_multi AS (
+    |       SELECT 'multi' AS kind, custkey, CAST(count(*) AS BIGINT) AS n,
+    |              round(sum(bal), 2) AS val
+    |       FROM x NATURAL JOIN y GROUP BY custkey),
+    |     lo AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100),
+    |     ro AS (SELECT o_custkey AS k, o_totalprice FROM orders
+    |            WHERE o_custkey BETWEEN 50 AND 140),
+    |     j_full AS (
+    |       SELECT 'full' AS kind, k AS custkey,
+    |              CAST(count(o_totalprice) AS BIGINT) AS n,
+    |              round(coalesce(sum(o_totalprice), -1.0), 2) AS val
+    |       FROM lo NATURAL FULL JOIN ro GROUP BY k)
+    |SELECT kind, custkey, n, val FROM (
+    |  SELECT * FROM j_inner UNION ALL SELECT * FROM j_left
+    |  UNION ALL SELECT * FROM j_multi UNION ALL SELECT * FROM j_full) u
+    |ORDER BY kind, custkey""".stripMargin
+
+  // ---- datetime-format pattern lattice (reference sql-tests/inputs/ ----------------
+  // datetime-formatting.sql, datetime-parsing.sql). Spark 4's CORRECTED formatter is a
+  // DIFFERENT lattice from DuckDB's strftime, so every format output is pinned as a
+  // literal on the oracle side (the q_edge_tz/compat method) on a FIXED timestamp —
+  // era (G), quarter number/name (Q/QQQ), day-of-week widths (E/EEEE), padded
+  // day-of-year (DDD), AM/PM, all four clock fields (hh/KK/kk/HH on an afternoon
+  // time), millis (SSS), standalone month (LLL) and full month (MMMM). 'yyyy' on
+  // Jan 1 pins that y is CALENDAR year (the week-based 'Y' that would render 2027's
+  // Jan 1 as ISO-week-year is REJECTED since Spark 3 — pinned in EdgeCaseSpec along
+  // with w/W/u/e and invalid-pattern errors, which cannot cross the oracle).
+  // Parsing: a MMM month-name + am/pm clock round-trip, and try_to_timestamp
+  // returning NULL on the CORRECTED parser's out-of-range rejections (Feb 30,
+  // month 13). The data tail counts Mondays over orders — date_format 'EEEE' vs
+  // DuckDB's dayname(), the same fact through two engines' format surfaces.
+  private val datefmtSpark = """
+    |SELECT
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'G') AS era,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'Q') AS qnum,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'QQQ') AS qname,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'E') AS dow_abbr,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'EEEE') AS dow_full,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'DDD') AS doy_pad,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'a') AS ampm,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'hh:KK:kk:HH') AS clocks,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'SSS') AS millis,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'LLL') AS month_standalone,
+    |  date_format(TIMESTAMP '2026-03-08 14:05:09.123', 'MMMM') AS month_full,
+    |  date_format(DATE '2027-01-01', 'yyyy') AS cal_year_jan1,
+    |  CAST(to_timestamp('08/Mar/2026 02:05 PM', 'dd/MMM/yyyy hh:mm a') AS STRING) AS parsed,
+    |  CAST(to_date('16/08/2026', 'dd/MM/yyyy') AS STRING) AS parsed_date,
+    |  (try_to_timestamp('2026-02-30', 'yyyy-MM-dd') IS NULL) AS feb30_null,
+    |  (try_to_timestamp('2026-13-01', 'yyyy-MM-dd') IS NULL) AS month13_null,
+    |  n_monday
+    |FROM (
+    |  SELECT CAST(count(CASE WHEN date_format(o_orderdate, 'EEEE') = 'Monday' THEN 1 END)
+    |              AS BIGINT) AS n_monday
+    |  FROM orders) t""".stripMargin
+
+  private val datefmtDuck = """
+    |SELECT
+    |  'AD' AS era,
+    |  '1' AS qnum,
+    |  'Q1' AS qname,
+    |  'Sun' AS dow_abbr,
+    |  'Sunday' AS dow_full,
+    |  '067' AS doy_pad,
+    |  'PM' AS ampm,
+    |  '02:02:14:14' AS clocks,  -- h 1-12, K 0-11, k 1-24, H 0-23 at 14:05
+    |  '123' AS millis,
+    |  'Mar' AS month_standalone,
+    |  'March' AS month_full,
+    |  '2027' AS cal_year_jan1,  -- y is calendar year; week-based Y is rejected (spec)
+    |  '2026-03-08 14:05:00' AS parsed,
+    |  '2026-08-16' AS parsed_date,
+    |  TRUE AS feb30_null,
+    |  TRUE AS month13_null,
+    |  n_monday
+    |FROM (
+    |  SELECT CAST(count(CASE WHEN dayname(o_orderdate) = 'Monday' THEN 1 END)
+    |              AS BIGINT) AS n_monday
+    |  FROM orders) t""".stripMargin
+
   /** charvarchar semantics live behind spark.sql.preserveCharVarcharTypeInfo (off by
     * default, CHAR/VARCHAR degrade to plain STRING in expression context) — run the
     * char key in a CLONED session (same SparkContext, isolated conf + temp views) so
@@ -774,6 +878,8 @@ object EdgeCaseQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edge_natural_join" -> ((s, d) => run(s, d, naturalJoinSql)),
+    "q_edge_datefmt"     -> ((s, d) => run(s, d, datefmtSpark)),
     "q_edge_interval"    -> ((s, d) => run(s, d, intervalSpark)),
     "q_edge_char"        -> ((s, d) => runPreserved(s, d, charSpark)),
     "q_edge_like"        -> ((s, d) => run(s, d, likeSpark)),
@@ -801,6 +907,8 @@ object EdgeCaseQueries {
     "q_edge_ts"         -> ((s, d) => run(s, d, tsEdge)))
 
   val oracles: Map[String, String] = Map(
+    "q_edge_natural_join" -> naturalJoinSql,
+    "q_edge_datefmt"     -> datefmtDuck,
     "q_edge_interval"    -> intervalDuck,
     "q_edge_char"        -> charDuck,
     "q_edge_like"        -> likeDuck,

@@ -70,6 +70,47 @@ object GraphOps {
   }
 
   /**
+   * Packed-adjacency PageRank twin (r12 experiment): the adjacency is held as ONE row
+   * per vertex carrying its out-neighbor list in delta-varint `binary`
+   * ([[org.apache.spark.sql.graft.VarintCodec]]) plus the out-degree, instead of one
+   * row per out-edge. The cached per-iteration frame shrinks from m edge rows to n
+   * vertex rows (~1.5 B per neighbor in the payload), the rank join probes n rows
+   * instead of m, and neighbor ids re-materialize only inside the per-iteration
+   * map-side explode (`unpack_sorted_varint`). The per-iteration contribution
+   * EXCHANGE is unchanged by construction — it carries partial-summed (dst, double)
+   * rows whose size is independent of the adjacency encoding. Identical
+   * fixed-iteration semantics; A/B'd against [[pageRank]] in
+   * bench_pagerank_packed_r12.json.
+   */
+  def pageRankPacked(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(sort_array(collect_set(col("dst"))).as("ds"))
+      .select(col("src"), packSortedVarint(col("ds")).as("nbrs"), size(col("ds")).as("deg"))
+      .cache()
+    // one row per vertex (symmetric edges: every node has out-degree >= 1)
+    val n = adj.count()
+    val smallRanks = n <= 2000000L
+    var ranks = adj.select(col("src").as("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val rankSide = ranks.withColumnRenamed("id", "src")
+      val contribs = adj
+        .join(if (smallRanks) broadcast(rankSide) else rankSide, Seq("src"))
+        .select(explode(unpackSortedVarint(col("nbrs"))).as("id"),
+          (col("pr") / col("deg")).as("c"))
+      val next = contribs.groupBy(col("id"))
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    adj.unpersist()
+    ranks
+  }
+
+  /**
    * `q_pagerank`: top-50 parts by PageRank over the co-purchase graph (parts sharing an
    * order, both directions). Scores rounded to 6 decimals for a total cross-engine
    * order (pr6 desc, then partkey).
@@ -97,6 +138,15 @@ object GraphOps {
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
     pageRank(edges, iterations = 3)
+      .select(col("id").as("l_partkey"), round(col("pr"), 6).as("pr6"))
+      .orderBy(col("pr6").desc, col("l_partkey"))
+      .limit(50)
+  }
+
+  /** [[qPagerank]] through [[pageRankPacked]] — the A/B twin (same result contract). */
+  def qPagerankPacked(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    pageRankPacked(edges, iterations = 3)
       .select(col("id").as("l_partkey"), round(col("pr"), 6).as("pr6"))
       .orderBy(col("pr6").desc, col("l_partkey"))
       .limit(50)
@@ -267,14 +317,20 @@ object GraphOps {
     // on the billion-edge partitioned path). The packed frame is m varints + n keys —
     // the cheapest plan node in the job to persist.
     val adj = adj0.localCheckpoint()
-    def side(df: DataFrame): DataFrame = if (smallAdj) broadcast(df) else df
+    val adjSide = if (smallAdj) broadcast(adj) else adj
     // An edge whose head has no out-neighbors closes no triangle — the inner join
     // dropping it is correct, not a loss.
+    //
+    // Both joins consume the SAME adjacency frame (the second under a bare alias, no
+    // projection) so their build-side exchanges canonicalize equal and ReuseExchange
+    // materializes ONE broadcast relation shared by both joins — at the 32M-edge gate
+    // that is one ~100 MB packed payload + HashedRelation overhead on the driver, not
+    // two (the r11 form renamed columns below the second join, splitting the exchange).
     val counted = oriented
-      .join(side(adj), Seq("a"))
+      .join(adjSide, Seq("a"))
       .withColumnRenamed("nbrs", "na")
-      .join(side(adj.select(col("a").as("b"), col("nbrs").as("nb"))), Seq("b"))
-      .select(packedIntersectSize(col("na"), col("nb")).as("t"))
+      .join(adjSide.as("adj2"), col("b") === col("adj2.a"))
+      .select(packedIntersectSize(col("na"), col("adj2.nbrs")).as("t"))
       .agg(sum(col("t")).cast("long").as("triangles"))
     counted
   }

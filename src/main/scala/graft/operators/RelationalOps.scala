@@ -223,6 +223,31 @@ object RelationalOps {
     """SELECT l_orderkey, l_linenumber FROM lineitem
       |ORDER BY l_orderkey, l_linenumber LIMIT 20 OFFSET 100""".stripMargin
 
+  /** #7c TABLESAMPLE (reference sql-tests/inputs/tablesample-negative.sql): the three
+    * sampler forms the SQL front door accepts — Bernoulli percent with a REPEATABLE
+    * seed, exact-row, and hash-bucket. Sampling randomness is engine-local, so there
+    * is NO DuckDB oracle (declared rows-only, like the repo's other hash-seeded
+    * surfaces); TablesampleSpec pins the semantics instead: same-seed
+    * reproducibility, binomial concentration of the percent form, exactness of the
+    * ROWS form, and the parser rejecting fractions outside [0, 100]. At scale the
+    * percent form is a per-partition Bernoulli filter fused into the scan (no
+    * shuffle, no global pass) and the ROWS form is a bounded limit — both scale-free. */
+  def qTablesample(spark: SparkSession, dir: String): DataFrame = {
+    TableIO.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql("""
+      |SELECT kind, n_rows, n_cust FROM (
+      |  SELECT 'pct' AS kind, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |  FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+      |  UNION ALL
+      |  SELECT 'rows', CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT)
+      |  FROM orders TABLESAMPLE (50 ROWS)
+      |  UNION ALL
+      |  SELECT 'bucket', CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT)
+      |  FROM orders TABLESAMPLE (BUCKET 2 OUT OF 10) REPEATABLE (7)
+      |) u ORDER BY kind""".stripMargin)
+  }
+
   /** #32c null semantics: null-safe equality (`<=>` / IS NOT DISTINCT FROM), null
     * propagation through comparisons, and null-aware conditionals — the three-valued
     * logic surface every engine must get right. Nulls manufactured via nullif (the base
@@ -726,7 +751,7 @@ object RelationalOps {
     "q_not_in_nulls" -> qNotInNulls _, "q_unpivot" -> qUnpivot _, "q_lateral" -> qLateral _,
     "q_scan_pushdown" -> qScanPushdown _, "q_filter" -> qFilter _, "q_project" -> qProject _,
     "q_sort" -> qSort _, "q_topn" -> qTopN _, "q_limit" -> qLimit _,
-    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_setops_all" -> qSetOpsAll _, "q_limit_offset" -> qLimitOffset _, "q_null_semantics" -> qNullSemantics _,
+    "q_rollup" -> qRollup _, "q_grouping_sets" -> qGroupingSets _, "q_cube" -> qCube _, "q_union" -> qUnion _, "q_setops" -> qSetOps _, "q_setops_all" -> qSetOpsAll _, "q_limit_offset" -> qLimitOffset _, "q_tablesample" -> qTablesample _, "q_null_semantics" -> qNullSemantics _,
     "q_join_broadcast" -> qJoinBroadcast _, "q_join_large" -> qJoinLarge _,
     "q_join_outer" -> qJoinOuter _, "q_join_full" -> qJoinFull _,
     "q_join_semi" -> qJoinSemi _, "q_join_anti" -> qJoinAnti _,

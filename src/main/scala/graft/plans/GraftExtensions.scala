@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, JaroWinkler, L2Distance,
   PackSortedVarint, PackedIntersectSize, RankLimitRule, SortedIntersectSize,
-  TDigestMergeAgg, TDigestQuantile, TDigestSketch, TopKPerKeyStrategy}
+  TDigestMergeAgg, TDigestQuantile, TDigestSketch, TopKPerKeyStrategy, UnpackSortedVarint}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("packed_intersect_size"),
       FunctionRegistryBase.expressionInfo[PackedIntersectSize]("packed_intersect_size", None),
       (children: Seq[Expression]) => PackedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("unpack_sorted_varint"),
+      FunctionRegistryBase.expressionInfo[UnpackSortedVarint]("unpack_sorted_varint", None),
+      (children: Seq[Expression]) => UnpackSortedVarint(children(0))))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       FunctionRegistryBase.expressionInfo[JaroWinkler]("jaro_winkler", None),

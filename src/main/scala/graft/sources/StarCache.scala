@@ -74,12 +74,13 @@ import org.apache.spark.sql.SparkSession
  */
 object StarCache {
   /** Bump when any materialized view's defining SQL OR the physical layout changes
-    * (v2: inventory/catalog_sales became item-bucketed tables; v3: the tpcds_yt star
-    * gained the q14-family cross_items/avg_sales views — a v2 tpcds_yt dir has
-    * _STAR_COMPLETE but not the new views' parquet, so registration would fail into
-    * permanent fallback without the bump; v4: +q23's frequent_ss_items /
-    * best_ss_customer views, same reasoning; v5: +q64's item_sk-bucketed
-    * cross_sales view).
+    * (v2: inventory/catalog_sales became item-bucketed tables; v3: added the
+    * q14-family cross_items/avg_sales views — then to tpcds_yt, since split into the
+    * per-family tpcds_q14mv star by [[mvStars]] — a v2 dir has _STAR_COMPLETE but
+    * not the new views' parquet, so registration would fail into permanent fallback
+    * without the bump; v4: +q23's frequent_ss_items / best_ss_customer views, same
+    * reasoning; v5: +q64's item_sk-bucketed cross_sales view and the per-family
+    * star split).
     *
     * RULE (standing, judge-ratified r10): any change to [[Buckets]], [[bucketSpec]],
     * [[sortKey]], a view's defining SQL, or a new materialized CTE bumps this

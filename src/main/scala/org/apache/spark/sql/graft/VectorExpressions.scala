@@ -235,6 +235,44 @@ object VarintCodec {
     out
   }
 
+  /** Raised on a stream cut mid-varint: these kernels are SQL-registered, so the
+    * input may be arbitrary user binary, not just [[pack]] output — a typed error
+    * beats the raw ArrayIndexOutOfBoundsException the decode loop would hit. */
+  private def truncated(): Nothing = throw new IllegalArgumentException(
+    "graft varint codec: malformed delta-varint input (stream ends mid-varint); " +
+      "operands must be pack_sorted_varint output")
+
+  /** Decode a packed stream back to the sorted-ascending long array ([[pack]]'s
+    * inverse). Two passes: count varints (terminal bytes have the high bit clear),
+    * then decode into an exactly-sized primitive array wrapped zero-copy as
+    * UnsafeArrayData. Truncated input raises the same typed error as the intersect
+    * kernel. */
+  def unpack(a: Array[Byte]): ArrayData = {
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if ((a(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    if (a.length > 0 && (a(a.length - 1) & 0x80) != 0) truncated()
+    val out = new Array[Long](n)
+    var p = 0
+    var prev = 0L
+    i = 0
+    while (i < a.length) {
+      var d = 0L; var s = 0
+      var more = true
+      while (more) {
+        val c = a(i); i += 1
+        d |= (c & 0x7fL) << s; s += 7
+        more = (c & 0x80) != 0
+      }
+      prev += d
+      out(p) = prev; p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Intersection cardinality of two packed streams — two-pointer, decode-on-the-fly. */
   def intersectSize(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0; var j = 0; var n = 0
@@ -246,6 +284,7 @@ object VarintCodec {
         var d = 0L; var s = 0
         var more = true
         while (more) {
+          if (i >= a.length) truncated()
           val c = a(i); i += 1
           d |= (c & 0x7fL) << s; s += 7
           more = (c & 0x80) != 0
@@ -257,6 +296,7 @@ object VarintCodec {
         var d = 0L; var s = 0
         var more = true
         while (more) {
+          if (j >= b.length) truncated()
           val c = b(j); j += 1
           d |= (c & 0x7fL) << s; s += 7
           more = (c & 0x80) != 0
@@ -320,6 +360,32 @@ case class PackedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Decode a [[PackSortedVarint]]-packed `binary` column back to its sorted
+ * `array<long>` — the read-side kernel that lets packed adjacency ride a cache or a
+ * broadcast in 1-3 B/element wire form and re-materialize ONLY at the consumption
+ * site (e.g. the per-iteration contribution explode in PageRank). Truncated input
+ * raises the same typed error as [[PackedIntersectSize]].
+ */
+case class UnpackSortedVarint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_sorted_varint"
+
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.unpack(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.VarintCodec.unpack($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points (the public face; see graft.functions.VectorFunctions). */
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -339,6 +405,9 @@ object VectorExpressions {
 
   def packedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(PackedIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def unpackSortedVarint(a: Column): Column =
+    ExpressionUtils.column(UnpackSortedVarint(ExpressionUtils.expression(a)))
 
   /** Generic bridge for other graft modules that need Expression -> Column. */
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)

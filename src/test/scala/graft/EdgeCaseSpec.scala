@@ -14,6 +14,60 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("NATURAL JOIN: key inferred, output key coalesced; no-common-column is a cross join") {
+    graft.sources.TableIO.registerAll(spark, sf)
+    val rows = q("q_edge_natural_join").collect()
+    // multi-column natural self-join on the (custkey, nationkey) unique key: 1:1
+    assert(rows.filter(_.getString(0) == "multi").forall(_.getLong(2) == 1L),
+      "NATURAL JOIN must infer BOTH shared columns — a single-column match would fan out")
+    val full = rows.filter(_.getString(0) == "full")
+    assert(full.exists(r => r.getLong(1) >= 100),
+      "FULL natural join must surface right-only keys through the coalesced output column")
+    assert(full.exists(r => r.getDouble(3) == -1.0),
+      "FULL natural join must null-extend measures for left-only keys")
+    // NATURAL == explicit USING on the same frames
+    val viaNatural = spark.sql(
+      """SELECT count(*) FROM (SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 300) c
+        |NATURAL JOIN (SELECT o_custkey AS custkey FROM orders) o""".stripMargin).head().getLong(0)
+    val viaUsing = spark.sql(
+      """SELECT count(*) FROM (SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 300) c
+        |JOIN (SELECT o_custkey AS custkey FROM orders) o USING (custkey)""".stripMargin).head().getLong(0)
+    assert(viaNatural == viaUsing && viaNatural > 0)
+    // the no-common-column corner: Spark degenerates to a cross join (DuckDB errors
+    // here — the divergence is why this lives in the spec, not the oracle)
+    val nc = spark.sql("SELECT count(*) FROM customer WHERE c_custkey < 5").head().getLong(0)
+    val nn = spark.sql("SELECT count(*) FROM nation").head().getLong(0)
+    val cross = spark.sql(
+      """SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_custkey < 5)
+        |NATURAL JOIN (SELECT n_name FROM nation)""".stripMargin).head().getLong(0)
+    assert(cross == nc * nn, "no shared columns -> cartesian product, the Spark contract")
+  }
+
+  test("datetime patterns: week-based symbols and illegal characters are rejected") {
+    // Spark >= 3 (CORRECTED formatter) removed all week-based pattern symbols; the
+    // error is the contract a migrating user hits, so pin it per symbol.
+    for (p <- Seq("Y", "w", "W", "u", "e")) {
+      val e = intercept[Throwable](
+        spark.sql(s"SELECT date_format(DATE '2026-01-01', '$p')").collect())
+      assert(e.getMessage.contains("Spark >= 3.0"),
+        s"pattern '$p' must be rejected with the upgrade-guidance error, got: ${e.getMessage.take(120)}")
+    }
+    val bad = intercept[Throwable](
+      spark.sql("SELECT to_timestamp('2026', 'qqqq-B')").collect())
+    assert(bad.getMessage.contains("Unrecognized datetime pattern"))
+  }
+
+  test("CORRECTED parser rejects out-of-range dates; try_to_timestamp tolerates them") {
+    val e = intercept[Throwable](
+      spark.sql("SELECT to_timestamp('2026-02-30', 'yyyy-MM-dd')").collect())
+    assert(e.getMessage.contains("CANNOT_PARSE_TIMESTAMP"))
+    val r = q("q_edge_datefmt").head()
+    assert(r.getBoolean(14) && r.getBoolean(15),
+      "try_to_timestamp must return NULL on Feb 30 and month 13")
+    assert(r.getString(7) == "02:02:14:14", "hh/KK/kk/HH must disagree exactly as pinned at 14:05")
+    assert(r.getLong(16) > 0, "the orders table contains Mondays")
+  }
+
   test("NOT IN against a subquery containing NULL matches nothing") {
     val r = q("q_edge_in_null").head()
     assert(r.getLong(0) == 0, "NOT IN (…, NULL, …) must be empty — three-valued logic")

@@ -102,6 +102,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(square).head().getLong(0) == 0L)
   }
 
+  test("triangleCount broadcast path builds ONE shared adjacency broadcast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(400)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).toDF("src", "dst")
+    val df = GraphOps.triangleCount(edges)
+    df.collect()
+    // both adjacency joins must consume the SAME exchange — a second materialized
+    // broadcast doubles driver memory at the 32M-edge gate (r12 ADVICE fix)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"expected a shared broadcast exchange:\n$plan")
+  }
+
   test("triangleCount partitioned path (gate=0) equals the broadcast path") {
     import spark.implicits._
     // random-ish graph big enough to have nontrivial adjacency lists; gate=0 forces the
@@ -109,7 +121,19 @@ class GraphOpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     val edges = Seq.fill(600)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("src", "dst")
     val viaBroadcast = GraphOps.triangleCount(edges).head().getLong(0)
-    val viaPartitioned = GraphOps.triangleCount(edges, broadcastGateEdges = 0L).head().getLong(0)
+    // gate=0 only withholds OUR broadcast() hint; Spark's auto-broadcast would still
+    // plan BHJ over the tiny adjacency frame. Disable it and assert the executed plan
+    // genuinely carries no broadcast, so the partitioned physical shape is exercised.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val viaPartitioned = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = GraphOps.triangleCount(edges, broadcastGateEdges = 0L)
+      val got = df.head().getLong(0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+        s"partitioned path still broadcasts:\n$plan")
+      got
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     assert(viaBroadcast == viaPartitioned && viaBroadcast > 0,
       s"broadcast=$viaBroadcast partitioned=$viaPartitioned")
   }

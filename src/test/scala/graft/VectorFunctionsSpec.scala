@@ -109,4 +109,41 @@ class VectorFunctionsSpec extends AnyFunSuite {
         "pack_sorted_varint(array(5L, 9L, 12L))) AS n").collect()
     assert(r.head.getInt(0) == 2)
   }
+
+  test("unpack_sorted_varint is pack's inverse on random sorted sets") {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def randSet(): Seq[Long] = rnd.nextInt(3) match {
+      case 0 => Seq.empty
+      case 1 => Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(2000).toLong).distinct.sorted
+      case 2 => Seq.fill(rnd.nextInt(20) + 1)(math.abs(rnd.nextLong())).distinct.sorted
+    }
+    val data = Seq.fill(200)(Tuple1(randSet()))
+    val got = data.toDF("a")
+      .select(unpackSortedVarint(packSortedVarint(col("a"))).as("u"), col("a")).collect()
+    got.zip(data).foreach { case (row, Tuple1(a)) =>
+      assert(row.getSeq[Long](0) == a, s"round-trip: $a")
+    }
+    val sqlGot = spark.sql(
+      "SELECT unpack_sorted_varint(pack_sorted_varint(array(1L, 5L, 9L))) AS u").collect()
+    assert(sqlGot.head.getSeq[Long](0) == Seq(1L, 5L, 9L))
+    val e = intercept[Exception](
+      org.apache.spark.sql.graft.VarintCodec.unpack(Array[Byte](0x85.toByte)))
+    assert(e.getMessage.contains("malformed delta-varint"))
+  }
+
+  test("packed_intersect_size raises a typed error on truncated varint input") {
+    import org.apache.spark.sql.graft.VarintCodec
+    // a varint cut mid-stream: continuation bit set on the final byte. The kernel is
+    // SQL-registered, so arbitrary user binary can reach it — the decode loop must
+    // fail with a descriptive IllegalArgumentException, not a raw AIOOBE (r12 ADVICE).
+    val truncated = Array[Byte](0x85.toByte) // "more bytes follow", then nothing
+    val ok = VarintCodec.pack(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1L, 5L, 9L)))
+    val e = intercept[IllegalArgumentException](VarintCodec.intersectSize(ok, truncated))
+    assert(e.getMessage.contains("malformed delta-varint"))
+    val e2 = intercept[IllegalArgumentException](VarintCodec.intersectSize(truncated, ok))
+    assert(e2.getMessage.contains("malformed delta-varint"))
+  }
 }
