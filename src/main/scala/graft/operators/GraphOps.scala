@@ -26,8 +26,19 @@ object GraphOps {
    * a raw pair list. Returns (id, pr) for every node with at least one edge. Symmetry
    * means every node has both in- and out-degree, so no dangling-mass redistribution
    * term is needed.
+   *
+   * Since r12 this delegates to the varint-PACKED adjacency form ([[pageRankPacked]]):
+   * one cached row per VERTEX carrying its out-neighbor list as delta-varint binary,
+   * instead of one row per out-edge — measured never-slower and 5-25% faster at
+   * sf0.1/sf1 with an ~6x smaller cached footprint (bench_pagerank_packed_r12.json).
+   * The r7-r11 row-per-edge form stays as [[pageRankArray]], the A/B twin the probe
+   * and the equality spec hold the packed path against.
    */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame =
+    pageRankPacked(edges, iterations, damping)
+
+  /** Row-per-edge PageRank (the r7-r11 form) — kept as [[pageRank]]'s A/B twin. */
+  def pageRankArray(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     // Adjacency-set build: ONE shuffle (groupBy src) dedups multi-edges, computes the
     // out-degree, and leaves the frame hash-partitioned on src all at once — the
     // explode back to (src, dst, w=1/deg) is map-only and keeps that partitioning for
@@ -78,9 +89,11 @@ object GraphOps {
    * instead of m, and neighbor ids re-materialize only inside the per-iteration
    * map-side explode (`unpack_sorted_varint`). The per-iteration contribution
    * EXCHANGE is unchanged by construction — it carries partial-summed (dst, double)
-   * rows whose size is independent of the adjacency encoding. Identical
-   * fixed-iteration semantics; A/B'd against [[pageRank]] in
-   * bench_pagerank_packed_r12.json.
+   * rows whose size is independent of the adjacency encoding — which is why the win
+   * is a steady 5-25%, not the triangles-class 2-3x (that one shrank a BROADCAST
+   * whose bytes were the bottleneck). Identical fixed-iteration semantics; A/B'd
+   * against [[pageRankArray]] in bench_pagerank_packed_r12.json (interleaved pairs
+   * at sf0.1 and sf1, equal results).
    */
   def pageRankPacked(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
@@ -143,10 +156,10 @@ object GraphOps {
       .limit(50)
   }
 
-  /** [[qPagerank]] through [[pageRankPacked]] — the A/B twin (same result contract). */
-  def qPagerankPacked(spark: SparkSession, dir: String): DataFrame = {
+  /** [[qPagerank]] through [[pageRankArray]] — the A/B twin (same result contract). */
+  def qPagerankArray(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
-    pageRankPacked(edges, iterations = 3)
+    pageRankArray(edges, iterations = 3)
       .select(col("id").as("l_partkey"), round(col("pr"), 6).as("pr6"))
       .orderBy(col("pr6").desc, col("l_partkey"))
       .limit(50)

@@ -13,18 +13,31 @@ object PrProbe {
     val spark = GraftSession.get("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").count()
+    def time1(tag: String, r: Int, f: () => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f().collect()
+      println(f"[prprobe] $tag rep$r ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=${rows.length}")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     def time(tag: String, f: () => org.apache.spark.sql.DataFrame): Unit =
+      for (r <- 1 to reps) time1(tag, r, f)
+    // order arg(2): "pa" = packed first; "mix" = interleaved a/p pairs (fairest
+    // under drifting host load — each pair sees the same conditions)
+    if (args.length > 2 && args(2) == "mix") {
       for (r <- 1 to reps) {
-        val t0 = System.nanoTime()
-        val rows = f().collect()
-        println(f"[prprobe] $tag rep$r ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=${rows.length}")
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        time1("array ", r, () => GraphOps.qPagerankArray(spark, dir))
+        time1("packed", r, () => GraphOps.qPagerank(spark, dir))
       }
-    time("array ", () => GraphOps.qPagerank(spark, dir))
-    time("packed", () => GraphOps.qPagerankPacked(spark, dir))
-    val a = GraphOps.qPagerank(spark, dir).collect().map(_.toString).toSeq
-    val b = GraphOps.qPagerankPacked(spark, dir).collect().map(_.toString).toSeq
+    } else if (args.length > 2 && args(2) == "pa") {
+      time("packed", () => GraphOps.qPagerank(spark, dir))
+      time("array ", () => GraphOps.qPagerankArray(spark, dir))
+    } else {
+      time("array ", () => GraphOps.qPagerankArray(spark, dir))
+      time("packed", () => GraphOps.qPagerank(spark, dir))
+    }
+    val a = GraphOps.qPagerankArray(spark, dir).collect().map(_.toString).toSeq
+    val b = GraphOps.qPagerank(spark, dir).collect().map(_.toString).toSeq
     println(s"[prprobe] equal=${a == b}")
     spark.stop()
   }

@@ -38,6 +38,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass is conserved on a symmetric graph")
   }
 
+  test("packed-adjacency pageRank equals the row-per-edge twin bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val raw = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = raw ++ raw.map(_.swap)
+    val packed = GraphOps.pageRank(sym.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val array = GraphOps.pageRankArray(sym.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(packed.keySet == array.keySet)
+    // same per-node additions in a different grouping order can differ by float
+    // summation order; on these magnitudes the twins must still agree to 1e-12
+    packed.foreach { case (id, pr) =>
+      assert(math.abs(pr - array(id)) < 1e-12, s"node $id: packed $pr vs array ${array(id)}")
+    }
+  }
+
   test("q_pagerank returns a full top-50 with a total deterministic order") {
     val rows = GraphOps.qPagerank(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
