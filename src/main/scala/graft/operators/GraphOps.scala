@@ -135,7 +135,7 @@ object GraphOps {
    * of parts, so the blow-up is local and tiny). May contain multi-edges; consumers
    * dedup as needed.
    */
-  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     // ONE shuffle (the per-order set aggregate) + map-only double explode. Keep the
     // post-explode =!= filter a plain predicate: a higher-order lambda INSIDE the
     // generator (filter(ps, x > src)) runs interpreted outside codegen and measured
@@ -210,6 +210,39 @@ object GraphOps {
    * `edges`: directed (src, dst), multi-edges fine; `seeds`: (id). Returns (id, hop).
    */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
+    // r12: packed adjacency (the pageRank treatment) — one cached row per vertex,
+    // multi-edges collapsed by the set build (the old form deduped after expansion:
+    // same result, strictly less per-round work), neighbor ids re-materializing only
+    // inside the per-round map-side explode. The frontier shuffle is unchanged.
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src"))
+      .agg(packSortedVarint(sort_array(collect_set(col("dst")))).as("nbrs"))
+      .cache()
+    var visited = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select(col("id"))
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val next = frontier.withColumnRenamed("id", "src")
+        .join(adj, Seq("src"))
+        .select(explode(unpackSortedVarint(col("nbrs"))).as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(h).as("hop")).localCheckpoint()
+      drained = next.isEmpty
+      if (!drained) {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select(col("id"))
+      }
+      h += 1
+    }
+    adj.unpersist()
+    visited
+  }
+
+  /** Row-per-edge BFS (the pre-r12 form) — kept as [[bfs]]'s A/B twin. */
+  private[graft] def bfsArray(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
     var visited = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0).as("hop")).localCheckpoint()
@@ -397,18 +430,49 @@ object GraphOps {
    * (id, label) after `rounds` rounds.
    */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    // adjacency-set build (the pageRank pattern): ONE shuffle dedups multi-edges AND
-    // leaves the exploded frame hash-partitioned on src — vs distinct().repartition(src)
-    // which pays two full shuffles of the pair list for the same result
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
+    // r12: packed adjacency (the pageRank treatment) — the set build's one shuffle
+    // now emits ONE row per vertex with the neighbor set in delta-varint binary
+    // (~1.5 B/neighbor) instead of re-exploding to m cached rows; ids re-materialize
+    // only inside the per-round map-side explode. The votes shuffle carries
+    // combiner-reduced (dst, label, cnt) rows either way.
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src"))
+      .agg(packSortedVarint(sort_array(collect_set(col("dst")))).as("nbrs"))
+      .cache()
+    var labels = adj.select(col("src").as("id"))
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // Same scale-adaptive broadcast as pageRank: labels is one row per vertex and the
+    // count is free off the materialized checkpoint — broadcast-join it per round when
+    // small, shuffle-join past the threshold.
+    val smallLabels = labels.count() <= 2000000L
+    var r = 0
+    while (r < rounds) {
+      val labelSide = labels.withColumnRenamed("id", "src")
+      val votes = adj.join(if (smallLabels) broadcast(labelSide) else labelSide, Seq("src"))
+        .select(explode(unpackSortedVarint(col("nbrs"))).as("dst"), col("label"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+      r += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** Row-per-edge label propagation (the pre-r12 form) — [[labelPropagation]]'s A/B twin. */
+  private[graft] def labelPropagationArray(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
       .select(col("src"), explode(col("dsts")).as("dst"))
       .cache()
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
-    // Same scale-adaptive broadcast as pageRank: labels is one row per vertex and the
-    // count is free off the materialized checkpoint — broadcast-join it per round when
-    // small, shuffle-join past the threshold.
     val smallLabels = labels.count() <= 2000000L
     var r = 0
     while (r < rounds) {

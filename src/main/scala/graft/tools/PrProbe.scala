@@ -22,23 +22,50 @@ object PrProbe {
     }
     def time(tag: String, f: () => org.apache.spark.sql.DataFrame): Unit =
       for (r <- 1 to reps) time1(tag, r, f)
-    // order arg(2): "pa" = packed first; "mix" = interleaved a/p pairs (fairest
-    // under drifting host load — each pair sees the same conditions)
-    if (args.length > 2 && args(2) == "mix") {
-      for (r <- 1 to reps) {
-        time1("array ", r, () => GraphOps.qPagerankArray(spark, dir))
-        time1("packed", r, () => GraphOps.qPagerank(spark, dir))
-      }
-    } else if (args.length > 2 && args(2) == "pa") {
-      time("packed", () => GraphOps.qPagerank(spark, dir))
-      time("array ", () => GraphOps.qPagerankArray(spark, dir))
-    } else {
-      time("array ", () => GraphOps.qPagerankArray(spark, dir))
-      time("packed", () => GraphOps.qPagerank(spark, dir))
+    // arg(2) mode: "pa" = packed first; "mix" = interleaved a/p pairs (fairest under
+    // drifting host load — each pair sees the same conditions); "lpmix"/"bfsmix" =
+    // interleaved pairs for the label-propagation / BFS twins (r12 graph-pack rollout)
+    val mode = if (args.length > 2) args(2) else "ap"
+    def edgesOf(s: org.apache.spark.sql.SparkSession) = GraphOps.coPurchaseEdges(s, dir)
+    mode match {
+      case "lpmix" =>
+        for (r <- 1 to reps) {
+          time1("lp-arr", r, () => GraphOps.labelPropagationArray(edgesOf(spark), rounds = 2))
+          time1("lp-pck", r, () => GraphOps.labelPropagation(edgesOf(spark), rounds = 2))
+        }
+        val a = GraphOps.labelPropagationArray(edgesOf(spark), 2)
+          .orderBy("id").collect().map(_.toString).toSeq
+        val b = GraphOps.labelPropagation(edgesOf(spark), 2)
+          .orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "bfsmix" =>
+        def seeds(e: org.apache.spark.sql.DataFrame) =
+          e.select(org.apache.spark.sql.functions.col("src").as("id"))
+            .filter(org.apache.spark.sql.functions.col("id") % 97 === 0).distinct()
+        for (r <- 1 to reps) {
+          time1("bf-arr", r, () => { val e = edgesOf(spark); GraphOps.bfsArray(e, seeds(e), 2) })
+          time1("bf-pck", r, () => { val e = edgesOf(spark); GraphOps.bfs(e, seeds(e), 2) })
+        }
+        val ea = edgesOf(spark)
+        val a = GraphOps.bfsArray(ea, seeds(ea), 2).orderBy("id").collect().map(_.toString).toSeq
+        val eb = edgesOf(spark)
+        val b = GraphOps.bfs(eb, seeds(eb), 2).orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "mix" =>
+        for (r <- 1 to reps) {
+          time1("array ", r, () => GraphOps.qPagerankArray(spark, dir))
+          time1("packed", r, () => GraphOps.qPagerank(spark, dir))
+        }
+        val a = GraphOps.qPagerankArray(spark, dir).collect().map(_.toString).toSeq
+        val b = GraphOps.qPagerank(spark, dir).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "pa" =>
+        time("packed", () => GraphOps.qPagerank(spark, dir))
+        time("array ", () => GraphOps.qPagerankArray(spark, dir))
+      case _ =>
+        time("array ", () => GraphOps.qPagerankArray(spark, dir))
+        time("packed", () => GraphOps.qPagerank(spark, dir))
     }
-    val a = GraphOps.qPagerankArray(spark, dir).collect().map(_.toString).toSeq
-    val b = GraphOps.qPagerank(spark, dir).collect().map(_.toString).toSeq
-    println(s"[prprobe] equal=${a == b}")
     spark.stop()
   }
 }

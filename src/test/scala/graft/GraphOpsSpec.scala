@@ -56,6 +56,26 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packed-adjacency bfs and labelPropagation equal their row-per-edge twins exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val raw = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    // integer outputs: the twins must agree bit-for-bit, no tolerance
+    val lpP = GraphOps.labelPropagation(sym, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpA = GraphOps.labelPropagationArray(sym, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpP == lpA)
+    val seeds = Seq(0L, 7L).toDF("id")
+    val bfP = GraphOps.bfs(sym, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bfA = GraphOps.bfsArray(sym, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfP == bfA)
+  }
+
   test("q_pagerank returns a full top-50 with a total deterministic order") {
     val rows = GraphOps.qPagerank(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
