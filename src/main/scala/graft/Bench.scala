@@ -56,6 +56,10 @@ object Bench {
     "ann_quantized", "ann_rrf", "q_ds_rollup_topn", "q_ds_cumulative",
     "q_ds_reachability",
     "q_triangles", "q_pagerank", "q_bfs",
+    // r12: the heaviest sf1 entries that previously hid inside other_sec — the
+    // driver's stdout line should see a regression in these, not a file diff
+    "q_sssp", "q_label_prop", "q_ds_reachability", "q_rfm", "q_basket_lift",
+    "q_feature_mi", "text_kn_top", "text_tfidf",
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
     "tpcds_q6", "tpcds_q51", "tpcds_q67", "tpcds_q74", "tpcds_q27", "tpcds_q68",
     "tpcds_q10", "tpcds_q43", "tpcds_q46", "tpcds_q53", "tpcds_q59", "tpcds_q63",
