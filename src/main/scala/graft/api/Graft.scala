@@ -191,6 +191,11 @@ object Graft {
   def vocabCoverage(docs: DataFrame, k: Int = 30): DataFrame =
     TextAnalysis.vocabCoverage(docsFrame(docs), k)
 
+  /** Zipf rank-frequency fit over the top-k vocabulary: one-row
+    * (n_ranks, slope, intercept, R²) corpus-health fingerprint. */
+  def zipfFit(docs: DataFrame, k: Int = 500): DataFrame =
+    TextAnalysis.zipfFit(docsFrame(docs), k)
+
   // ---- deterministic sampling ----------------------------------------------------------
 
   /** Hash-threshold uniform sample — reproducible across retries and repartitionings. */
@@ -284,6 +289,12 @@ object Graft {
     graft.operators.GraphOps.sssp(
       requireCols(edges, "edges", "src", "dst", "w"),
       requireCols(sources, "sources", "id"), rounds)
+
+  /** Bounded-round k-core peeling over a symmetric (src, dst) edge list: iteratively
+    * delete vertices of degree < k; returns survivors with their peeled-graph degree. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    graft.operators.GraphOps.kcorePeel(
+      requireCols(edges, "edges", "src", "dst"), k, rounds)
 
   /** Dense global row ids 1..N in `orderCol` order without a single-partition window:
     * range shuffle + O(partitions) offset bookkeeping + map-only assignment. */

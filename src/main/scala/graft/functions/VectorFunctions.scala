@@ -31,4 +31,16 @@ object VectorFunctions {
   /** Scalar: read quantile q out of a sketch column. */
   def tdigestQuantile(s: Column, q: Column): Column =
     org.apache.spark.sql.graft.TDigest.quantileOf(s, q)
+
+  /** Aggregate: string column -> count-min sketch bytes (point frequencies, mergeable). */
+  def cmsSketch(v: Column, depth: Int = 5, width: Int = 2048): Column =
+    org.apache.spark.sql.graft.CountMin.sketch(v, depth, width)
+
+  /** Aggregate: union a column of count-min sketches into one (rollup serving). */
+  def cmsMerge(s: Column): Column =
+    org.apache.spark.sql.graft.CountMin.mergeSketches(s)
+
+  /** Scalar: one-sided point-frequency estimate (>= true count) from sketch bytes. */
+  def cmsEstimate(s: Column, item: Column): Column =
+    org.apache.spark.sql.graft.CountMin.estimateOf(s, item)
 }

@@ -539,12 +539,53 @@ object GraphOps {
    * semantics (full SSSP = run to the graph diameter; bounded R is what a 100 TB
    * pipeline actually schedules).
    *
-   * Per round ONE join (edges × current frontier of improved nodes) + one min-groupBy.
-   * Like bfs, only IMPROVED nodes join the next round's relaxation (delta iteration —
-   * work decays as distances settle), and integer weights keep min-plus exact in both
-   * engines.
+   * Per round ONE join (adjacency × current frontier of improved nodes) + one
+   * min-groupBy. Like bfs, only IMPROVED nodes join the next round's relaxation
+   * (delta iteration — work decays as distances settle), and integer weights keep
+   * min-plus exact in both engines.
+   *
+   * r12: adjacency is cached as one row per VERTEX — `(src, array<struct<dst,w>>)` —
+   * so each round's join probes n rows instead of m edge rows, the same
+   * row-per-vertex layout pagerank/bfs/label_prop adopted. A plain struct array
+   * rather than the varint codec because `w` is an arbitrary caller-provided long
+   * (the delta-varint kernels assume sorted distinct sets). The relaxation explodes
+   * map-side after the join, so the min-groupBy exchange is unchanged — the win is
+   * the probe-side row count, exactly the bfs result in
+   * bench_graphpack_packed_r12.json.
    */
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("src"), struct(col("dst"), col("w")).as("e"))
+      .groupBy(col("src")).agg(collect_list(col("e")).as("nbrs"))
+      .cache()
+    var dist = sources.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var drained = false
+    while (r < rounds && !drained) {
+      val relax = frontier.withColumnRenamed("id", "src")
+        .join(adj, Seq("src"))
+        .select(explode(col("nbrs")).as("e"), col("dist"))
+        .select(col("e.dst").as("id"), (col("dist") + col("e.w")).as("dist"))
+      val next = dist.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // delta iteration: only nodes whose distance IMPROVED this round can improve a
+      // neighbor next round
+      frontier = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("id"), col("dist")).localCheckpoint()
+      drained = frontier.isEmpty
+      dist.unpersist()
+      dist = next
+      r += 1
+    }
+    adj.unpersist()
+    dist
+  }
+
+  /** Row-per-edge Bellman-Ford (the pre-r12 form) — kept as [[sssp]]'s A/B twin. */
+  private[graft] def ssspArray(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src")).cache()
     var dist = sources.select(col("id")).distinct()
@@ -559,8 +600,6 @@ object GraphOps {
       val next = dist.unionByName(relax)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      // delta iteration: only nodes whose distance IMPROVED this round can improve a
-      // neighbor next round
       frontier = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"), "left")
         .filter(col("old").isNull || col("dist") < col("old"))
         .select(col("id"), col("dist")).localCheckpoint()
@@ -624,11 +663,72 @@ object GraphOps {
       |SELECT id AS l_partkey, CAST(dist AS BIGINT) AS dist FROM d3
       |ORDER BY l_partkey""".stripMargin
 
+  /**
+   * Bounded-round k-core peeling: iteratively delete vertices of degree < k (degree
+   * measured in the CURRENT peeled graph) — the standard dense-core extraction /
+   * graph-cleanup primitive (Matula-Beck peeling). R rounds = the low-degree closure
+   * truncated at depth R, a well-defined replayable semantics exactly like the bounded
+   * bfs/sssp forms (full k-core = run to fixpoint; a 100 TB pipeline schedules bounded
+   * rounds). Edges are deduplicated on entry (simple-graph degree semantics), assumed
+   * symmetric, so per-src out-degree IS the undirected degree.
+   *
+   * Per round: one map-side-combined degree aggregate + two semi-joins against the
+   * survivor set (Spark broadcasts it when it fits — at any scale it is one row per
+   * surviving VERTEX, the small frame of the pair). localCheckpoint keeps the plan
+   * O(1) in rounds. Returns each surviving vertex with its degree in the R-times-peeled
+   * graph.
+   */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      e = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint()
+      r += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  }
+
+  /**
+   * `q_kcore`: two peeling rounds at k=100 over the co-purchase graph (median degree
+   * ≈ 115-119 at sf0.01+, so the cut bites both rounds: 2000 → 1512 → 749 vertices at
+   * sf0.01, 20000 → 15862 → 10510 at sf0.1). Pure integer degrees — the DuckDB oracle
+   * unrolls both rounds as CTEs and must hash-match exactly.
+   */
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(coPurchaseEdges(spark, dir), k = 100, rounds = 2)
+      .select(col("src").as("l_partkey"), col("deg"))
+      .orderBy(col("l_partkey"))
+
+  val qKcoreSql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), k1 AS (
+      |  SELECT src AS id FROM edges GROUP BY src HAVING count(*) >= 100
+      |), e1 AS (
+      |  SELECT e.src, e.dst FROM edges e
+      |  JOIN k1 a ON a.id = e.src JOIN k1 b ON b.id = e.dst
+      |), k2 AS (
+      |  SELECT src AS id FROM e1 GROUP BY src HAVING count(*) >= 100
+      |), e2 AS (
+      |  SELECT e.src, e.dst FROM e1 e
+      |  JOIN k2 a ON a.id = e.src JOIN k2 b ON b.id = e.dst
+      |)
+      |SELECT src AS l_partkey, CAST(count(*) AS BIGINT) AS deg
+      |FROM e2 GROUP BY src
+      |ORDER BY l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank(_, _)),
     "q_bfs" -> (qBfs(_, _)),
     "q_triangles" -> (qTriangles(_, _)),
     "q_label_prop" -> (qLabelProp(_, _)),
+    "q_kcore" -> (qKcore(_, _)),
     "q_sssp" -> (qSssp(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -636,5 +736,6 @@ object GraphOps {
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_kcore" -> qKcoreSql,
     "q_sssp" -> qSsspSql)
 }

@@ -236,6 +236,32 @@ object Profiling {
   }
 
   /**
+   * `q_cms_rollup`: the NATIVE count-min point-frequency serving path (the fourth
+   * mergeable-sketch sibling next to HLL / histogram / t-digest): per-source token
+   * sketches answer corpus-level point frequencies by MERGING — the corpus is never
+   * rescanned at the coarser grain. The probe set is the exact top-20 vocabulary
+   * (deterministic tie-break), reported next to the exact counts so the one-sided
+   * sketch error is visible in the output itself. Unlike the t-digest, CMS output is
+   * fully deterministic (elementwise-add merge commutes), but no oracle engine can
+   * compute it -> rows-only; CmsSpec pins the guarantees (est >= exact always,
+   * est <= exact + εN on this corpus, split-merge == whole-build bit-for-bit).
+   */
+  def qCmsRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cmsEstimate, cmsMerge, cmsSketch}
+    val toks = TableIO.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val perSource = toks.groupBy(col("source")).agg(cmsSketch(col("tok")).as("sk"))
+    val corpus = perSource.agg(cmsMerge(col("sk")).as("sk"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    top.crossJoin(broadcast(corpus))
+      .select(col("tok"), col("exact_cnt"),
+        cmsEstimate(col("sk"), col("tok")).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /**
    * Join-key skew diagnosis — the report read BEFORE picking a join/partition
    * strategy at 100 TB: per candidate key column, row count, exact NDV, the heaviest
    * key's frequency and share, and the max/avg group-size ratio (the direct predictor
@@ -275,6 +301,7 @@ object Profiling {
     "q_profile" -> profileQuery _,
     "q_hll_rollup" -> (qHllRollup(_, _)),
     "q_hist_rollup" -> (qHistRollup(_, _)),
+    "q_cms_rollup" -> (qCmsRollup(_, _)),
     "q_tdigest" -> (qTdigest(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -283,4 +310,5 @@ object Profiling {
     "q_hist_rollup" -> qHistRollupSql)
     // q_hll_rollup: sketch-based -> rows-only + merge-identity/error-bound spec
     // q_tdigest: sketch-based -> rows-only + rank-error/merge-consistency spec
+    // q_cms_rollup: sketch-based -> rows-only + one-sided-bound/merge-identity spec (CmsSpec)
 }

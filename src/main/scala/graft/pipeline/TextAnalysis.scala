@@ -958,7 +958,54 @@ object TextAnalysis {
       |ORDER BY llr6 DESC, b.x, b.y
       |LIMIT 20""".stripMargin
 
+  // ---- Zipf rank-frequency fit ---------------------------------------------------------
+
+  /**
+   * Power-law (Zipf) fit of the corpus rank-frequency curve: regress ln(freq) on
+   * ln(rank) over the top `k` vocabulary items (ties broken by token — deterministic)
+   * and report slope / intercept / R². A healthy natural-language corpus sits near
+   * slope ≈ −1; templated or boilerplate-heavy crawl shows up immediately as a flat
+   * head (slope ≫ −1) or a collapsed R² — the standard one-number distribution
+   * fingerprint next to `text_entropy`'s per-source view.
+   *
+   * Scale shape: one map-side-combined token-count aggregate, a TakeOrdered top-k
+   * (never a global vocabulary sort), and a closed-form regr_* fit over k rows —
+   * constant-size output regardless of corpus size, everything inside codegen.
+   */
+  def zipfFit(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.filter(col("text").isNotNull)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val lx = log(col("rank").cast("double"))
+    val ly = log(col("cnt").cast("double"))
+    top.agg(
+      count(lit(1)).as("n_ranks"),
+      round(regr_slope(ly, lx), 6).as("zipf_slope"),
+      round(regr_intercept(ly, lx), 6).as("zipf_intercept"),
+      round(regr_r2(ly, lx), 6).as("zipf_r2"))
+  }
+
+  /** `text_zipf`: Zipf fit over the top-500 corpus vocabulary. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(TableIO.documents(spark, dir), 500)
+
+  val textZipfSql: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |              FROM documents WHERE text IS NOT NULL),
+      |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |top AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      |        FROM counts ORDER BY cnt DESC, tok LIMIT 500)
+      |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+      |  round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+      |  round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
+      |  round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_r2
+      |FROM top""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf(_, _)),
     "text_llr" -> (textLlr(_, _)),
     "text_readability" -> (textReadability(_, _)),
     "text_audit" -> (textAudit(_, _)),
@@ -981,6 +1028,7 @@ object TextAnalysis {
     "text_nb_lang" -> (textNbLang(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_llr" -> textLlrSql,
     "text_readability" -> textReadabilitySql,
     "text_audit" -> textAuditSql,

@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, JaroWinkler, L2Distance,
-  PackSortedVarint, PackedIntersectSize, RankLimitRule, SortedIntersectSize,
-  TDigestMergeAgg, TDigestQuantile, TDigestSketch, TopKPerKeyStrategy, UnpackSortedVarint}
+import org.apache.spark.sql.graft.{CmsEstimate, CmsMergeAgg, CmsSketchAgg, CosineSimilarity,
+  DotProduct, JaroWinkler, L2Distance, PackSortedVarint, PackedIntersectSize, RankLimitRule,
+  SortedIntersectSize, TDigestMergeAgg, TDigestQuantile, TDigestSketch, TopKPerKeyStrategy,
+  UnpackSortedVarint}
 
 /**
  * graft's SparkSessionExtensions — the analog of the reference's plugin entry point
@@ -80,5 +81,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("tdigest_quantile"),
       FunctionRegistryBase.expressionInfo[TDigestQuantile]("tdigest_quantile", None),
       (children: Seq[Expression]) => TDigestQuantile(children(0), children(1))))
+    // native mergeable point-frequency sketch: build / merge aggregates + scalar read-out
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      FunctionRegistryBase.expressionInfo[CmsSketchAgg]("cms_sketch", None),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => CmsSketchAgg(v)
+        case Seq(v, d, w) => CmsSketchAgg(v,
+          d.eval().asInstanceOf[Number].intValue(), w.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch takes (value[, depth, width]), got ${other.size} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      FunctionRegistryBase.expressionInfo[CmsMergeAgg]("cms_merge", None),
+      (children: Seq[Expression]) => CmsMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      FunctionRegistryBase.expressionInfo[CmsEstimate]("cms_estimate", None),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
   }
 }

@@ -51,6 +51,24 @@ object PrProbe {
         val eb = edgesOf(spark)
         val b = GraphOps.bfs(eb, seeds(eb), 2).orderBy("id").collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "ssspmix" =>
+        // r12 follow-on: weighted adjacency row-per-vertex (struct array) vs row-per-edge
+        import org.apache.spark.sql.functions.{col, count, greatest, lit}
+        def weighted(s: org.apache.spark.sql.SparkSession) =
+          GraphOps.coPurchaseEdges(s, dir)
+            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+            .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+        def seeds(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("src").as("id")).filter(col("id") % 101 === 0).distinct()
+        for (r <- 1 to reps) {
+          time1("ss-arr", r, () => { val e = weighted(spark); GraphOps.ssspArray(e, seeds(e), 3) })
+          time1("ss-pck", r, () => { val e = weighted(spark); GraphOps.sssp(e, seeds(e), 3) })
+        }
+        val ea = weighted(spark)
+        val a = GraphOps.ssspArray(ea, seeds(ea), 3).orderBy("id").collect().map(_.toString).toSeq
+        val eb = weighted(spark)
+        val b = GraphOps.sssp(eb, seeds(eb), 3).orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "mix" =>
         for (r <- 1 to reps) {
           time1("array ", r, () => GraphOps.qPagerankArray(spark, dir))

@@ -76,6 +76,37 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(bfP == bfA)
   }
 
+  test("kcorePeel strips the pendant tail and keeps the clique; multi-edges count once") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6; symmetric edges, one duplicated pair
+    val pairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L),(4L,5L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // k=3: round 1 peels 5 and 6 (degrees 2 and 1); 4 drops from degree 4 to 3 and
+    // survives round 2. Duplicate (4,5) must not inflate 5's degree to 3.
+    val got = GraphOps.kcorePeel(sym, k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree: everything peels, empty result
+    assert(GraphOps.kcorePeel(sym, k = 10, rounds = 1).isEmpty)
+  }
+
+  test("row-per-vertex sssp equals the row-per-edge twin exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // weighted digraph with deliberate multi-edges (min-plus must keep the cheapest)
+    val edges = Seq.fill(700)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong,
+        (1 + rnd.nextInt(9)).toLong))
+      .filter { case (a, b, _) => a != b }
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L, 13L, 42L).toDF("id")
+    // integer min-plus: the twins must agree bit-for-bit, no tolerance
+    val packed = GraphOps.sssp(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val array = GraphOps.ssspArray(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == array)
+  }
+
   test("q_pagerank returns a full top-50 with a total deterministic order") {
     val rows = GraphOps.qPagerank(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
