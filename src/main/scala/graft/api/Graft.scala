@@ -557,6 +557,12 @@ object Graft {
       nShards: Int = 8): DataFrame =
     graft.streaming.StreamingTopK.topKStream(items, capacity, nShards)
 
+  /** Streaming per-item frequency cap: sharded count-min state admits at most `cap`
+    * occurrences of every item; Append-mode (item, est, admitted) per occurrence. */
+  def streamingFrequencyCap(items: org.apache.spark.sql.Dataset[String], cap: Long,
+      nShards: Int = 8): DataFrame =
+    graft.streaming.FrequencyCap.capStream(items, cap, nShards)
+
   /** Quality-aware dedup: keep the highest-`priorityCol` row per exact/near-dup
     * cluster (ties to smallest doc_id) instead of dedupe's min-id representative. */
   def dedupeBy(docs: DataFrame, priorityCol: String, threshold: Double = 0.8): DataFrame =
