@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
  * JSON line was longer than the capture window and lost its opening brace). The line
  * therefore (a) rounds times to milliseconds and (b) details only the headline queries,
  * folding the rest into `other_sec` — while `value` stays the TOTAL across all queries.
+ *
+ * Timeout survivability (r13, after BENCH_r12 recorded rc=124/parsed:null): a bounded
+ * `"partial":true` checkpoint line is emitted every 25 queries so a mid-run kill still
+ * leaves the latest cumulative state in the captured tail, and past a soft wall budget
+ * (SPARK_GRAFT_BUDGET_SEC, default 1500 s — only a degraded host ever crosses it)
+ * remaining queries run ONCE, cold, instead of warm-up+timed (counted in
+ * `n_single_exec`) so the suite finishes inside the driver's timeout.
  */
 object Bench {
   /** Execute the FULL plan. `count()` would let Catalyst prune every final projection
@@ -105,8 +112,40 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.contains) }
       case None        => SparkEntry.queries
     }
+    // Locale.ROOT: the scala f-interpolator uses the default locale — a comma-decimal
+    // locale would emit {"value":6,123,...} and break the driver's JSON parse.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Timeout survivability (BENCH_r12 was rc=124/parsed:null — the single JSON line was
+    // emitted LAST, so a driver-timeout kill lost the whole run):
+    //  (a) every 25 queries a BOUNDED cumulative checkpoint line ("partial":true, same
+    //      schema, top-15 detail, <=2 KB) goes to stdout, so the driver's bounded tail
+    //      capture ALWAYS holds the latest parsable state even if the process is killed;
+    //  (b) past a soft wall-clock budget (SPARK_GRAFT_BUDGET_SEC, default 1500 s — a
+    //      healthy sf0.1 run finishes well under it) remaining queries drop the untimed
+    //      warm-up pass and time their single cold execution. Only a degraded host ever
+    //      crosses the budget, so healthy runs keep steady-state semantics unchanged;
+    //      a degraded run trades compile-time inflation on the tail queries (~0.5-1.5 s
+    //      each, reported via n_single_exec) for finishing inside the driver's timeout.
+    val suiteT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map(_.toDouble).getOrElse(1500.0)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var nSingleExec = 0
+    def partialLine(): String = {
+      val okNow = acc.filter(_._2 >= 0)
+      val failedNow = acc.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+      val top = okNow.toSeq.sortBy(-_._2).take(15)
+      val topSet = top.map(_._1).toSet
+      val otherNow = okNow.collect { case (k, v) if !topSet.contains(k) => v }.sum
+      val qsNow = top.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      val failedJsonNow = failedNow.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${ms(okNow.values.sum)},"unit":"sec","partial":true,""" +
+        s""""n_queries":${acc.size},"n_failed":${failedNow.size},"failed":$failedJsonNow,""" +
+        s""""n_single_exec":$nSingleExec,"other_sec":${ms(otherNow)},"queries":$qsNow,""" +
+        s""""sf":"$sfDir"}"""
+    }
     var qIdx = 0
-    val results = selected.map { case (name, fn) =>
+    for ((name, fn) <- selected) {
       // Periodic full GC so the ContextCleaner actually releases prior queries' shuffle
       // files and broadcasts: with a large heap, GC (the cleaner's trigger) can otherwise
       // not run for the whole suite and accumulated state degrades later queries — the
@@ -114,23 +153,27 @@ object Bench {
       // (A real cluster's executors hit GC naturally; local[32] with 24g does not.)
       qIdx += 1
       if (qIdx % 10 == 0) System.gc()
-      try {
-        exec(fn(spark, sfDir)) // untimed warm-up: plan + codegen compile
-        // Clear cached intermediates so (a) the timed run honestly pays for materializing
-        // its own cached frames (dedup/minhash pipelines cache the gram frame by design)
-        // and (b) queries are isolated — in round 2 the suite's caches were never dropped,
-        // and accumulated cached relations evicted each other: the driver measured
-        // dedup_ngram_jaccard at 23 s under that pressure vs 6 s in isolation.
-        clearAllPersisted(spark)
+      val singleExec = elapsedSec > budgetSec
+      if (singleExec) nSingleExec += 1
+      val t = try {
+        if (!singleExec) {
+          exec(fn(spark, sfDir)) // untimed warm-up: plan + codegen compile
+          // Clear cached intermediates so (a) the timed run honestly pays for materializing
+          // its own cached frames (dedup/minhash pipelines cache the gram frame by design)
+          // and (b) queries are isolated — in round 2 the suite's caches were never dropped,
+          // and accumulated cached relations evicted each other: the driver measured
+          // dedup_ngram_jaccard at 23 s under that pressure vs 6 s in isolation.
+          clearAllPersisted(spark)
+        }
         val t0 = System.nanoTime()
-        exec(fn(spark, sfDir)) // timed steady-state execution
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+        exec(fn(spark, sfDir)) // timed execution (steady-state unless past budget)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
       finally clearAllPersisted(spark)
+      acc(name) = t
+      if (qIdx % 25 == 0) { System.out.println(partialLine()); System.out.flush() }
     }
-    // Locale.ROOT: the scala f-interpolator uses the default locale — a comma-decimal
-    // locale would emit {"value":6,123,...} and break the driver's JSON parse.
-    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val results = acc
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val ok = results.filter(_._2 >= 0) // -1.0 sentinels must not deflate the sums
     // Cap the stdout line's per-query detail at the 40 slowest headline queries: ~70
@@ -152,13 +195,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$allQs,"sf":"$sfDir"}"""
+      s""""n_single_exec":$nSingleExec,"queries":$allQs,"sf":"$sfDir"}"""
     try {
       val pw = new java.io.PrintWriter(fullPath, "UTF-8")
       try pw.println(fullJson) finally pw.close()
     } catch { case _: Throwable => () } // detail file is best-effort; the stdout line is the contract
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_failed":${failed.size},"failed":$failedJson,""" +
+      s""""n_failed":${failed.size},"failed":$failedJson,"n_single_exec":$nSingleExec,""" +
       s""""other_sec":${ms(otherSec)},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Emit the JSON line LAST, after Spark's shutdown logging, alone on its own line and

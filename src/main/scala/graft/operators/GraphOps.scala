@@ -209,7 +209,18 @@ object GraphOps {
    *
    * `edges`: directed (src, dst), multi-edges fine; `seeds`: (id). Returns (id, hop).
    */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsImpl(edges, seeds, maxHops, gateFrontier = true)
+
+  /**
+   * r13: `gateFrontier` applies pageRank/labelPropagation's scale-adaptive broadcast to
+   * the per-round frontier join — the frontier is a SUBSET of the vertex set (newly
+   * reached ids only), so when the graph's vertex count clears the 2M gate the frontier
+   * certainly does, and each round's join skips shuffling the n-row adjacency frame.
+   * The un-gated path is kept for the interleaved A/B (bench_frontier_gate_r13.json).
+   */
+  private[graft] def bfsImpl(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int, gateFrontier: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
     // r12: packed adjacency (the pageRank treatment) — one cached row per vertex,
     // multi-edges collapsed by the set build (the old form deduped after expansion:
@@ -219,13 +230,15 @@ object GraphOps {
       .groupBy(col("src"))
       .agg(packSortedVarint(sort_array(collect_set(col("dst")))).as("nbrs"))
       .cache()
+    val smallFrontier = gateFrontier && adj.count() <= 2000000L
     var visited = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0).as("hop")).localCheckpoint()
     var frontier = visited.select(col("id"))
     var h = 1
     var drained = false
     while (h <= maxHops && !drained) {
-      val next = frontier.withColumnRenamed("id", "src")
+      val frontierSide = frontier.withColumnRenamed("id", "src")
+      val next = (if (smallFrontier) broadcast(frontierSide) else frontierSide)
         .join(adj, Seq("src"))
         .select(explode(unpackSortedVarint(col("nbrs"))).as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
@@ -553,17 +566,24 @@ object GraphOps {
    * the probe-side row count, exactly the bfs result in
    * bench_graphpack_packed_r12.json.
    */
-  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame =
+    ssspImpl(edges, sources, rounds, gateFrontier = true)
+
+  /** r13 frontier-broadcast gate — same rationale and A/B as [[bfsImpl]]. */
+  private[graft] def ssspImpl(
+      edges: DataFrame, sources: DataFrame, rounds: Int, gateFrontier: Boolean): DataFrame = {
     val adj = edges.select(col("src"), struct(col("dst"), col("w")).as("e"))
       .groupBy(col("src")).agg(collect_list(col("e")).as("nbrs"))
       .cache()
+    val smallFrontier = gateFrontier && adj.count() <= 2000000L
     var dist = sources.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist")).localCheckpoint()
     var frontier = dist
     var r = 0
     var drained = false
     while (r < rounds && !drained) {
-      val relax = frontier.withColumnRenamed("id", "src")
+      val frontierSide = frontier.withColumnRenamed("id", "src")
+      val relax = (if (smallFrontier) broadcast(frontierSide) else frontierSide)
         .join(adj, Seq("src"))
         .select(explode(col("nbrs")).as("e"), col("dist"))
         .select(col("e.dst").as("id"), (col("dist") + col("e.w")).as("dist"))
@@ -679,6 +699,11 @@ object GraphOps {
    * graph.
    */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // Materialization contract: each round localCheckpoints the SURVIVING edge set —
+    // O(m_r) per round, O(m·rounds) worst case when little peels. The vertex-carry
+    // twin below ([[kcorePeelVertex]]) instead caches the edge set ONCE and carries
+    // only the shrinking survivor vertex set across rounds; the A/B
+    // (bench_kcore_vertex_r13.json) decides which is the default.
     var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var r = 0
     while (r < rounds) {
@@ -690,6 +715,47 @@ object GraphOps {
       r += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  }
+
+  /**
+   * Vertex-carry k-core twin: the ORIGINAL deduped edge set stays cached (one write,
+   * ever); each round recomputes degrees by semi-joining it against the current
+   * survivor VERTEX set (vertex-sized — Spark broadcasts it when it fits) and carries
+   * only the shrinking survivor set forward. Equivalent by induction: survivors_r ⊆
+   * survivors_{r-1} (a vertex outside the previous cut has zero surviving edges), so
+   * the graph induced on survivors_r equals the edge-rewrite version's round-r edge
+   * set — GraphOpsSpec pins bit-for-bit equality. Trade: per-round probe work stays
+   * O(m) instead of shrinking with the peel, but nothing m-sized is ever rewritten —
+   * at billion-edge scale the rewrite's O(m·rounds) storage churn is the bottleneck
+   * this removes.
+   */
+  private[graft] def kcorePeelVertex(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // scale-adaptive broadcast (the graph pack's standard 2M gate), decided once off the
+    // round-1 survivor count — survivor sets only shrink after that
+    var small = false
+    def induced(survivors: DataFrame): DataFrame = {
+      def side(as: String) = {
+        val s = survivors.withColumnRenamed("id", as)
+        if (small) broadcast(s) else s
+      }
+      e.join(side("src"), Seq("src"), "left_semi")
+        .join(side("dst"), Seq("dst"), "left_semi")
+    }
+    var survivors: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val g = if (survivors == null) e else induced(survivors)
+      survivors = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id")).localCheckpoint()
+      if (r == 0) small = survivors.count() <= 2000000L
+      r += 1
+    }
+    // eager vertex-sized checkpoint so the cached edge set can be released here
+    val res = (if (survivors == null) e else induced(survivors))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    e.unpersist()
+    res
   }
 
   /**

@@ -87,8 +87,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionRegistryBase.expressionInfo[CmsSketchAgg]("cms_sketch", None),
       (children: Seq[Expression]) => children match {
         case Seq(v) => CmsSketchAgg(v)
-        case Seq(v, d, w) => CmsSketchAgg(v,
-          d.eval().asInstanceOf[Number].intValue(), w.eval().asInstanceOf[Number].intValue())
+        case Seq(v, d, w) =>
+          // depth/width must be literal ints: a column reference here would surface as
+          // an opaque NPE/ClassCastException from eval() at plan time. foldable itself
+          // can throw on a not-yet-resolved child, so treat that as not-a-literal too.
+          def lit(e: Expression, arg: String): Int = {
+            val fold = try e.foldable catch { case _: Exception => false }
+            if (!fold) throw new IllegalArgumentException(
+              s"cms_sketch: $arg must be a literal integer, got $e")
+            e.eval() match {
+              case n: Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"cms_sketch: $arg must be a literal integer, got $other")
+            }
+          }
+          CmsSketchAgg(v, lit(d, "depth"), lit(w, "width"))
         case other => throw new IllegalArgumentException(
           s"cms_sketch takes (value[, depth, width]), got ${other.size} args")
       }))

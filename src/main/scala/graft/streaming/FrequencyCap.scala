@@ -47,9 +47,15 @@ object FrequencyCap {
         case (_, rows, state: GroupState[Array[Byte]]) =>
           val sk = state.getOption.map(CountMin.fromBytes)
             .getOrElse(new CountMin.Buffer(depth, width))
-          // fold in deterministic item order: WHICH occurrence of an item passes is
-          // order-dependent within a batch, but per-item admitted COUNTS (what the
-          // guarantee speaks about) are order-insensitive
+          // Deterministic via the sorted fold: Spark hands the group iterator in shuffle
+          // arrival order, so sorting pins the (item, est, admitted) output bit-for-bit
+          // across reruns. Per-item admitted COUNTS are additionally order-insensitive
+          // whenever the item's CMS rows are collision-free; under collisions the
+          // interleaving of OTHER items' adds can shift the estimate read at a decision,
+          // so determinism (not order-insensitivity) is the property the sort buys.
+          // Memory contract: `rows.toSeq` materializes ONE shard's slice of ONE trigger
+          // (~batchRows/nShards), the only per-batch state beyond the fixed CMS table —
+          // bounded by trigger sizing, not by stream length or item cardinality.
           val out = rows.toSeq.sorted.map { item =>
             val u = UTF8String.fromString(item)
             val before = sk.estimate(u)

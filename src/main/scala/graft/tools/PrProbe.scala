@@ -69,6 +69,46 @@ object PrProbe {
         val eb = weighted(spark)
         val b = GraphOps.sssp(eb, seeds(eb), 3).orderBy("id").collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "bfsgate" =>
+        // r13: frontier-broadcast gate on/off, interleaved (VERDICT r12 Next #3)
+        import org.apache.spark.sql.functions.col
+        def seeds(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("src").as("id")).filter(col("id") % 97 === 0).distinct()
+        for (r <- 1 to reps) {
+          time1("bf-nog", r, () => { val e = edgesOf(spark); GraphOps.bfsImpl(e, seeds(e), 2, gateFrontier = false) })
+          time1("bf-gat", r, () => { val e = edgesOf(spark); GraphOps.bfsImpl(e, seeds(e), 2, gateFrontier = true) })
+        }
+        val ea = edgesOf(spark)
+        val a = GraphOps.bfsImpl(ea, seeds(ea), 2, gateFrontier = false).orderBy("id").collect().map(_.toString).toSeq
+        val eb = edgesOf(spark)
+        val b = GraphOps.bfsImpl(eb, seeds(eb), 2, gateFrontier = true).orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "ssspgate" =>
+        import org.apache.spark.sql.functions.{col, count, greatest, lit}
+        def weighted(s: org.apache.spark.sql.SparkSession) =
+          GraphOps.coPurchaseEdges(s, dir)
+            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+            .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+        def seeds(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("src").as("id")).filter(col("id") % 101 === 0).distinct()
+        for (r <- 1 to reps) {
+          time1("ss-nog", r, () => { val e = weighted(spark); GraphOps.ssspImpl(e, seeds(e), 3, gateFrontier = false) })
+          time1("ss-gat", r, () => { val e = weighted(spark); GraphOps.ssspImpl(e, seeds(e), 3, gateFrontier = true) })
+        }
+        val ea = weighted(spark)
+        val a = GraphOps.ssspImpl(ea, seeds(ea), 3, gateFrontier = false).orderBy("id").collect().map(_.toString).toSeq
+        val eb = weighted(spark)
+        val b = GraphOps.ssspImpl(eb, seeds(eb), 3, gateFrontier = true).orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "kcoremix" =>
+        // r13: edge-rewrite peeling vs vertex-carry twin (VERDICT r12 Next #4)
+        for (r <- 1 to reps) {
+          time1("kc-edg", r, () => GraphOps.kcorePeel(edgesOf(spark), k = 100, rounds = 2))
+          time1("kc-vtx", r, () => GraphOps.kcorePeelVertex(edgesOf(spark), k = 100, rounds = 2))
+        }
+        val a = GraphOps.kcorePeel(edgesOf(spark), 100, 2).orderBy("src").collect().map(_.toString).toSeq
+        val b = GraphOps.kcorePeelVertex(edgesOf(spark), 100, 2).orderBy("src").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "mix" =>
         for (r <- 1 to reps) {
           time1("array ", r, () => GraphOps.qPagerankArray(spark, dir))

@@ -39,7 +39,9 @@ object CountMin {
   val DefaultDepth = 5
   val DefaultWidth = 2048
 
-  /** Fixed-size depth x width counter table; row i hashes with seed i. */
+  /** Fixed-size depth x width counter table; row i hashes with seed i. NOTE: 0x0 is
+    * legal HERE — it is CmsMergeAgg's adopt-shape-from-first-sketch zero sentinel;
+    * user-facing shape validation lives in [[CmsSketchAgg]]. */
   final class Buffer(val depth: Int, val width: Int) {
     val table: Array[Long] = new Array[Long](depth * width)
     var total: Long = 0L
@@ -120,6 +122,12 @@ case class CmsSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CountMin.Buffer] with ExpectsInputTypes {
+
+  // fail degenerate shapes at PLAN time with a clear message: width=0 would otherwise
+  // ArithmeticException (floorMod by zero) on the first add, and a depth-0 sketch
+  // would silently estimate Long.MaxValue
+  require(depth > 0 && width > 0,
+    s"cms_sketch needs depth > 0 and width > 0, got ${depth}x$width")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = BinaryType

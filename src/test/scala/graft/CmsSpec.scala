@@ -24,11 +24,32 @@ class CmsSpec extends AnyFunSuite {
     val row = sk.select(probes.map(p => cmsEstimate(col("sk"), lit(p)).as(p)): _*).head()
     val n = items.size.toLong
     val epsN = math.ceil(math.E / 256 * n).toLong // ε = e/width
+    // one-sidedness is a THEOREM (est >= exact always); the εN bound is per-item
+    // probabilistic (holds with prob >= 1−δ, δ = e^−5 ≈ 0.0067, so ~2.7 expected
+    // misses over 400 probes) — assert it for >= 99% of probes, not each one, so the
+    // test isn't pinned to this exact corpus/width/seed combination
+    var withinEps = 0
     probes.zipWithIndex.foreach { case (p, i) =>
       val est = row.getLong(i)
       assert(est >= exact(p), s"$p: est $est < exact ${exact(p)} — one-sided bound broken")
-      assert(est <= exact(p) + epsN, s"$p: est $est > exact ${exact(p)} + εN=$epsN")
+      if (est <= exact(p) + epsN) withinEps += 1
     }
+    assert(withinEps >= (probes.size * 0.99).toInt,
+      s"εN bound held for only $withinEps/${probes.size} probes (expect >= 99%)")
+  }
+
+  test("degenerate shapes fail at build time with a clear message") {
+    val ex = intercept[IllegalArgumentException] {
+      cmsSketch(col("tok"), depth = 0, width = 0)
+    }
+    assert(ex.getMessage.contains("depth > 0 and width > 0"))
+    // SQL front door: non-literal depth/width is rejected at registration, not as an NPE
+    val ex2 = intercept[Exception] {
+      Seq("a").toDF("tok").createOrReplaceTempView("cms_bad")
+      spark.sql("SELECT cms_sketch(tok, length(tok), 64) FROM cms_bad").collect()
+    }
+    assert(ex2.getMessage.contains("literal integer"))
+    spark.catalog.dropTempView("cms_bad")
   }
 
   test("an uncollided sketch is exact; an absent item reads 0 on it") {

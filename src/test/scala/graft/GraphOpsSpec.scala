@@ -76,6 +76,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(bfP == bfA)
   }
 
+  test("frontier-broadcast gate on/off produce identical bfs and sssp results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val raw = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("id")
+    val bfGated = GraphOps.bfsImpl(sym, seeds, maxHops = 3, gateFrontier = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bfPlain = GraphOps.bfsImpl(sym, seeds, maxHops = 3, gateFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfGated == bfPlain)
+    val wedges = raw.map { case (a, b) => (a, b, (1 + (a + b) % 7)) }.toDF("src", "dst", "w")
+    val ssGated = GraphOps.ssspImpl(wedges, seeds, rounds = 3, gateFrontier = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ssPlain = GraphOps.ssspImpl(wedges, seeds, rounds = 3, gateFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ssGated == ssPlain)
+  }
+
+  test("vertex-carry k-core equals the edge-rewrite peel bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val raw = Seq.fill(900)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    for (k <- Seq(2, 8, 15); rounds <- Seq(1, 3)) {
+      val edge = GraphOps.kcorePeel(sym, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vertex = GraphOps.kcorePeelVertex(sym, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(edge == vertex, s"k=$k rounds=$rounds diverged")
+    }
+    // all-peels case: both empty
+    assert(GraphOps.kcorePeelVertex(sym, k = 500, rounds = 2).isEmpty)
+  }
+
   test("kcorePeel strips the pendant tail and keeps the clique; multi-edges count once") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6; symmetric edges, one duplicated pair
