@@ -210,14 +210,18 @@ object GraphOps {
    * `edges`: directed (src, dst), multi-edges fine; `seeds`: (id). Returns (id, hop).
    */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
-    bfsImpl(edges, seeds, maxHops, gateFrontier = true)
+    bfsImpl(edges, seeds, maxHops, gateFrontier = false)
 
   /**
    * r13: `gateFrontier` applies pageRank/labelPropagation's scale-adaptive broadcast to
-   * the per-round frontier join — the frontier is a SUBSET of the vertex set (newly
-   * reached ids only), so when the graph's vertex count clears the 2M gate the frontier
-   * certainly does, and each round's join skips shuffling the n-row adjacency frame.
-   * The un-gated path is kept for the interleaved A/B (bench_frontier_gate_r13.json).
+   * the per-round frontier join. MEASURED OFF for bfs (interleaved A/B,
+   * bench_frontier_gate_r13.json): the packed adjacency row is thin (~1.5 B/neighbor
+   * varint), so the ungated shuffle join is cheap, while a 2-hop frontier grows to
+   * nearly the whole vertex set by round 2 — force-broadcasting it cost 10-60% in the
+   * warm sf0.1 pairs and washed at sf1. sssp is the opposite case (fat
+   * array<struct<dst,w>> adjacency rows whose shuffle+sort dominates; checkpointed
+   * frontiers carry no stats so auto-broadcast never fires pre-AQE) and keeps its
+   * gate ON — measured 1.3-2.1x faster in 6 of 7 pairs.
    */
   private[graft] def bfsImpl(
       edges: DataFrame, seeds: DataFrame, maxHops: Int, gateFrontier: Boolean): DataFrame = {
@@ -284,8 +288,21 @@ object GraphOps {
    * bounded at 2 hops. Pure integer arithmetic — the DuckDB oracle unrolls the two
    * frontier steps as CTEs and must hash-match exactly.
    */
-  def qBfs(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def qBfs(spark: SparkSession, dir: String): DataFrame =
+    qBfsImpl(spark, dir, fusedPrologue = true)
+
+  /**
+   * r13 prologue fusion — the bfs analog of [[qSsspImpl]]: the r12 form ran the
+   * co-purchase lineage (scan → groupBy(l_orderkey) → double explode) TWICE, once for
+   * the seeds action and once for the adjacency cache build. One localCheckpoint of
+   * the edge list feeds both. No repartition here: bfs's adjacency groupBy(src) is
+   * the only m-row aggregate downstream and its collect_set partial-aggregates
+   * map-side — a pre-shuffle by src would trade that combine away for nothing.
+   */
+  private[graft] def qBfsImpl(spark: SparkSession, dir: String,
+      fusedPrologue: Boolean): DataFrame = {
+    val edges0 = coPurchaseEdges(spark, dir)
+    val edges = if (fusedPrologue) edges0.localCheckpoint() else edges0
     val seeds = edges.select(col("src").as("id"))
       .filter(col("id") % 97 === 0).distinct()
     bfs(edges, seeds, maxHops = 2)
@@ -638,10 +655,41 @@ object GraphOps {
    * (stronger ties are closer). Integer min-plus is exact, so the DuckDB oracle
    * (three unrolled relaxation rounds) hash-matches exactly.
    */
-  def qSssp(spark: SparkSession, dir: String): DataFrame = {
-    val weighted = coPurchaseEdges(spark, dir)
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
-      .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+  def qSssp(spark: SparkSession, dir: String): DataFrame =
+    qSsspImpl(spark, dir, fusedPrologue = true)
+
+  /**
+   * r13 prologue fusion (guide §2.4 — remove shuffles outright; A/B'd in
+   * bench_graph_prologue_r13.json, adopted — fused won all 7 interleaved pairs,
+   * 1.1-2.5x at sf0.1 and ~2x in the cleanest sf1 pair): the r12 form computed the
+   * weighted edge lineage TWICE — `seeds` is its own action (inside sssp's
+   * localCheckpoint of sources) and the adjacency cache build is another, each
+   * re-running scan → groupBy(l_orderkey) → explode → groupBy(src,dst). The fused
+   * form materializes the weighted edge set ONCE, with an explicit
+   * `repartition(src)` placed BEFORE the (src,dst) count so HashPartitioning(src)
+   * satisfies the aggregate's ClusteredDistribution (src is a prefix of the keys)
+   * and the count needs no exchange of its own. Per-m-row exchange passes drop from
+   * five (okey x2 runs, (src,dst) x2 runs, adjacency src x1) to three (okey,
+   * repartition(src), adjacency src). NOTE the adjacency groupBy(src) still pays its
+   * exchange: localCheckpoint surfaces as a LogicalRDD with UnknownPartitioning
+   * (plans/r13/q_sssp_prologue_after.txt), so Catalyst cannot prove co-partitioning
+   * — the win is the deduped lineage and the fused count, not that last exchange.
+   * Results are identical (probe equality + oracle hash-match through the rework);
+   * the un-fused twin stays for the interleaved A/B.
+   */
+  private[graft] def qSsspImpl(spark: SparkSession, dir: String,
+      fusedPrologue: Boolean): DataFrame = {
+    val weighted = if (fusedPrologue) {
+      coPurchaseEdges(spark, dir)
+        .repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+        .localCheckpoint()
+    } else {
+      coPurchaseEdges(spark, dir)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    }
     val seeds = weighted.select(col("src").as("id"))
       .filter(col("id") % 101 === 0).distinct()
     sssp(weighted, seeds, rounds = 3)

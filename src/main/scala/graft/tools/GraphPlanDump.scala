@@ -51,6 +51,32 @@ object GraphPlanDump {
     { val e = weighted; dump("q_sssp_after", GraphOps.ssspImpl(e, ssspSeeds(e), 3, gateFrontier = true)) }
     dump("q_kcore_before", GraphOps.kcorePeel(edges, k = 100, rounds = 2))
     dump("q_kcore_after", GraphOps.kcorePeelVertex(edges, k = 100, rounds = 2))
+
+    // r13 prologue fusion evidence: the iterative operators return
+    // localCheckpoint-rooted frames, so the final plans above cannot show the
+    // prologue — dump the weighted-edge build + adjacency build directly.
+    // BEFORE: one lineage with THREE m-row exchanges (groupBy l_orderkey,
+    // groupBy (src,dst), groupBy src) — and qSssp ran it twice (seeds + adj).
+    // AFTER: okey exchange + repartition(src), then both aggregates reuse
+    // HashPartitioning(src); the adjacency build off the checkpoint is
+    // exchange-free.
+    val unfusedWeighted = weighted
+    dump("q_sssp_prologue_before",
+      unfusedWeighted.groupBy(col("src"))
+        .agg(org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(col("dst"), col("w"))).as("nbrs")))
+    // The fused weighted build PRE-checkpoint: okey exchange + repartition(src),
+    // then groupBy(src,dst) reuses HashPartitioning(src) — no third exchange.
+    def fusedWeightedPlan = edges
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    dump("q_sssp_prologue_fusedbuild", fusedWeightedPlan)
+    val fusedWeighted = fusedWeightedPlan.localCheckpoint()
+    dump("q_sssp_prologue_after",
+      fusedWeighted.groupBy(col("src"))
+        .agg(org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(col("dst"), col("w"))).as("nbrs")))
     spark.stop()
   }
 }

@@ -100,6 +100,24 @@ object PrProbe {
         val eb = weighted(spark)
         val b = GraphOps.ssspImpl(eb, seeds(eb), 3, gateFrontier = true).orderBy("id").collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "ssspfuse" =>
+        // r13: qSssp prologue — double-lineage + 3 m-row exchanges vs single
+        // checkpointed lineage with repartition(src) feeding both aggregates
+        for (r <- 1 to reps) {
+          time1("sf-old", r, () => GraphOps.qSsspImpl(spark, dir, fusedPrologue = false))
+          time1("sf-new", r, () => GraphOps.qSsspImpl(spark, dir, fusedPrologue = true))
+        }
+        val a = GraphOps.qSsspImpl(spark, dir, fusedPrologue = false).collect().map(_.toString).toSeq
+        val b = GraphOps.qSsspImpl(spark, dir, fusedPrologue = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "bfsfuse" =>
+        for (r <- 1 to reps) {
+          time1("bf-old", r, () => GraphOps.qBfsImpl(spark, dir, fusedPrologue = false))
+          time1("bf-new", r, () => GraphOps.qBfsImpl(spark, dir, fusedPrologue = true))
+        }
+        val a = GraphOps.qBfsImpl(spark, dir, fusedPrologue = false).collect().map(_.toString).toSeq
+        val b = GraphOps.qBfsImpl(spark, dir, fusedPrologue = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "kcoremix" =>
         // r13: edge-rewrite peeling vs vertex-carry twin (VERDICT r12 Next #4)
         for (r <- 1 to reps) {

@@ -96,6 +96,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ssGated == ssPlain)
   }
 
+  test("fused qSssp/qBfs prologues produce identical results to the unfused twins") {
+    // r13 prologue fusion: single checkpointed lineage (+ repartition(src) for sssp)
+    // must be a pure plan change — same rows, same values, both queries.
+    val ssOld = GraphOps.qSsspImpl(spark, sf, fusedPrologue = false)
+      .collect().map(_.toString).toSeq
+    val ssNew = GraphOps.qSsspImpl(spark, sf, fusedPrologue = true)
+      .collect().map(_.toString).toSeq
+    assert(ssOld == ssNew)
+    val bfOld = GraphOps.qBfsImpl(spark, sf, fusedPrologue = false)
+      .collect().map(_.toString).toSeq
+    val bfNew = GraphOps.qBfsImpl(spark, sf, fusedPrologue = true)
+      .collect().map(_.toString).toSeq
+    assert(bfOld == bfNew)
+  }
+
   test("vertex-carry k-core equals the edge-rewrite peel bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
