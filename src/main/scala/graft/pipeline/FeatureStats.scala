@@ -29,10 +29,19 @@ import graft.sources.TableIO
  */
 object FeatureStats {
 
-  /** (mi6, chi2r) one-row frame for a single feature expression vs a label. */
+  /** (mi6, chi2r) one-row frame for a single feature expression vs a label.
+    *
+    * r13: the contingency frame is localCheckpoint'd. It feeds FOUR consumers (nx,
+    * ny, n, and the scored join) and per-consumer column pruning makes the subtrees
+    * canonicalize differently, so ReuseExchange never fires and each consumer re-ran
+    * the full input scan — the r12 plan re-scanned the fact table four times per
+    * call (plans/r13/q_feature_mi_before.txt: 12 scans for 3 features). The frame is
+    * |X|x|Y| rows — bounded by bin design, the cheapest thing in the job to
+    * materialize. One scan per call now. */
   def dependence(df: DataFrame, feature: Column, label: Column): DataFrame = {
     val cont = df.select(feature.as("x"), label.as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint()
     val nx = cont.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
     val ny = cont.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
     val n = cont.agg(sum(col("nxy")).as("n"))
@@ -48,17 +57,63 @@ object FeatureStats {
   /**
    * `q_feature_mi`: score three candidate lineitem features against the return flag —
    * equal-width quantity bins, 5%-wide discount bins, and the categorical line status.
+   *
+   * r13 (guide §1.2 — fewer passes): the r12 form ran [[dependence]] once per feature
+   * = THREE full lineitem scans (one per contingency build; everything downstream is
+   * |X|x|Y|-row arithmetic). Fused: ONE scan explodes each row into its three
+   * (feature, x) pairs map-side, ONE map-side-combined groupBy(feature, x, y) builds
+   * all three contingency tables at once, and the marginals/statistics carry the
+   * feature key through the same broadcast-join shape. 3 scans + 3 combiner shuffles
+   * → 1 scan + 1 (3x-wider but still |Σ X|x|Y|-bounded) combiner shuffle. Adopted off
+   * the interleaved A/B (bench_feature_mi_r13.json); per-cell values are identical,
+   * per-feature double-sum ORDER differs — inside the round-6/round-4 grain, and the
+   * oracle hash-matches. [[dependence]] keeps the single-feature contract for its
+   * API/tests.
    */
-  def qFeatureMi(spark: SparkSession, dir: String): DataFrame = {
+  def qFeatureMi(spark: SparkSession, dir: String): DataFrame =
+    qFeatureMiImpl(spark, dir, fused = true)
+
+  private[graft] def qFeatureMiImpl(spark: SparkSession, dir: String,
+      fused: Boolean): DataFrame = {
+    if (!fused) {
+      val l = TableIO.lineitem(spark, dir)
+      val feats: Seq[(String, DataFrame => Column)] = Seq(
+        "qty_bin" -> (d => floor((col("l_quantity") - 1) / 10).cast("int")),
+        "disc_bin" -> (d => floor(col("l_discount") * 20).cast("int")),
+        "linestatus" -> (d => col("l_linestatus")))
+      return feats.map { case (name, f) =>
+        dependence(l, f(l).cast("string"), col("l_returnflag"))
+          .select(lit(name).as("feature"), col("mi6"), col("chi2r"))
+      }.reduce(_ unionByName _).orderBy(col("feature"))
+    }
     val l = TableIO.lineitem(spark, dir)
-    val feats: Seq[(String, DataFrame => Column)] = Seq(
-      "qty_bin" -> (d => floor((col("l_quantity") - 1) / 10).cast("int")),
-      "disc_bin" -> (d => floor(col("l_discount") * 20).cast("int")),
-      "linestatus" -> (d => col("l_linestatus")))
-    feats.map { case (name, f) =>
-      dependence(l, f(l).cast("string"), col("l_returnflag"))
-        .select(lit(name).as("feature"), col("mi6"), col("chi2r"))
-    }.reduce(_ unionByName _).orderBy(col("feature"))
+    val pairs = array(
+      struct(lit("qty_bin").as("feature"),
+        floor((col("l_quantity") - 1) / 10).cast("int").cast("string").as("x")),
+      struct(lit("disc_bin").as("feature"),
+        floor(col("l_discount") * 20).cast("int").cast("string").as("x")),
+      struct(lit("linestatus").as("feature"), col("l_linestatus").cast("string").as("x")))
+    val src = l.select(explode(pairs).as("fx"), col("l_returnflag").as("y"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("x"), col("y"))
+    // localCheckpoint for the same reason as [[dependence]]: four consumers, pruning
+    // defeats ReuseExchange — without it even the fused form re-scanned lineitem 4x
+    // (one per marginal). |Σ|X|| x |Y| rows; one scan total with it.
+    val cont = src.groupBy(col("feature"), col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint()
+    val nx = cont.groupBy(col("feature"), col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cont.groupBy(col("feature"), col("y")).agg(sum(col("nxy")).as("ny"))
+    val n = cont.groupBy(col("feature")).agg(sum(col("nxy")).as("n"))
+    val joined = cont
+      .join(broadcast(nx), Seq("feature", "x"))
+      .join(broadcast(ny), Seq("feature", "y"))
+      .join(broadcast(n), Seq("feature"))
+    val p = col("nxy").cast("double") / col("n")
+    val mi = sum(p * log(col("n").cast("double") * col("nxy") / (col("nx") * col("ny"))))
+    val e = col("nx").cast("double") * col("ny") / col("n")
+    val chi2 = sum(col("nxy") * col("nxy") / e) - first(col("n")).cast("double")
+    joined.groupBy(col("feature"))
+      .agg(round(mi, 6).as("mi6"), round(chi2, 4).as("chi2r"))
+      .orderBy(col("feature"))
   }
 
   val qFeatureMiSql: String =

@@ -118,6 +118,16 @@ object PrProbe {
         val a = GraphOps.qBfsImpl(spark, dir, fusedPrologue = false).collect().map(_.toString).toSeq
         val b = GraphOps.qBfsImpl(spark, dir, fusedPrologue = true).collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "mifuse" =>
+        // r13: q_feature_mi — three per-feature scans vs one exploded-unpivot scan
+        import graft.pipeline.FeatureStats
+        for (r <- 1 to reps) {
+          time1("mi-old", r, () => FeatureStats.qFeatureMiImpl(spark, dir, fused = false))
+          time1("mi-new", r, () => FeatureStats.qFeatureMiImpl(spark, dir, fused = true))
+        }
+        val a = FeatureStats.qFeatureMiImpl(spark, dir, fused = false).collect().map(_.toString).toSeq
+        val b = FeatureStats.qFeatureMiImpl(spark, dir, fused = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "kcoremix" =>
         // r13: edge-rewrite peeling vs vertex-carry twin (VERDICT r12 Next #4)
         for (r <- 1 to reps) {

@@ -176,6 +176,15 @@ class TemporalFeatureSpec extends AnyFunSuite {
     assert(math.abs(mi - math.log(4)) < 1e-6, s"mi=$mi expected ln4=${math.log(4)}")
   }
 
+  test("fused q_feature_mi equals the per-feature-scan twin") {
+    // r13 one-pass fusion: same contingency cells, same statistics, same rounding.
+    val old = FeatureStats.qFeatureMiImpl(spark, sf, fused = false)
+      .collect().map(_.toString).toSeq
+    val fused = FeatureStats.qFeatureMiImpl(spark, sf, fused = true)
+      .collect().map(_.toString).toSeq
+    assert(old == fused)
+  }
+
   // --- bloom semi-join reduction ----------------------------------------------------
 
   test("bloomSemiJoin equals the plain inner join (false positives die in the join)") {
