@@ -65,8 +65,13 @@ object Bench {
     "q_triangles", "q_pagerank", "q_bfs",
     // r12: the heaviest sf1 entries that previously hid inside other_sec — the
     // driver's stdout line should see a regression in these, not a file diff
-    "q_sssp", "q_label_prop", "q_ds_reachability", "q_rfm", "q_basket_lift",
+    "q_sssp", "q_label_prop", "q_rfm", "q_basket_lift",
     "q_feature_mi", "text_kn_top", "text_tfidf",
+    // r14 (VERDICT r13 What's-wrong #1): the blind spots the r13 driver run exposed —
+    // q_kcore was the #1 sf1 entry and q_equidepth_bins the #2 sf0.1 entry, both
+    // invisible inside other_sec (also drops the duplicate q_ds_reachability literal)
+    "q_kcore", "q_equidepth_bins", "q_mad_outliers", "q_json_funcs",
+    "q_cms_rollup", "text_zipf",
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
     "tpcds_q6", "tpcds_q51", "tpcds_q67", "tpcds_q74", "tpcds_q27", "tpcds_q68",
     "tpcds_q10", "tpcds_q43", "tpcds_q46", "tpcds_q53", "tpcds_q59", "tpcds_q63",

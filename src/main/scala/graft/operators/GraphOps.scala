@@ -27,15 +27,23 @@ object GraphOps {
    * means every node has both in- and out-degree, so no dangling-mass redistribution
    * term is needed.
    *
-   * Since r12 this delegates to the varint-PACKED adjacency form ([[pageRankPacked]]):
-   * one cached row per VERTEX carrying its out-neighbor list as delta-varint binary,
-   * instead of one row per out-edge — measured never-slower and 5-25% faster at
-   * sf0.1/sf1 with an ~6x smaller cached footprint (bench_pagerank_packed_r12.json).
-   * The r7-r11 row-per-edge form stays as [[pageRankArray]], the A/B twin the probe
-   * and the equality spec hold the packed path against.
+   * Since r12 the adjacency is varint-PACKED: one cached row per VERTEX carrying its
+   * out-neighbor list as delta-varint binary instead of one row per out-edge —
+   * measured never-slower and 5-25% faster at sf0.1/sf1 with an ~6x smaller cached
+   * footprint (bench_pagerank_packed_r12.json). Since r14 the broadcast-gated regime
+   * additionally PULLS contributions (see [[pageRankImpl]]): each iteration reads the
+   * cached adjacency, joins the broadcast rank frame map-side on the EXPLODED neighbor
+   * id, and the summing aggregate is keyed by the adjacency row's own vertex — which
+   * the cached frame is already hash-partitioned by — so a gated iteration runs with
+   * ZERO exchanges (guide §2.4; the r12 push form paid one m-row contribution exchange
+   * per iteration). The pull rule sums pr(u)/deg(u) over u ∈ N(v), equal to the push
+   * rule's in-contribution sum exactly because the documented input contract is a
+   * SYMMETRIC edge list. The r7-r11 row-per-edge form stays as [[pageRankArray]] and
+   * the push form as [[pageRankPacked]] — the A/B twins the probe and the equality
+   * spec hold the pull path against.
    */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame =
-    pageRankPacked(edges, iterations, damping)
+    pageRankImpl(edges, iterations, damping, pull = true)
 
   /** Row-per-edge PageRank (the r7-r11 form) — kept as [[pageRank]]'s A/B twin. */
   def pageRankArray(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
@@ -93,9 +101,30 @@ object GraphOps {
    * is a steady 5-25%, not the triangles-class 2-3x (that one shrank a BROADCAST
    * whose bytes were the bottleneck). Identical fixed-iteration semantics; A/B'd
    * against [[pageRankArray]] in bench_pagerank_packed_r12.json (interleaved pairs
-   * at sf0.1 and sf1, equal results).
+   * at sf0.1 and sf1, equal results). Since r14 this PUSH form is the A/B twin the
+   * pull default ([[pageRank]]) is held against — and the live cluster-scale path
+   * past the 2M broadcast gate.
    */
-  def pageRankPacked(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+  def pageRankPacked(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, iterations, damping, pull = false)
+
+  /**
+   * Shared packed-adjacency PageRank body. `pull = true` (r14, broadcast-gated regime
+   * only) flips each iteration from push (explode contributions keyed by DESTINATION,
+   * pay one m-row exchange for the groupBy(dst) sum) to pull (each adjacency row
+   * SUMS ITS OWN incoming mass): the rank frame — carrying c = pr/deg precomputed —
+   * broadcasts and joins map-side on the exploded neighbor id, and the summing
+   * aggregate is keyed by (src, deg), a superset of the cached adjacency's
+   * HashPartitioning(src), so Catalyst inserts NO exchange — the whole iteration is
+   * one map-side whole-stage span over the cached frame (guide §2.4). Pull equals
+   * push exactly on the documented SYMMETRIC input contract (N_in(v) = N_out(v));
+   * double-summation grouping order differs, bounded by the same ~1e-15 the oracle's
+   * 6-decimal rounding already absorbs. Past the 2M-vertex gate the rank frame must
+   * not broadcast and a pull join would shuffle m exploded rows — strictly worse —
+   * so the cluster-scale path keeps the r12 push iteration unchanged.
+   */
+  private[graft] def pageRankImpl(edges: DataFrame, iterations: Int, damping: Double,
+      pull: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
     val adj = edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(sort_array(collect_set(col("dst"))).as("ds"))
@@ -104,23 +133,46 @@ object GraphOps {
     // one row per vertex (symmetric edges: every node has out-degree >= 1)
     val n = adj.count()
     val smallRanks = n <= 2000000L
-    var ranks = adj.select(col("src").as("id"), lit(1.0 / n).as("pr")).localCheckpoint()
-    var it = 0
-    while (it < iterations) {
-      val rankSide = ranks.withColumnRenamed("id", "src")
-      val contribs = adj
-        .join(if (smallRanks) broadcast(rankSide) else rankSide, Seq("src"))
-        .select(explode(unpackSortedVarint(col("nbrs"))).as("id"),
-          (col("pr") / col("deg")).as("c"))
-      val next = contribs.groupBy(col("id"))
-        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
+    if (pull && smallRanks) {
+      var ranks = adj
+        .select(col("src").as("id"), lit(1.0 / n).as("pr"),
+          (lit(1.0 / n) / col("deg")).as("c"))
         .localCheckpoint()
-      ranks.unpersist()
-      ranks = next
-      it += 1
+      var it = 0
+      while (it < iterations) {
+        val contribSide = broadcast(ranks.select(col("id").as("nbr"), col("c")))
+        val next = adj
+          .select(col("src"), col("deg"), explode(unpackSortedVarint(col("nbrs"))).as("nbr"))
+          .join(contribSide, Seq("nbr"))
+          .groupBy(col("src"), col("deg"))
+          .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
+          .select(col("src").as("id"), col("pr"), (col("pr") / col("deg")).as("c"))
+          .localCheckpoint()
+        ranks.unpersist()
+        ranks = next
+        it += 1
+      }
+      adj.unpersist()
+      ranks.select(col("id"), col("pr"))
+    } else {
+      var ranks = adj.select(col("src").as("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+      var it = 0
+      while (it < iterations) {
+        val rankSide = ranks.withColumnRenamed("id", "src")
+        val contribs = adj
+          .join(if (smallRanks) broadcast(rankSide) else rankSide, Seq("src"))
+          .select(explode(unpackSortedVarint(col("nbrs"))).as("id"),
+            (col("pr") / col("deg")).as("c"))
+        val next = contribs.groupBy(col("id"))
+          .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("pr"))
+          .localCheckpoint()
+        ranks.unpersist()
+        ranks = next
+        it += 1
+      }
+      adj.unpersist()
+      ranks
     }
-    adj.unpersist()
-    ranks
   }
 
   /**
@@ -224,29 +276,47 @@ object GraphOps {
    * gate ON — measured 1.3-2.1x faster in 6 of 7 pairs.
    */
   private[graft] def bfsImpl(
-      edges: DataFrame, seeds: DataFrame, maxHops: Int, gateFrontier: Boolean): DataFrame = {
+      edges: DataFrame, seeds: DataFrame, maxHops: Int, gateFrontier: Boolean,
+      pullSymmetric: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
     // r12: packed adjacency (the pageRank treatment) — one cached row per vertex,
     // multi-edges collapsed by the set build (the old form deduped after expansion:
     // same result, strictly less per-round work), neighbor ids re-materializing only
     // inside the per-round map-side explode. The frontier shuffle is unchanged.
+    //
+    // r14 `pullSymmetric` (valid ONLY for symmetric edge lists — bfs's public contract
+    // is DIRECTED, so this is a caller opt-in, not the API default): v is newly
+    // reached iff N(v) ∩ frontier ≠ ∅, so instead of expanding the frontier's
+    // adjacency and paying an m_frontier-row `distinct()` exchange, each adjacency
+    // row probes the BROADCAST frontier on its exploded neighbors and the dedup
+    // aggregate is keyed by the row's own vertex — already the cached frame's hash
+    // partitioning — so the per-round reach set needs NO exchange (guide §2.4).
+    // Requires the frontier broadcastable; gated by the same 2M vertex count.
     val adj = edges.select(col("src"), col("dst"))
       .groupBy(col("src"))
       .agg(packSortedVarint(sort_array(collect_set(col("dst")))).as("nbrs"))
       .cache()
-    val smallFrontier = gateFrontier && adj.count() <= 2000000L
+    val smallGraph = adj.count() <= 2000000L
+    val smallFrontier = gateFrontier && smallGraph
+    val pull = pullSymmetric && smallGraph
     var visited = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0).as("hop")).localCheckpoint()
     var frontier = visited.select(col("id"))
     var h = 1
     var drained = false
     while (h <= maxHops && !drained) {
-      val frontierSide = frontier.withColumnRenamed("id", "src")
-      val next = (if (smallFrontier) broadcast(frontierSide) else frontierSide)
-        .join(adj, Seq("src"))
-        .select(explode(unpackSortedVarint(col("nbrs"))).as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .select(col("id"), lit(h).as("hop")).localCheckpoint()
+      val next = (if (pull) {
+        adj.select(col("src").as("id"), explode(unpackSortedVarint(col("nbrs"))).as("nbr"))
+          .join(broadcast(frontier.withColumnRenamed("id", "nbr")), Seq("nbr"))
+          .select(col("id")).dropDuplicates("id")
+          .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
+      } else {
+        val frontierSide = frontier.withColumnRenamed("id", "src")
+        (if (smallFrontier) broadcast(frontierSide) else frontierSide)
+          .join(adj, Seq("src"))
+          .select(explode(unpackSortedVarint(col("nbrs"))).as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+      }).select(col("id"), lit(h).as("hop")).localCheckpoint()
       drained = next.isEmpty
       if (!drained) {
         visited = visited.unionByName(next).localCheckpoint()
@@ -300,12 +370,14 @@ object GraphOps {
    * map-side — a pre-shuffle by src would trade that combine away for nothing.
    */
   private[graft] def qBfsImpl(spark: SparkSession, dir: String,
-      fusedPrologue: Boolean): DataFrame = {
+      fusedPrologue: Boolean, pullFrontier: Boolean = false): DataFrame = {
     val edges0 = coPurchaseEdges(spark, dir)
     val edges = if (fusedPrologue) edges0.localCheckpoint() else edges0
     val seeds = edges.select(col("src").as("id"))
       .filter(col("id") % 97 === 0).distinct()
-    bfs(edges, seeds, maxHops = 2)
+    // pullFrontier is sound here because the co-purchase edge list is symmetric —
+    // see bfsImpl's r14 note (the PUBLIC bfs contract stays directed/push).
+    bfsImpl(edges, seeds, maxHops = 2, gateFrontier = false, pullSymmetric = pullFrontier)
       .select(col("id").as("l_partkey"), col("hop"))
       .orderBy(col("l_partkey"))
   }
@@ -451,42 +523,76 @@ object GraphOps {
    * better but are not replayable — fixed synchronous rounds are what an oracle can
    * check).
    *
-   * Per round: ONE shuffle to count (node, label) votes + one argmax groupBy — the
-   * argmax rides a `max(struct(cnt, -label))` so no per-node sort or window appears.
-   * Same iterative discipline as pageRank: edges cached + pre-partitioned on the join
-   * key, localCheckpoint per round, driver loops over ROUNDS never rows.
+   * Per round (broadcast-gated regime, r14): ZERO shuffles — votes are PULLED onto
+   * the cached adjacency's own partitioning, see [[labelPropagationImpl]]; the argmax
+   * rides a `max(struct(cnt, -label))` so no per-node sort or window appears. Past
+   * the 2M gate: one vote-count shuffle + one argmax shuffle per round (the r12 push
+   * form). Same iterative discipline as pageRank: edges cached + pre-partitioned on
+   * the join key, localCheckpoint per round, driver loops over ROUNDS never rows.
    *
    * `edges` must be symmetric (src, dst); multi-edges are deduplicated. Returns
    * (id, label) after `rounds` rounds.
    */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagationImpl(edges, rounds, pull = true)
+
+  /**
+   * Shared packed-adjacency LPA body. `pull = true` (r14, broadcast-gated regime only)
+   * flips each round from push (explode votes keyed by the DESTINATION neighbor, pay
+   * one m-row exchange for groupBy(dst, label) and a second for the argmax
+   * groupBy(dst)) to pull (each adjacency row counts ITS OWN neighbors' labels): the
+   * label frame broadcasts and joins map-side on the exploded neighbor id, and BOTH
+   * aggregates — the (src, label) vote count and the argmax over src — are keyed by
+   * the adjacency row's own vertex, which the cached frame is already hash-partitioned
+   * by, so a gated round runs with ZERO exchanges (guide §2.4; the r12 push form paid
+   * two). Pull equals push bit-for-bit on the documented SYMMETRIC input contract
+   * (the multiset of labels v collects from N_out(v) IS the multiset of votes v
+   * receives from N_in(v)); integer counts, no float-order caveat. Past the 2M-vertex
+   * gate the label frame must not broadcast and a pull join would shuffle m exploded
+   * rows — strictly worse — so the cluster-scale path keeps the r12 push round
+   * unchanged.
+   */
+  private[graft] def labelPropagationImpl(edges: DataFrame, rounds: Int,
+      pull: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
     // r12: packed adjacency (the pageRank treatment) — the set build's one shuffle
     // now emits ONE row per vertex with the neighbor set in delta-varint binary
     // (~1.5 B/neighbor) instead of re-exploding to m cached rows; ids re-materialize
-    // only inside the per-round map-side explode. The votes shuffle carries
-    // combiner-reduced (dst, label, cnt) rows either way.
+    // only inside the per-round map-side explode. The votes shuffle (push form)
+    // carries combiner-reduced (dst, label, cnt) rows either way.
     val adj = edges.select(col("src"), col("dst"))
       .groupBy(col("src"))
       .agg(packSortedVarint(sort_array(collect_set(col("dst")))).as("nbrs"))
       .cache()
+    // Same scale-adaptive broadcast as pageRank: one row per vertex, count populates
+    // the cache — broadcast the label frame per round when small, shuffle past it.
+    val smallLabels = adj.count() <= 2000000L
     var labels = adj.select(col("src").as("id"))
       .select(col("id"), col("id").as("label")).localCheckpoint()
-    // Same scale-adaptive broadcast as pageRank: labels is one row per vertex and the
-    // count is free off the materialized checkpoint — broadcast-join it per round when
-    // small, shuffle-join past the threshold.
-    val smallLabels = labels.count() <= 2000000L
     var r = 0
     while (r < rounds) {
-      val labelSide = labels.withColumnRenamed("id", "src")
-      val votes = adj.join(if (smallLabels) broadcast(labelSide) else labelSide, Seq("src"))
-        .select(explode(unpackSortedVarint(col("nbrs"))).as("dst"), col("label"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val next = votes
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("id"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+      val next = if (pull && smallLabels) {
+        val labelSide = broadcast(labels.select(col("id").as("nbr"), col("label")))
+        val votes = adj
+          .select(col("src"), explode(unpackSortedVarint(col("nbrs"))).as("nbr"))
+          .join(labelSide, Seq("nbr"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        votes
+          .groupBy(col("src"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("src").as("id"), (-col("m.nl")).as("label"))
+          .localCheckpoint()
+      } else {
+        val labelSide = labels.withColumnRenamed("id", "src")
+        val votes = adj.join(if (smallLabels) broadcast(labelSide) else labelSide, Seq("src"))
+          .select(explode(unpackSortedVarint(col("nbrs"))).as("dst"), col("label"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        votes
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("id"), (-col("m.nl")).as("label"))
+          .localCheckpoint()
+      }
       labels.unpersist()
       labels = next
       r += 1
@@ -678,13 +784,21 @@ object GraphOps {
    * the un-fused twin stays for the interleaved A/B.
    */
   private[graft] def qSsspImpl(spark: SparkSession, dir: String,
-      fusedPrologue: Boolean): DataFrame = {
+      fusedPrologue: Boolean, prologueCache: Boolean = true): DataFrame = {
     val weighted = if (fusedPrologue) {
-      coPurchaseEdges(spark, dir)
+      // r14 `prologueCache`: materialize the shared weighted-edge frame via cache()
+      // instead of localCheckpoint(). Identical dedup of the lineage, but the CACHED
+      // plan keeps its outputPartitioning — HashPartitioning(src) from the explicit
+      // repartition, which the (src,dst) count already rides — so sssp's adjacency
+      // groupBy(src) (ClusteredDistribution(src)) needs NO exchange of its own. The
+      // r13 checkpoint form surfaced as a LogicalRDD with UnknownPartitioning and
+      // paid that third m-row exchange (the caveat in the r13 note below);
+      // per-m-row exchange passes drop 3 → 2 (guide §2.4).
+      val w0 = coPurchaseEdges(spark, dir)
         .repartition(col("src"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
         .select(col("src"), col("dst"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
-        .localCheckpoint()
+      if (prologueCache) w0.cache() else w0.localCheckpoint()
     } else {
       coPurchaseEdges(spark, dir)
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
@@ -740,18 +854,26 @@ object GraphOps {
    * rounds). Edges are deduplicated on entry (simple-graph degree semantics), assumed
    * symmetric, so per-src out-degree IS the undirected degree.
    *
-   * Per round: one map-side-combined degree aggregate + two semi-joins against the
-   * survivor set (Spark broadcasts it when it fits — at any scale it is one row per
-   * surviving VERTEX, the small frame of the pair). localCheckpoint keeps the plan
-   * O(1) in rounds. Returns each surviving vertex with its degree in the R-times-peeled
-   * graph.
+   * Since r14 this delegates to the packed incremental-decrement form
+   * ([[kcorePeelPacked]]): one m-row exchange total, vertex-sized per-round state,
+   * per-round work proportional to the PEELED part. The edge-rewrite peel stays as
+   * [[kcorePeelEdgeRewrite]] and the vertex-carry form as [[kcorePeelVertex]] — the
+   * A/B twins the probe and the equality spec hold the default against.
+   * localCheckpoint keeps the plan O(1) in rounds. Returns each surviving vertex with
+   * its degree in the R-times-peeled graph.
    */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // Materialization contract: each round localCheckpoints the SURVIVING edge set —
-    // O(m_r) per round, O(m·rounds) worst case when little peels. The vertex-carry
-    // twin below ([[kcorePeelVertex]]) instead caches the edge set ONCE and carries
-    // only the shrinking survivor vertex set across rounds; the A/B
-    // (bench_kcore_vertex_r13.json) decides which is the default.
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcorePeelPacked(edges, k, rounds)
+
+  /**
+   * Edge-rewrite peel (the r12b-r13 default) — kept as [[kcorePeel]]'s A/B twin.
+   * Materialization contract: each round localCheckpoints the SURVIVING edge set —
+   * O(m_r) per round, O(m·rounds) worst case when little peels, plus the initial
+   * full-m `distinct()` exchange. The r13 sf1 sweep measured this at 26.2 s — the
+   * single most expensive entry in the suite — which is what the packed
+   * incremental-decrement form ([[kcorePeelPacked]]) replaces.
+   */
+  private[graft] def kcorePeelEdgeRewrite(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var r = 0
     while (r < rounds) {
@@ -763,6 +885,69 @@ object GraphOps {
       r += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  }
+
+  /**
+   * Packed incremental-decrement peel (r14 default; guide §2.3/§2.4 via VERDICT r13
+   * Next #1). Three structural changes over the edge-rewrite form:
+   *
+   *  1. ONE m-row exchange total: the adjacency build's groupBy(src) + collect_set
+   *     dedups multi-edges AND yields the round-1 degree (`size`) in the same
+   *     aggregate — the edge-rewrite form paid a full-m `distinct()` exchange, then a
+   *     fresh O(m_r) degree exchange every round.
+   *  2. Nothing m-sized is ever rewritten: the packed adjacency (delta-varint
+   *     neighbor lists, ~1.5 B/neighbor) is cached once; per-round state is the
+   *     vertex-sized (src, deg) frame — the edge-rewrite form localCheckpointed an
+   *     O(m_r) edge set every round (the storage churn VERDICT r13 named as the 26 s
+   *     sf1 bill).
+   *  3. Per-round work is proportional to the PEELED part, not the survivors: the
+   *     induced degree is maintained incrementally — deg_r(v) = deg_{r-1}(v) −
+   *     |N(v) ∩ dropped_{r-1}| (dropped sets are disjoint and N(v) is fixed, so the
+   *     decrements telescope; equality with the edge-rewrite peel follows by
+   *     induction and is pinned bit-for-bit in GraphOpsSpec). Only DROPPED vertices'
+   *     adjacency rows are exploded each round; the decrement aggregate partial-sums
+   *     map-side, so its exchange carries at most vertex-sized rows.
+   *
+   * Relies on the operator's documented SYMMETRIC edge contract (so out-neighbor
+   * explosion of the dropped set decrements exactly the survivors' undirected
+   * degrees). Vertex-sized frames ride the standard 2M scale-adaptive broadcast gate;
+   * past it the same plan degrades to shuffle joins (checkpointed frames carry no
+   * stats, so the gate is decided off the materialized count, AQE-style).
+   * A survivor can end a round with deg 0 (all its ≥k neighbors dropped); it peels in
+   * the next round's filter, and the final `deg > 0` filter reproduces the
+   * edge-rewrite form's "no surviving edges ⇒ absent from the degree aggregate".
+   */
+  private[graft] def kcorePeelPacked(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, unpackSortedVarint}
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(sort_array(collect_set(col("dst"))).as("ds"))
+      .select(col("src"), packSortedVarint(col("ds")).as("nbrs"),
+        size(col("ds")).cast("long").as("deg"))
+      .cache()
+    val small = adj.count() <= 2000000L
+    def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // (src, deg): deg = degree in the graph induced on the current survivor set.
+    // No initial checkpoint — round 1's two consumers are map-only filters over the
+    // cache — and no checkpoint after the FINAL round either (its single consumer is
+    // the res materialization below): at rehearsal scale the peel is fixed-cost-bound,
+    // and each eager vertex-sized checkpoint is a full driver-synced job.
+    var cur = adj.select(col("src"), col("deg"))
+    var r = 0
+    while (r < rounds) {
+      val dropped = cur.filter(col("deg") < k).select(col("src"))
+      // each dropped vertex's (symmetric) edges lower its neighbors' induced degree
+      val dec = adj.join(gate(dropped), Seq("src"), "left_semi")
+        .select(explode(unpackSortedVarint(col("nbrs"))).as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("dcnt"))
+      val next = cur.filter(col("deg") >= k)
+        .join(gate(dec), Seq("src"), "left")
+        .select(col("src"), (col("deg") - coalesce(col("dcnt"), lit(0L))).as("deg"))
+      cur = if (r < rounds - 1) next.localCheckpoint() else next
+      r += 1
+    }
+    val res = cur.filter(col("deg") > 0).localCheckpoint()
+    adj.unpersist()
+    res
   }
 
   /**

@@ -13,13 +13,14 @@ import graft.sources.TableIO
  * classifier-free twin of the naive-Bayes scorer in Sampling: same contingency-table
  * plan, different statistic).
  *
- * Plan shape: per feature, ONE map-side-combined groupBy(feature, label) produces the
- * contingency table; everything after (marginals, N, the MI/chi² sums) is arithmetic
- * over that |X|x|Y|-row frame — bounded by bin design, never by corpus size. Marginals
- * join back via broadcast, so no windows over unpartitioned frames and no second scan
- * of the fact table. K features = K independent scans that Spark schedules
- * concurrently; at 100 TB you would cache the projected (features, label) frame once
- * and fan the K groupBys off it — same plan shape.
+ * Plan shape (since r13): ONE pass over the fact table total. The K features unpivot
+ * map-side — each row explodes into its K (feature, x) pairs — and ONE map-side-
+ * combined groupBy(feature, x, y) builds every contingency table at once; the
+ * |ΣX|x|Y|-row contingency frame (bounded by bin design, never by corpus size) is
+ * localCheckpoint'd because it feeds four consumers whose per-consumer pruning
+ * defeats ReuseExchange, and marginals broadcast-join back. Everything after the one
+ * scan is arithmetic over that tiny frame. (The r12 form ran one scan per feature
+ * per consumer — 12 scans for q_feature_mi's 3 features; see qFeatureMiImpl.)
  *
  * MI  = Σ_xy (n_xy/N) · ln(N·n_xy / (n_x·n_y))       (natural log, > 0 terms only by
  *                                                     construction since n_xy >= 1)
@@ -37,7 +38,20 @@ object FeatureStats {
     * the full input scan — the r12 plan re-scanned the fact table four times per
     * call (plans/r13/q_feature_mi_before.txt: 12 scans for 3 features). The frame is
     * |X|x|Y| rows — bounded by bin design, the cheapest thing in the job to
-    * materialize. One scan per call now. */
+    * materialize. One scan per call now.
+    *
+    * EAGER-MATERIALIZATION CONTRACT (since r13): constructing this frame runs a Spark
+    * job immediately (the localCheckpoint above), and the checkpointed contingency
+    * blocks live in executor-local (non-fault-tolerant) storage until consumed — an
+    * intentional trade for the 4x scan cut. Callers composing plans fully lazily, or
+    * needing the intermediate to survive executor loss, should build the contingency
+    * table themselves.
+    *
+    * r14 (ADVICE r13): the MI log ratio and the chi² n²/e term cast to double BEFORE
+    * multiplying — n_x·n_y and n_xy² as long·long silently wrap past ~3e9-row cells
+    * (lineitem at 100 TB is ~6e11 rows against 2-3 label values), while the DuckDB
+    * oracle SQL casts first. Below 2^53 the double products are exact, so results at
+    * every rehearsal scale are bit-identical to the long form. */
   def dependence(df: DataFrame, feature: Column, label: Column): DataFrame = {
     val cont = df.select(feature.as("x"), label.as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
@@ -48,9 +62,10 @@ object FeatureStats {
     val joined = cont.join(broadcast(nx), "x").join(broadcast(ny), "y")
       .crossJoin(broadcast(n))
     val p = col("nxy").cast("double") / col("n")
-    val mi = sum(p * log(col("n").cast("double") * col("nxy") / (col("nx") * col("ny"))))
+    val mi = sum(p * log(col("n").cast("double") * col("nxy")
+      / (col("nx").cast("double") * col("ny"))))
     val e = col("nx").cast("double") * col("ny") / col("n")
-    val chi2 = sum(col("nxy") * col("nxy") / e) - first(col("n")).cast("double")
+    val chi2 = sum(col("nxy").cast("double") * col("nxy") / e) - first(col("n")).cast("double")
     joined.agg(round(mi, 6).as("mi6"), round(chi2, 4).as("chi2r"))
   }
 
@@ -107,10 +122,12 @@ object FeatureStats {
       .join(broadcast(nx), Seq("feature", "x"))
       .join(broadcast(ny), Seq("feature", "y"))
       .join(broadcast(n), Seq("feature"))
+    // double-first multiplies, mirroring [[dependence]] (r14 overflow fix — see its doc)
     val p = col("nxy").cast("double") / col("n")
-    val mi = sum(p * log(col("n").cast("double") * col("nxy") / (col("nx") * col("ny"))))
+    val mi = sum(p * log(col("n").cast("double") * col("nxy")
+      / (col("nx").cast("double") * col("ny"))))
     val e = col("nx").cast("double") * col("ny") / col("n")
-    val chi2 = sum(col("nxy") * col("nxy") / e) - first(col("n")).cast("double")
+    val chi2 = sum(col("nxy").cast("double") * col("nxy") / e) - first(col("n")).cast("double")
     joined.groupBy(col("feature"))
       .agg(round(mi, 6).as("mi6"), round(chi2, 4).as("chi2r"))
       .orderBy(col("feature"))

@@ -128,6 +128,56 @@ object PrProbe {
         val a = FeatureStats.qFeatureMiImpl(spark, dir, fused = false).collect().map(_.toString).toSeq
         val b = FeatureStats.qFeatureMiImpl(spark, dir, fused = true).collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "kcorepack" =>
+        // r14: edge-rewrite peel (r13 default) vs packed incremental-decrement peel
+        for (r <- 1 to reps) {
+          time1("kc-edg", r, () => GraphOps.kcorePeelEdgeRewrite(edgesOf(spark), k = 100, rounds = 2))
+          time1("kc-pck", r, () => GraphOps.kcorePeelPacked(edgesOf(spark), k = 100, rounds = 2))
+        }
+        val a = GraphOps.kcorePeelEdgeRewrite(edgesOf(spark), 100, 2).orderBy("src").collect().map(_.toString).toSeq
+        val b = GraphOps.kcorePeelPacked(edgesOf(spark), 100, 2).orderBy("src").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "prpull" =>
+        // r14: push iteration (one m-row exchange each) vs pull (zero-exchange) pagerank
+        for (r <- 1 to reps) {
+          time1("pr-psh", r, () => GraphOps.pageRankImpl(edgesOf(spark), 3, 0.85, pull = false))
+          time1("pr-pll", r, () => GraphOps.pageRankImpl(edgesOf(spark), 3, 0.85, pull = true))
+        }
+        val a = GraphOps.pageRankImpl(edgesOf(spark), 3, 0.85, pull = false)
+          .selectExpr("id", "round(pr, 6) as pr6").orderBy("id").collect().map(_.toString).toSeq
+        val b = GraphOps.pageRankImpl(edgesOf(spark), 3, 0.85, pull = true)
+          .selectExpr("id", "round(pr, 6) as pr6").orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "lppull" =>
+        // r14: push rounds (two exchanges each) vs pull (zero-exchange) label propagation
+        for (r <- 1 to reps) {
+          time1("lp-psh", r, () => GraphOps.labelPropagationImpl(edgesOf(spark), 2, pull = false))
+          time1("lp-pll", r, () => GraphOps.labelPropagationImpl(edgesOf(spark), 2, pull = true))
+        }
+        val a = GraphOps.labelPropagationImpl(edgesOf(spark), 2, pull = false)
+          .orderBy("id").collect().map(_.toString).toSeq
+        val b = GraphOps.labelPropagationImpl(edgesOf(spark), 2, pull = true)
+          .orderBy("id").collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "bfspull" =>
+        // r14: frontier-expand rounds (distinct exchange) vs symmetric pull rounds
+        for (r <- 1 to reps) {
+          time1("bf-psh", r, () => GraphOps.qBfsImpl(spark, dir, fusedPrologue = true, pullFrontier = false))
+          time1("bf-pll", r, () => GraphOps.qBfsImpl(spark, dir, fusedPrologue = true, pullFrontier = true))
+        }
+        val a = GraphOps.qBfsImpl(spark, dir, true, pullFrontier = false).collect().map(_.toString).toSeq
+        val b = GraphOps.qBfsImpl(spark, dir, true, pullFrontier = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
+      case "ssspcache" =>
+        // r14: fused prologue materialized via localCheckpoint (r13) vs cache() —
+        // cache keeps HashPartitioning(src), so the adjacency groupBy rides it
+        for (r <- 1 to reps) {
+          time1("ss-ckp", r, () => GraphOps.qSsspImpl(spark, dir, fusedPrologue = true, prologueCache = false))
+          time1("ss-cch", r, () => GraphOps.qSsspImpl(spark, dir, fusedPrologue = true, prologueCache = true))
+        }
+        val a = GraphOps.qSsspImpl(spark, dir, true, prologueCache = false).collect().map(_.toString).toSeq
+        val b = GraphOps.qSsspImpl(spark, dir, true, prologueCache = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "kcoremix" =>
         // r13: edge-rewrite peeling vs vertex-carry twin (VERDICT r12 Next #4)
         for (r <- 1 to reps) {

@@ -128,6 +128,63 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kcorePeelVertex(sym, k = 500, rounds = 2).isEmpty)
   }
 
+  test("r14 packed decrement peel equals edge-rewrite and vertex-carry bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val raw = Seq.fill(900)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    for (k <- Seq(2, 8, 15); rounds <- Seq(1, 2, 4)) {
+      val packed = GraphOps.kcorePeelPacked(sym, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val edge = GraphOps.kcorePeelEdgeRewrite(sym, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vertex = GraphOps.kcorePeelVertex(sym, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(packed == edge, s"k=$k rounds=$rounds packed vs edge-rewrite diverged")
+      assert(packed == vertex, s"k=$k rounds=$rounds packed vs vertex-carry diverged")
+    }
+    // all-peels case: empty through the packed path too
+    assert(GraphOps.kcorePeelPacked(sym, k = 500, rounds = 2).isEmpty)
+  }
+
+  test("r14 pull iterations equal push bit-for-bit: pagerank, labelProp, bfs, ssspCache") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val raw = Seq.fill(700)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    // pagerank: double sums regroup, so compare at the query's own 6-decimal grain
+    // and to 1e-12 absolute (the twin-pin tolerance)
+    val prPull = GraphOps.pageRankImpl(sym, 3, 0.85, pull = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prPush = GraphOps.pageRankImpl(sym, 3, 0.85, pull = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prPull.keySet == prPush.keySet)
+    prPull.foreach { case (id, pr) =>
+      assert(math.abs(pr - prPush(id)) < 1e-12, s"node $id: pull $pr vs push ${prPush(id)}")
+    }
+    // labelProp: integer labels, exact
+    val lpPull = GraphOps.labelPropagationImpl(sym, 3, pull = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpPush = GraphOps.labelPropagationImpl(sym, 3, pull = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpPull == lpPush)
+    // bfs pull (symmetric-only opt-in): integer hops, exact
+    val seeds = Seq(0L, 7L).toDF("id")
+    val bfPull = GraphOps.bfsImpl(sym, seeds, 3, gateFrontier = false, pullSymmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bfPush = GraphOps.bfsImpl(sym, seeds, 3, gateFrontier = false, pullSymmetric = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfPull == bfPush)
+    // qSssp prologue cache-vs-checkpoint is a pure plan change: same rows
+    val ssCache = GraphOps.qSsspImpl(spark, sf, fusedPrologue = true, prologueCache = true)
+      .collect().map(_.toString).toSeq
+    val ssCkpt = GraphOps.qSsspImpl(spark, sf, fusedPrologue = true, prologueCache = false)
+      .collect().map(_.toString).toSeq
+    assert(ssCache == ssCkpt)
+  }
+
   test("kcorePeel strips the pendant tail and keeps the clique; multi-edges count once") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6; symmetric edges, one duplicated pair
