@@ -427,8 +427,23 @@ object GraphOps {
    *
    * Returns one row: the global triangle count. The count is orientation-invariant, so
    * the DuckDB oracle uses plain id-orientation and must match exactly.
+   *
+   * r14 `spreadIntersect` (VERDICT r13 Next #6 — the 1.07 c8-vs-c32 scaling ratio):
+   * on the broadcast path the intersect stage's parallelism IS the checkpointed edge
+   * list's partition count, and that checkpoint job is AQE-final — the oriented frame
+   * is byte-SMALL (16 B/edge) but compute-HEAVY downstream (O(m^1.5) wedge
+   * intersections), so AQE's byte-based coalescing (64 MB advisory) collapses it to a
+   * handful of partitions and the whole intersect stage runs on that many cores
+   * (guide §2.6: stragglers/idle capacity — here the extreme case, idle-by-plan).
+   * The fix repartitions the oriented edges across 2x defaultParallelism by their own
+   * (a, b) key — deterministic, m distinct values, no skew (out-degree is
+   * sqrt-m-capped by the orientation) — immediately before the checkpoint: one extra
+   * exchange of m 16-byte rows buys a fully-parallel intersect stage. Scale-adaptive
+   * (defaultParallelism, not a local constant); the partitioned SMJ path past the
+   * broadcast gate gets its parallelism from the join exchange as before.
    */
-  def triangleCount(edges: DataFrame, broadcastGateEdges: Long = 32000000L): DataFrame = {
+  def triangleCount(edges: DataFrame, broadcastGateEdges: Long = 32000000L,
+      spreadIntersect: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.{packSortedVarint, packedIntersectSize}
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
@@ -442,11 +457,17 @@ object GraphOps {
     // localCheckpoint: the oriented edge list feeds THREE consumers (the edge stream and
     // both adjacency joins) — without materialization Spark re-derives the whole
     // scan+groupBy+distinct lineage once per consumer (measured 3x the work at sf0.1).
-    val oriented = und
+    val oriented0 = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
       .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"))
+    // explicit partition count: an un-numbered repartition is itself AQE-coalescible,
+    // which would undo the spread (see Scaladoc)
+    val oriented = (if (spreadIntersect)
+        oriented0.repartition(
+          edges.sparkSession.sparkContext.defaultParallelism * 2, col("a"), col("b"))
+      else oriented0)
       .localCheckpoint()
     // Scale-adaptive broadcast off the ALREADY-MATERIALIZED edge count (free on the
     // checkpointed RDD): the packed adjacency frame holds exactly m delta-varints

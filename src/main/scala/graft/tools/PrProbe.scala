@@ -128,6 +128,16 @@ object PrProbe {
         val a = FeatureStats.qFeatureMiImpl(spark, dir, fused = false).collect().map(_.toString).toSeq
         val b = FeatureStats.qFeatureMiImpl(spark, dir, fused = true).collect().map(_.toString).toSeq
         println(s"[prprobe] equal=${a == b}")
+      case "trispread" =>
+        // r14: intersect-stage parallelism — AQE-coalesced checkpoint (r11-r13 form)
+        // vs explicit (a,b) repartition to 2x defaultParallelism before the checkpoint
+        for (r <- 1 to reps) {
+          time1("tri-nsp", r, () => GraphOps.triangleCount(edgesOf(spark), spreadIntersect = false))
+          time1("tri-spr", r, () => GraphOps.triangleCount(edgesOf(spark), spreadIntersect = true))
+        }
+        val a = GraphOps.triangleCount(edgesOf(spark), spreadIntersect = false).collect().map(_.toString).toSeq
+        val b = GraphOps.triangleCount(edgesOf(spark), spreadIntersect = true).collect().map(_.toString).toSeq
+        println(s"[prprobe] equal=${a == b}")
       case "kcorepack" =>
         // r14: edge-rewrite peel (r13 default) vs packed incremental-decrement peel
         for (r <- 1 to reps) {
