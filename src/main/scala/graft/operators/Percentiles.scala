@@ -108,10 +108,22 @@ object Percentiles {
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("value"))).as("__bs"))
     df.join(bounds, keys)
-      .withColumn("bucket",
-        (lit(1) + size(filter(col("__bs"), b => col(valueCol).cast("double") > b))).cast("int"))
+      .withColumn("bucket", bucketFromBounds(col(valueCol), nBins))
       .drop("__bs")
   }
+
+  /** r14 (guide §4, expressions in the hot path): `1 + size(filter(__bs, b => v > b))`
+    * evaluated a HigherOrderFunction LAMBDA per data row — interpreted, outside
+    * whole-stage codegen. nBins is a plan-time constant, so the boundary comparisons
+    * unroll statically into nBins-1 codegen'd when/element_at terms. Identical
+    * semantics including nulls: a null value compares null against every boundary, so
+    * every indicator is 0 and the bucket is 1 — exactly what the lambda form produced
+    * (null predicate drops the element). Order-insensitive: the sum counts boundaries
+    * strictly below v wherever they sit in the array. */
+  private def bucketFromBounds(value: Column, nBins: Int): Column =
+    (lit(1) + (1 until nBins)
+      .map(i => when(value.cast("double") > element_at(col("__bs"), i), 1).otherwise(0))
+      .reduce(_ + _)).cast("int")
 
   /**
    * Sketch twin of [[equidepthBins]]: boundaries from the native mergeable t-digest
@@ -133,8 +145,7 @@ object Percentiles {
       .select(keys.map(col) :+
         transform(qsCol, q => tdigestQuantile(col("__sk"), q)).as("__bs"): _*)
     df.join(bounds, keys)
-      .withColumn("bucket",
-        (lit(1) + size(filter(col("__bs"), b => col(valueCol).cast("double") > b))).cast("int"))
+      .withColumn("bucket", bucketFromBounds(col(valueCol), nBins)) // r14: see bucketFromBounds
       .drop("__bs")
   }
 

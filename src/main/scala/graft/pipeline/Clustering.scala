@@ -38,8 +38,18 @@ import graft.sources.TableIO
  */
 object Clustering {
 
-  /** Squared L2 distance between two equal-length bigint array columns — exact. */
+  /** Squared L2 distance between two equal-length bigint array columns — exact.
+    * r14 (guide §4): the native codegen'd kernel replaces the
+    * `aggregate(zip_with(...))` pair of HigherOrderFunction lambdas, which were
+    * evaluated INTERPRETED per (vector, centroid) pair — n·k·dim interpreted steps
+    * per Lloyd round, three rounds per query. Same exact long arithmetic (null/length
+    * parity documented on the expression); kept in one place so the spec can pin the
+    * two forms equal. */
   private def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sqDistLong(a, b)
+
+  /** The pre-r14 interpreted HOF twin — the A/B + equality-pin reference. */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
   /** One Lloyd assignment: per vector, the (dist, cid)-minimal centroid. */
@@ -71,9 +81,14 @@ object Clustering {
    * For rounds >> 2, localCheckpoint `vectors` first to cap lineage.
    */
   def kmeansAssign(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // r14: cache the quantized frame — it feeds 2·rounds + 1 consumers (each round's
+    // assign + update, plus the final assign), and without materialization every one
+    // re-runs the scan + per-element quantize transform (guide §1.2). Same lifecycle
+    // policy as the dedup gram cache.
     val vectors = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000.0).cast("long")).as("qe"))
+      .cache()
     // k smallest ids via TakeOrderedAndProject (no global window) + broadcast semi-join
     val initIds = vectors.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     var centroids = vectors.join(broadcast(initIds), Seq("vec_id"))
@@ -93,6 +108,7 @@ object Clustering {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000.0).cast("long")).as("qe"))
+      .cache() // r14: 5 consumers of the scan+quantize — see kmeansAssign's note
     var centroids = vectors.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qe").as("ce"))
     for (_ <- 1 to rounds)

@@ -73,6 +73,10 @@ object Dedup {
     * The intersection is the native two-pointer `sorted_intersect_size` kernel over the
     * sorted gram arrays — codegen, zero allocation per pair (array_intersect's per-row
     * hash set measured ~10x slower over 125k candidates). */
+  /** Probe-only access to [[verifiedJaccard]] (DedupProbe's pre-r14 candidate twin). */
+  private[graft] def verifiedJaccardForProbe(candidates: DataFrame, g: DataFrame): DataFrame =
+    verifiedJaccard(candidates, g)
+
   private def verifiedJaccard(candidates: DataFrame, g: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.sortedIntersectSize
     val ga = g.select(col("doc_id").as("a_id"), col("gh").as("ga"), col("sz").as("sza"))
@@ -80,6 +84,29 @@ object Dedup {
     candidates
       .join(ga, "a_id").join(gb, "b_id")
       .withColumn("inter", sortedIntersectSize(col("ga"), col("gb")))
+      .withColumn("jacc",
+        col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
+  /** Threshold-aware [[verifiedJaccard]] (r14): same joins, but the intersect kernel
+    * bails out of a pair's merge as soon as its best-achievable Jaccard falls below the
+    * threshold (-1 sentinel; the row is dropped here, exactly as its true sub-threshold
+    * jacc would be by the caller's `jacc >= threshold`). On candidate sets that are
+    * >99.9% false positives — sf1 measured 15.7M candidates for 2.5k true pairs — the
+    * gate cuts most of each false pair's O(|a|+|b|) merge. Pairs at or above the
+    * threshold complete the full merge: emitted (a_id, b_id, jacc) rows are
+    * bit-identical to the ungated form filtered at the same threshold (DedupSpec pins
+    * this; callers still apply their own `jacc >= threshold` filter on top). */
+  private def verifiedJaccardGated(candidates: DataFrame, g: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.sortedIntersectSizeGated
+    val ga = g.select(col("doc_id").as("a_id"), col("gh").as("ga"), col("sz").as("sza"))
+    val gb = g.select(col("doc_id").as("b_id"), col("gh").as("gb"), col("sz").as("szb"))
+    candidates
+      .join(ga, "a_id").join(gb, "b_id")
+      .withColumn("inter", sortedIntersectSizeGated(col("ga"), col("gb"), lit(threshold)))
+      .filter(col("inter") >= 0)
       .withColumn("jacc",
         col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")))
       .select(col("a_id"), col("b_id"), col("jacc"))
@@ -178,6 +205,11 @@ object Dedup {
     // long-running service would unpersist after materializing the result — a returned
     // lazy DataFrame cannot safely unpersist its own inputs here.
     val g = gramHashSets(docs).cache()
+    // r14 measured-and-REJECTED: caching the band frame (it feeds both sides of the
+    // candidate self-join) was a warm-pair wash at both scales — ReuseExchange already
+    // canonicalizes the two renamed projections to ONE exchange, so the minhash kernel
+    // runs once either way and the cache only added materialization overhead
+    // (bench_dedup_cache_r14.json, guide §1: adopt only measured wins).
     minhashPairsFrom(g, lshBands(minhashSignatures(g)), threshold)
   }
 
@@ -190,7 +222,7 @@ object Dedup {
     val candidates = x.join(y, Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    verifiedJaccard(candidates, g)
+    verifiedJaccardGated(candidates, g, threshold) // r14: early-exit merge, see its doc
       .filter(col("jacc") >= threshold)
   }
 
@@ -273,6 +305,13 @@ object Dedup {
     val p = prefixIndex(g, threshold)
     val a = p.select(col("doc_id").as("a_id"), col("h"), col("rk").as("rka"), col("sz").as("sza"))
     val b = p.select(col("doc_id").as("b_id"), col("h"), col("rk").as("rkb"), col("sz").as("szb"))
+    // r14 measured-and-REJECTED: applying the positional bound per PAIR on the
+    // aggregated min ranks (min(rka)/min(rkb) both belong to the pair's order-smallest
+    // shared prefix gram, whose bound is the valid tight one) killed exactly ZERO of
+    // the 15.7M sf1 candidates — at t=0.5 the prefix ranks are small enough that the
+    // bound always clears — so the groupBy-with-mins just re-spelled the distinct()
+    // at equal cost. Kept as the simpler any-row form; the verification COST is
+    // attacked in the kernel instead (sortedIntersectSizeGated below).
     a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("sza"), col("szb")) >= lit(threshold) * greatest(col("sza"), col("szb")))
@@ -289,7 +328,7 @@ object Dedup {
    * inverted index, as round 2 did, re-shuffles every index row per DAG branch instead.)
    */
   def ngramJaccardPairs(g: DataFrame, threshold: Double): DataFrame =
-    verifiedJaccard(ngramCandidates(g, threshold), g)
+    verifiedJaccardGated(ngramCandidates(g, threshold), g, threshold) // r14 early-exit merge
       .filter(col("jacc") >= threshold)
 
   /** N-gram Jaccard near-dup over the documents table (see [[ngramJaccardPairs]]) —
@@ -407,6 +446,9 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64), got $maxHamming")
+    // r14 measured-and-REJECTED: caching this signature frame was a warm-pair wash to
+    // slight loss (ReuseExchange already shares the banded exchange between the two
+    // renamed self-join sides; bench_dedup_cache_r14.json).
     val sh = simhashes(docs)
     val nBlocks = maxHamming + 1
     // widths sum to 64: the first (64 % B) blocks take the extra bit
@@ -477,6 +519,9 @@ object Dedup {
     import graft.functions.VectorFunctions.cosineSimilarity
     // corpus-size-adaptive geometry: bounded bucket occupancy keeps the per-bucket
     // quadratic term constant as n grows (see Similarity.lshParams)
+    // r14 measured-and-REJECTED: caching the bucket frame was a warm-pair wash
+    // (ReuseExchange shares the bucket exchange between the renamed self-join sides;
+    // bench_dedup_cache_r14.json).
     val buckets = Similarity.lshBuckets(vecs, vecs.count())
     val candidates = buckets.select(col("vec_id").as("a_id"), col("bucket"))
       .join(buckets.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))

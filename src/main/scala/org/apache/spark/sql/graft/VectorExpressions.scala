@@ -8,7 +8,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression,
-  UnaryExpression}
+  TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -141,6 +141,61 @@ case class L2Distance(left: Expression, right: Expression)
 }
 
 /**
+ * Exact squared L2 distance of two equal-length `array<long>` columns — the k-means
+ * assignment kernel (r14, guide §4): the previous `aggregate(zip_with(a, b,
+ * (x,y) => (x-y)*(x-y)), 0L, _+_)` form evaluates TWO HigherOrderFunction lambdas
+ * interpreted per (vector, centroid) pair — n·k·dim interpreted steps per Lloyd round.
+ * This is the same long arithmetic ((x-y)² summed in a long accumulator, exact and
+ * order-independent — what makes the fixed-point k-means oracle-able) as one codegen'd
+ * loop. Null parity with the HOF form: a length mismatch (zip_with pads with null) or
+ * a null element yields a null distance.
+ */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_dist_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Intersection cardinality of two SORTED-ascending `array<long>` columns via a two-pointer
  * merge — the verification kernel for near-dup candidate pairs. `array_intersect` builds a
  * hash set per row per pair; this is a branch-predictable linear merge with no allocation
@@ -189,6 +244,79 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Jaccard-gated intersection size of two SORTED-ascending `array<long>` columns (r14):
+ * the two-pointer merge of [[SortedIntersectSize]] plus an early exit for the
+ * verification join's dominant case — candidate pairs that provably cannot reach the
+ * Jaccard threshold. At each mismatch step the best achievable intersection is
+ * `n + min(remaining_a, remaining_b)`; when even that upper bound's Jaccard (computed
+ * with the SAME double expression the verification filter uses, so monotone-consistent)
+ * falls below `minJacc`, the merge stops and returns -1. A -1 row fails the
+ * `jacc >= threshold` filter exactly as its true (sub-threshold) Jaccard would, and
+ * every pair at or above the threshold completes the full merge and returns its exact
+ * intersection — results are bit-identical to the ungated kernel. On a candidate set
+ * that is >99.9% false positives (sf1: 15.7M candidates -> 2.5k true pairs at t=0.5),
+ * the bail fires after ~(1 - t)·|doc| merge steps instead of walking both arrays.
+ * `minJacc` must be a foldable non-null double.
+ */
+case class SortedIntersectSizeGated(left: Expression, right: Expression, gate: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = gate
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_size_gated"
+
+  override def nullSafeEval(l: Any, r: Any, g: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val t = g.asInstanceOf[Double]
+    val na = a.numElements(); val nb = b.numElements()
+    val tot = na.toLong + nb
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val best = n + math.min(na - i, nb - j)
+        if (best * 1.0 / (tot - best) < t) return -1
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, g) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb"); val tot = ctx.freshName("tot")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val best = ctx.freshName("best")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |long $tot = (long) $na + $nb;
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else {
+         |    if ($x < $y) { $i++; } else { $j++; }
+         |    int $best = $n + java.lang.Math.min($na - $i, $nb - $j);
+         |    if ($best * 1.0 / ($tot - $best) < $g) { $n = -1; break; }
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, gate = newThird)
 }
 
 /**
@@ -399,6 +527,13 @@ object VectorExpressions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sqDistLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectSizeGated(a: Column, b: Column, minJacc: Column): Column =
+    ExpressionUtils.column(SortedIntersectSizeGated(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b), ExpressionUtils.expression(minJacc)))
 
   def packSortedVarint(a: Column): Column =
     ExpressionUtils.column(PackSortedVarint(ExpressionUtils.expression(a)))

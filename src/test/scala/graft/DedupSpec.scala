@@ -106,6 +106,36 @@ class DedupSpec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("r14 gated verification equals the ungated kernel at every threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random doc corpus with planted near-dups at several similarity grades
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = Seq.tabulate(120)(i => (i.toLong, doc(12 + rnd.nextInt(30))))
+    val mutated = base.take(40).map { case (id, text) =>
+      val toks = text.split(" ")
+      val k = 1 + rnd.nextInt(4) // 1-4 token edits: a spread of jaccard grades
+      val out = toks.clone()
+      (0 until k).foreach(_ => out(rnd.nextInt(out.length)) = vocab(rnd.nextInt(vocab.size)))
+      (1000L + id, out.mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val g = Dedup.gramHashSets(docs).cache()
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val gated = Dedup.ngramJaccardPairs(g, t)
+        .select($"a_id", $"b_id", round($"jacc", 9).as("j"))
+        .collect().map(_.toSeq).toSet
+      val ungated = Dedup.verifiedJaccardForProbe(Dedup.ngramCandidates(g, t), g)
+        .filter($"jacc" >= t)
+        .select($"a_id", $"b_id", round($"jacc", 9).as("j"))
+        .collect().map(_.toSeq).toSet
+      assert(gated == ungated, s"t=$t: gated verification diverged")
+      assert(gated.nonEmpty, s"t=$t: degenerate test corpus (no pairs)")
+    }
+  }
+
   test("a planted super-cap stop-gram generates zero candidate fan-out") {
     import spark.implicits._
     // n=300 docs all share ONE stop-gram (df=300 > the 256 cap); every other gram is

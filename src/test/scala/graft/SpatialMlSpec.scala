@@ -59,6 +59,28 @@ class SpatialMlSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq) // bit-stable rerun
   }
 
+  test("r14 native sq_dist_long equals the interpreted HOF form, incl. null/length parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions.sqDistLong
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.tabulate(500) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextInt(4001).toLong - 2000),
+        Array.fill(16)(rnd.nextInt(4001).toLong - 2000))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        sqDistLong(col("a"), col("b")).as("native"),
+        Clustering.sqDistHof(col("a"), col("b")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)} diverged"))
+    // length mismatch: zip_with pads with null -> HOF null; native must be null too
+    val mism = Seq((1L, Array(1L, 2L), Array(1L, 2L, 3L))).toDF("id", "a", "b")
+      .select(sqDistLong(col("a"), col("b")).as("native"),
+        Clustering.sqDistHof(col("a"), col("b")).as("hof"))
+      .collect()(0)
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
   // ----------------------------------------------------------------------- OLS
 
   test("closed-form OLS reproduces hand-planted coefficients exactly") {
